@@ -1,0 +1,248 @@
+"""Archiver: the reference's extract→format→load pipeline on Spark.
+
+Reference lifecycle (/root/reference/chiv.go:87-143): resolve options
+(per-call overrides a copy of constructor defaults), build
+``SELECT <cols> FROM <table>``, then pipeline a row-cursor producer
+into a streaming S3 multipart consumer coupled by an ``io.Pipe``.
+
+Spark restatement (SURVEY.md §3.1): option resolution is ours; the
+query is a DataFrame (``spark.table(...).select(...)`` — Catalyst owns
+pushdown); the pipe is ``toLocalIterator`` (upstream stages execute
+distributed + prefetched while the driver streams encoded bytes into
+the storage writer), keeping memory O(one partition) regardless of row
+count — the same bounded-memory guarantee the reference gets from its
+pipe (README.md:130-134).
+
+Two sink modes:
+- ``distributed=False`` (default, reference parity): exactly one
+  object ``bucket/key``, byte-stable encoder output.
+- ``distributed=True`` (the 100 TB path): ``df.write`` emits a
+  directory of part files in parallel — CSV/JSON(NDJSON)/parquet via
+  Spark-native writers, YAML via a per-partition encoder. No driver
+  bottleneck; use this at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from chiv_spark.core.options import ArchiveOptions
+from chiv_spark.core.storage import storage_for
+from chiv_spark.formats import FORMATS
+from chiv_spark.formats.base import Formatter, FormatterFunc
+
+
+def _resolve_format(fmt: object) -> FormatterFunc:
+    if callable(fmt):
+        return fmt  # custom FormatterFunc — the WithFormat extension point
+    try:
+        return FORMATS[str(fmt)]
+    except KeyError:
+        raise ValueError(f"unknown format {fmt!r}; built-ins: {sorted(FORMATS)}") from None
+
+
+def _parse_placeholder(placeholder: str, dtype: T.DataType) -> object:
+    """Re-type the NULL placeholder per column type.
+
+    The reference substitutes the placeholder into the raw byte record
+    *before* the format-time ``parse()`` (/root/reference/chiv.go:175-181,
+    chiv_formatters.go:244-276), so for typed sinks the placeholder
+    must parse as the column's type (bool/int/float) or the encode
+    fails; string columns keep it verbatim.
+    """
+    if isinstance(dtype, T.BooleanType):
+        low = placeholder.lower()
+        if low in ("1", "t", "true"):
+            return True
+        if low in ("0", "f", "false"):
+            return False
+        raise ValueError(f"null placeholder {placeholder!r} is not parseable as boolean")
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        try:
+            return int(placeholder)
+        except ValueError:
+            raise ValueError(f"null placeholder {placeholder!r} is not parseable as integer") from None
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        try:
+            return float(placeholder)
+        except ValueError:
+            raise ValueError(f"null placeholder {placeholder!r} is not parseable as float") from None
+    return placeholder
+
+
+class Archiver:
+    """Reusable session archiver (reference ``NewArchiver``,
+    /root/reference/chiv.go:67-79): holds a SparkSession plus default
+    options; per-call overrides never mutate the instance."""
+
+    def __init__(self, spark: SparkSession, **defaults: object):
+        self.spark = spark
+        self.defaults = ArchiveOptions().merged(**defaults)
+
+    # -- public surface (Archive / ArchiveRows analogs) ----------------
+
+    def archive(self, table: str, bucket: str, **overrides: object) -> str:
+        """Archive a named table (temp view / catalog table) —
+        the reference's ``Archive(db, s3, table, bucket)``."""
+        distributed = bool(overrides.pop("distributed", False))
+        opts = self.defaults.merged(**overrides)
+        df = self.spark.table(table)
+        if opts.columns:
+            df = df.select(*opts.columns)  # projection pushdown is Catalyst's
+        return self._archive_df(df, table, bucket, opts, distributed)
+
+    def archive_query(self, sql: str, bucket: str, **overrides: object) -> str:
+        """Archive an arbitrary SQL result — the caller-supplied-cursor
+        path (reference ``ArchiveRows``, chiv.go:45-52) where the
+        'cursor' is any query our engine can run."""
+        return self.archive_df(self.spark.sql(sql), bucket, **overrides)
+
+    def archive_df(self, df: DataFrame, bucket: str, **overrides: object) -> str:
+        """Archive any DataFrame. Key defaults to the literal
+        ``table`` (+extension), matching chiv.go:224-226."""
+        distributed = bool(overrides.pop("distributed", False))
+        opts = self.defaults.merged(**overrides)
+        if opts.columns:
+            df = df.select(*opts.columns)
+        return self._archive_df(df, "", bucket, opts, distributed)
+
+    # -- internals ------------------------------------------------------
+
+    def _archive_df(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket: str,
+        opts: ArchiveOptions,
+        distributed: bool,
+    ) -> str:
+        fmt_func = _resolve_format(opts.format)
+        extension = opts.extension
+        if extension is None:
+            extension = getattr(fmt_func, "extension", None) or getattr(
+                fmt_func(_NullSink(), df.columns), "extension", None
+            )
+        key = opts.key or _default_key(table, extension)
+        if distributed:
+            self._write_distributed(df, bucket, key, opts)
+        else:
+            self._stream_single_object(df, bucket, key, fmt_func, opts)
+        return key
+
+    def _stream_single_object(
+        self,
+        df: DataFrame,
+        bucket: str,
+        key: str,
+        fmt_func: FormatterFunc,
+        opts: ArchiveOptions,
+    ) -> None:
+        storage = storage_for(bucket, self.spark)
+        schema = df.schema
+        null = opts.null
+        # Typed sinks (JSON/YAML) re-parse the placeholder per column
+        # type — the reference substitutes raw bytes *before* its
+        # format-time parse() (chiv.go:175-181), so e.g. a float column
+        # with an unparseable placeholder errors there too. Untyped
+        # sinks (CSV, custom) take the placeholder string verbatim
+        # (golden postgres_with_null.csv).
+        typed_sink = bool(getattr(fmt_func, "typed", False))
+        placeholders: list[object] = [None] * len(schema)
+        if null is not None:
+            if typed_sink:
+                placeholders = [_parse_placeholder(null, f.dataType) for f in schema.fields]
+            else:
+                placeholders = [null] * len(schema)
+        with storage.writer(bucket, key) as sink:
+            formatter: Formatter = fmt_func(sink, df.columns)
+            formatter.open()
+            # toLocalIterator: upstream computes distributed; the driver
+            # holds at most one partition — the io.Pipe analog.
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                record = [
+                    placeholders[i] if v is None and null is not None else v
+                    for i, v in enumerate(row)
+                ]
+                formatter.format_row(record)
+            formatter.close()
+
+    def _write_distributed(self, df: DataFrame, bucket: str, key: str, opts: ArchiveOptions) -> None:
+        """Scale path: parallel part files under ``bucket/key/``."""
+        path = f"{bucket.rstrip('/')}/{key}"
+        fmt = opts.format if isinstance(opts.format, str) else None
+        if fmt == "csv":
+            w = df.write.mode("overwrite").option("header", True)
+            if opts.null is not None:
+                w = w.option("nullValue", opts.null).option("emptyValue", "")
+            w.csv(path)
+        elif fmt == "json":
+            # NDJSON at scale (documented divergence from the reference's
+            # single-array framing, which cannot be produced in parallel)
+            out = df
+            if opts.null is not None:
+                out = out.select(
+                    *[F.coalesce(F.col(c).cast("string"), F.lit(opts.null)).alias(c) for c in df.columns]
+                )
+            out.write.mode("overwrite").json(path)
+        elif fmt == "yaml":
+            _write_yaml_parts(df, path, opts.null)
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+
+def _default_key(table: str, extension: str | None) -> str:
+    table = table or "table"  # ArchiveRows default key (chiv.go:224-226)
+    return f"{table}.{extension}" if extension else table
+
+
+def _write_yaml_parts(df: DataFrame, path: str, null: str | None) -> None:
+    """YAML has no Spark-native writer: encode per partition with the
+    same YamlFormatter (open/format/close per partition — the
+    reference's Formatter lifecycle mapped onto partitions,
+    SURVEY.md §2.10), emitted as a text file per part."""
+    from chiv_spark.formats.yaml_format import YamlFormatter
+
+    columns = df.columns
+    schema = df.schema
+    placeholders: list[object] = [None] * len(columns)
+    if null is not None:
+        placeholders = [_parse_placeholder(null, f.dataType) for f in schema.fields]
+
+    def encode_partition(rows):
+        import io
+
+        buf = io.BytesIO()
+        f = YamlFormatter(buf, columns)
+        f.open()
+        for row in rows:
+            record = [
+                placeholders[i] if v is None and null is not None else v
+                for i, v in enumerate(row)
+            ]
+            f.format_row(record)
+        f.close()
+        text = buf.getvalue().decode("utf-8")
+        if text:
+            yield (text,)
+
+    df.rdd.mapPartitions(encode_partition).toDF(["value"]).write.mode("overwrite").text(path)
+
+
+class _NullSink:
+    def write(self, data: bytes) -> None:
+        pass
+
+
+# -- module-level conveniences (reference package-level funcs, chiv.go:27-52)
+
+
+def archive(spark: SparkSession, table: str, bucket: str, **options: object) -> str:
+    return Archiver(spark).archive(table, bucket, **options)
+
+
+def archive_df(df: DataFrame, bucket: str, **options: object) -> str:
+    return Archiver(df.sparkSession).archive_df(df, bucket, **options)
