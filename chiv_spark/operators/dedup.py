@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Scale design (the 100 TB story — every pipeline here avoids the
+quadratic all-pairs self-join):
+
+- exact: hash-groupBy on a fingerprint — one shuffle, linear.
+- MinHash+LSH: shingle → K minhashes → banded signatures →
+  *bucket-join* (pairs only within equal band buckets). At scale the
+  band join is an equi-join Catalyst can shuffle-hash; candidate
+  verification touches only the candidate set.
+- SimHash: 60-bit signature; Hamming-≤k pairs found via the
+  pigeonhole chunk trick (k+1 chunks; any pair within distance k
+  shares ≥1 exact chunk) — again an equi-join, not a cross join.
+- n-gram Jaccard: inverted-index join on shingles (pairs that share
+  at least one shingle), exact |A∩B|/|A∪B| — never materializes
+  non-overlapping pairs.
+
+Determinism: every hash derives from md5 (chiv_spark.functions.hashing)
+so the DuckDB oracle computes bit-identical signatures; all
+fraction outputs are exact small-denominator rationals in binary
+floating point (k/16, inter/union) — equal across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chiv_spark.functions.hashing import hash64
+from chiv_spark.operators.text import fingerprint
+
+# MinHash parameters, shared with the oracle SQL
+NUM_PERMS = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
+SHINGLE_WORDS = 3
+
+# SimHash parameters
+SIM_BITS = 60  # signatures are 60-bit (md5-derived hashes are 60-bit)
+SIM_CHUNKS = 4  # pigeonhole: hamming <= SIM_CHUNKS-1 guaranteed found
+SIM_CHUNK_BITS = 15
+SIM_MAX_HAMMING = 3
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint group-by: returns
+    one row per duplicate group (fingerprint, first doc kept, group
+    size). Linear: one shuffle on the fingerprint."""
+    return (
+        docs.select("doc_id", fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def deduplicated_counts(docs: DataFrame) -> DataFrame:
+    """Dedup summary per lang after exact dedup (min doc_id per
+    fingerprint survives) — exercised on a corpus with real dups by
+    unioning the corpus with itself in the query layer."""
+    survivors = (
+        docs.select("doc_id", "lang", fingerprint().alias("fp"))
+        .groupBy("fp", "lang")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return survivors.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def shingles(docs: DataFrame, words: int = SHINGLE_WORDS) -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM-side
+    split/transform/explode)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= words
+    )
+    idx = f"sequence(0, size(toks) - {words})"
+    parts = ", ".join(f"toks[i + {j}]" for j in range(words))
+    return toks.select(
+        "doc_id",
+        F.explode(F.expr(f"transform({idx}, i -> concat_ws(' ', {parts}))")).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
+    """(doc_id, p, mh): minimum seeded hash per permutation p.
+    The permutation axis is a broadcast range — no skew; the min-agg
+    is a partial-aggregating groupBy."""
+    sh = shingles(docs)
+    perms = docs.sparkSession.range(num_perms).select(F.col("id").cast("int").alias("p"))
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "p",
+            hash64(F.concat_ws("#", F.col("shingle"), F.col("p"))).alias("h"),
+        )
+        .groupBy("doc_id", "p")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): LSH band bucket hashes."""
+    banded = sig.withColumn("band", (F.col("p") / ROWS_PER_BAND).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        hash64(
+            F.concat_ws(
+                ":",
+                F.col("band"),
+                F.concat_ws(
+                    ",",
+                    F.expr("transform(array_sort(collect_list(struct(p, mh))), x -> cast(x.mh as string))"),
+                ),
+            )
+        ).alias("bh")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH with
+    estimated Jaccard ≥ threshold.
+
+    Plan shape: shingle explode → min-agg → band bucket equi-join →
+    per-candidate signature comparison. No cross join anywhere; at
+    scale the band join is the only wide shuffle and AQE handles
+    skewed buckets (a degenerate bucket = a true near-dup cluster).
+    """
+    sig = minhash_signatures(docs)
+    buckets = _band_buckets(sig)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "p", F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "p", F.col("mh").alias("mh_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "p"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.avg(F.when(F.col("mh_a") == F.col("mh_b"), 1.0).otherwise(0.0)).alias("est_jaccard")
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.col("est_jaccard").cast("double").alias("est_jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per document from distinct-token hashes.
+
+    bit b of the signature = 1 iff sum over tokens of ±1 (sign from
+    bit b of the token hash) is positive — integer arithmetic only,
+    so any aggregation order gives the same result.
+    """
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .select("doc_id", hash64(F.col("tok")).alias("th"))
+    )
+    bits = docs.sparkSession.range(SIM_BITS).select(F.col("id").cast("int").alias("b"))
+    contrib = toks.crossJoin(F.broadcast(bits)).select(
+        "doc_id",
+        "b",
+        F.when(F.expr("(th div shiftleft(1L, b)) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("c"),
+    )
+    return (
+        contrib.groupBy("doc_id", "b")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIM_MAX_HAMMING) -> DataFrame:
+    """Hamming-≤k SimHash pairs via the pigeonhole chunk equi-join:
+    split the 60-bit signature into 4×15-bit chunks; any pair within
+    Hamming distance 3 must agree on ≥1 chunk. Join on (chunk_index,
+    chunk_value), verify with bit_count(xor) — linear in candidates."""
+    sig = simhash_signatures(docs)
+    chunks = docs.sparkSession.range(SIM_CHUNKS).select(F.col("id").cast("int").alias("ci"))
+    chunked = sig.crossJoin(F.broadcast(chunks)).select(
+        "doc_id",
+        "simhash",
+        "ci",
+        F.expr(f"(simhash div shiftleft(1L, ci * {SIM_CHUNK_BITS})) % {1 << SIM_CHUNK_BITS}").alias(
+            "chunk"
+        ),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.expr("sim_a ^ sim_b")).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
+    (inverted-index join — non-overlapping pairs never materialize)."""
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.col("jaccard").cast("double").alias("jaccard")
+    )

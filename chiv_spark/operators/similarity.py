@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (SURVEY.md §7.7 / BASELINE.json north star):
+
+- ``cosine_topk``: brute-force exact top-k — the correctness
+  baseline. The query set is broadcast; the corpus side streams, so
+  the plan is a broadcast-nested-loop over the *small* side only and
+  scales linearly in corpus size across executors.
+- ``lsh_cosine_topk`` / ``embedding_neardup``: the scale path —
+  random-hyperplane LSH buckets computed with *integer-quantized*
+  arithmetic (round(emb*1000) dot integer plane weights), so bucket
+  assignment is exactly reproducible in any engine and any
+  aggregation order; exact cosine runs only within buckets.
+
+All vector math is JVM-side (zip_with/aggregate fold) — sequential
+per-row fold, deterministic float accumulation, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chiv_spark.functions.detmath import det_round
+from chiv_spark.functions.hashing import hash64
+from chiv_spark.functions.vectors import cosine_similarity
+
+# LSH parameters shared with the DuckDB oracle
+NUM_PLANES = 8
+QUANT = 1000  # embedding quantization factor for integer plane dots
+PLANE_MOD = 2001  # plane weights in [-1000, 1000]
+# banded OR-construction for near-dup recall: 4 bands × 2 planes
+# (recall ≈ 1-(1-p²)⁴ ≈ 0.87 at cos 0.4; raise planes-per-band at scale)
+NEARDUP_BANDS = 4
+PLANES_PER_BAND = NUM_PLANES // NEARDUP_BANDS
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``query_ids``: DataFrame with the query subset (same id/vec
+    columns); defaults to the full corpus (all-pairs top-k). The
+    query side is broadcast — corpus never shuffles.
+    """
+    q = (query_ids if query_ids is not None else emb).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            det_round(F.col("cosine"), 6).alias("cosine"),
+        )
+    )
+
+
+def _lsh_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket): sign-bit bucket over NUM_PLANES deterministic
+    hyperplanes using integer arithmetic only.
+
+    plane weight w(p,d) = (hash64('p:d') % PLANE_MOD) - 1000 ∈ [-1000,1000]
+    contribution(p,d)  = round(emb[d]*QUANT)::bigint * w(p,d)
+    bit p = 1 iff Σ_d contribution > 0  (integer sum → order-free)
+    """
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    planes = spark.range(NUM_PLANES).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(1, dim + 1).select(F.col("id").cast("int").alias("d"))
+    pd = planes.crossJoin(dims).select(
+        "p",
+        "d",
+        (hash64(F.concat_ws(":", F.col("p"), F.col("d"))) % PLANE_MOD - 1000).alias("w"),
+    )
+    expanded = emb.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x")
+    ).select(
+        "id",
+        (F.col("pos") + 1).alias("d"),
+        F.round(F.col("x").cast("double") * QUANT).cast("long").alias("xq"),
+    )
+    sums = (
+        expanded.join(F.broadcast(pd), "d")
+        .groupBy("id", "p")
+        .agg(F.sum(F.col("xq") * F.col("w")).alias("s"))
+    )
+    return sums.groupBy("id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, p)")).otherwise(F.lit(0))).alias("bucket")
+    )
+
+
+def _band_sign_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, band, bits): banded hyperplane sign buckets (OR-construction)
+    — same integer-exact sign computation as _lsh_buckets, but grouped
+    into NEARDUP_BANDS bands of PLANES_PER_BAND planes each."""
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    planes = spark.range(NUM_PLANES).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(1, dim + 1).select(F.col("id").cast("int").alias("d"))
+    pd = planes.crossJoin(dims).select(
+        "p",
+        "d",
+        (hash64(F.concat_ws(":", F.col("p"), F.col("d"))) % PLANE_MOD - 1000).alias("w"),
+    )
+    expanded = emb.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x")
+    ).select(
+        "id",
+        (F.col("pos") + 1).alias("d"),
+        F.round(F.col("x").cast("double") * QUANT).cast("long").alias("xq"),
+    )
+    sums = (
+        expanded.join(F.broadcast(pd), "d")
+        .groupBy("id", "p")
+        .agg(F.sum(F.col("xq") * F.col("w")).alias("s"))
+    )
+    return (
+        sums.withColumn("band", (F.col("p") / PLANES_PER_BAND).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr(f"shiftleft(1L, p % {PLANES_PER_BAND})")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("bits")
+        )
+    )
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embedding pairs: banded LSH bucket equi-join →
+    exact cosine ≥ threshold. The only shuffle is on the (band, bits)
+    key; quadratic work happens per-bucket, never globally."""
+    buckets = _band_sign_buckets(emb, id_col, vec_col)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()  # a pair can collide in several bands — dedupe ids only
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine")
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", det_round(F.col("cosine"), 6).alias("cosine")
+    )
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe only the query's LSH bucket, exact cosine
+    within it. Recall < 1 by construction; the exactness story is
+    cosine_topk, this is the latency/scale path."""
+    buckets = _lsh_buckets(emb, id_col, vec_col)
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
+        buckets.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    )
+    q = query_ids.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
+        buckets.withColumnRenamed("id", "query_id"), "query_id"
+    )
+    scored = corpus.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (corpus["bucket"] == q["bucket"]),
+    ).withColumn("cosine", cosine_similarity(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            det_round(F.col("cosine"), 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators over a document corpus.
+
+All JVM-side column expressions (split/filter/aggregate/regexp) —
+no Python UDFs — so they run inside whole-stage codegen and scale
+linearly with executors. Each has an exact DuckDB oracle twin in
+chiv_spark.queries (same formulas over the same string primitives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chiv_spark.functions.detmath import det_round
+from chiv_spark.functions.hashing import hash64
+
+# small deterministic stopword sets per language for the n-gram/
+# stopword heuristics; the corpus is synthetic word-soup, the
+# *operator shape* (per-language marker scoring) is what matters
+STOPWORDS_EN = ("the", "a", "of", "and", "is")
+
+# tokens: single-space separated in the synthetic corpus; use a
+# simple split so Spark and DuckDB agree exactly (lazy: Column
+# construction requires an active SparkContext in classic mode)
+def _toks() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def tokens_col() -> Column:
+    return _toks()
+
+
+def token_count() -> Column:
+    """Whitespace token count."""
+    return F.size(_toks()).cast("long")
+
+
+def word_token_count() -> Column:
+    """BPE-ish token proxy: count of letter-runs, digit-runs and
+    single punctuation marks (regexp shared verbatim with DuckDB)."""
+    return F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)).cast(
+        "long"
+    )
+
+
+def stopword_count() -> Column:
+    toks = _toks()
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    return F.size(F.array_intersect(F.array_distinct(toks), sw)).cast("long")
+
+
+def stopword_ratio() -> Column:
+    """Fraction of tokens that are stopwords (token-level, with
+    duplicates — deterministic double division)."""
+    toks = _toks()
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return (hits.cast("double") / F.size(toks).cast("double"))
+
+
+def quality_score() -> Column:
+    """Composite quality score: length band + stopword presence.
+    Pure arithmetic → identical in the oracle."""
+    n = F.length(F.col("text")).cast("double")
+    ratio = stopword_ratio()
+    length_term = F.least(n / F.lit(1000.0), F.lit(1.0))
+    return det_round(F.lit(0.5) * length_term + F.lit(0.5) * F.least(ratio * 10.0, F.lit(1.0)), 6)
+
+
+def lang_score_en() -> Column:
+    return det_round(stopword_ratio(), 6)
+
+
+def predicted_lang() -> Column:
+    """Marker-based language ID: claims 'en' when English stopword
+    density clears a threshold, else 'unknown'. (The corpus is
+    synthetic; the operator demonstrates the n-gram-marker shape.)"""
+    return F.when(stopword_ratio() >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def normalized_text() -> Column:
+    """Normalization used for fingerprinting/exact dedup: lowercase,
+    collapse whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+
+
+def fingerprint() -> Column:
+    """Deterministic 60-bit document fingerprint of normalized text."""
+    return hash64(normalized_text())
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document text statistics table."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count().alias("n_tokens"),
+        word_token_count().alias("n_word_tokens"),
+        stopword_count().alias("n_stopwords"),
+        det_round(stopword_ratio(), 6).alias("stopword_ratio"),
+        quality_score().alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_score_en().alias("en_score"),
+        predicted_lang().alias("predicted_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", fingerprint().alias("fingerprint"))

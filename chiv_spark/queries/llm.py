@@ -1,0 +1,339 @@
+"""LLM-data-pipeline queries: text analysis, dedup (exact / MinHash-LSH
+/ SimHash / n-gram Jaccard), embedding similarity (near-dup, top-k ANN)
+and multimodal metadata — each with an exact DuckDB oracle twin.
+
+Determinism contract (see functions.hashing / functions.detmath /
+operators.dedup): every hash is md5-derived, every float output is
+either an exact small-denominator rational (k/16, inter/union), a
+deterministic sequential double fold (verified bit-identical with
+DuckDB's list_dot_product), or integer-quantized arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chiv_spark.functions.detmath import det_round
+from chiv_spark.operators import dedup, multimodal, similarity, text
+from chiv_spark.queries.base import query, t
+
+# ---------------------------------------------------------------- text
+
+_STOPWORD_SQL_LIST = "['the', 'a', 'of', 'and', 'is']"
+_TOKS = "string_split(text, ' ')"
+_SW_HITS = f"len(list_filter({_TOKS}, x -> list_contains({_STOPWORD_SQL_LIST}, x)))"
+_SW_RATIO = f"(CAST({_SW_HITS} AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE))"
+_R6 = "FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+@query(
+    "text_stats",
+    f"""
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_word_tokens,
+           CAST(len(list_intersect(list_distinct({_TOKS}), {_STOPWORD_SQL_LIST})) AS BIGINT) AS n_stopwords,
+           ({_R6.format(expr=_SW_RATIO)}) AS stopword_ratio,
+           ({_R6.format(expr=f"0.5 * LEAST(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) + 0.5 * LEAST({_SW_RATIO} * 10.0, 1.0)")}) AS quality
+    FROM documents
+    """,
+    doc="per-document text statistics: chars, tokens, BPE-ish tokens, stopwords, quality score",
+)
+def text_stats(spark, sf_dir):
+    return text.text_stats(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_language_id",
+    f"""
+    SELECT doc_id, lang,
+           ({_R6.format(expr=_SW_RATIO)}) AS en_score,
+           CASE WHEN {_SW_RATIO} >= 0.05 THEN 'en' ELSE 'unknown' END AS predicted_lang
+    FROM documents
+    """,
+    doc="marker-word language ID heuristic",
+)
+def text_language_id(spark, sf_dir):
+    return text.language_id(t(spark, sf_dir, "documents"))
+
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_FP = f"(('0x' || substring(md5({_NORM_TEXT}), 1, 15))::BIGINT)"
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, {_FP} AS fingerprint FROM documents
+    """,
+    doc="deterministic 60-bit document fingerprint of normalized text",
+)
+def text_fingerprint(spark, sf_dir):
+    return text.fingerprints(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------- dedup
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, text FROM documents
+    ),
+    fp AS (SELECT doc_id, lang, {_FP} AS fp FROM corpus),
+    survivors AS (SELECT fp, lang, MIN(doc_id) AS doc_id FROM fp GROUP BY fp, lang)
+    SELECT lang, COUNT(*) AS n_docs FROM survivors GROUP BY lang
+    """,
+    doc="exact dedup via fingerprint hash-groupBy over a corpus with real duplicates (self-union)",
+)
+def dedup_exact(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dup = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text")
+    return dedup.deduplicated_counts(docs.unionByName(dup))
+
+
+# shared shingle/minhash CTE text for the oracle
+_SHINGLE_CTES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    idx AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3),
+    sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM idx)
+"""
+
+_MINHASH_CTES = (
+    _SHINGLE_CTES
+    + """,
+    perms AS (SELECT unnest(range(16)) AS p),
+    hashed AS (SELECT doc_id, p,
+                      (('0x' || substring(md5(shingle || '#' || p::VARCHAR), 1, 15))::BIGINT) AS h
+               FROM sh CROSS JOIN perms),
+    sig AS (SELECT doc_id, p, MIN(h) AS mh FROM hashed GROUP BY doc_id, p)
+"""
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_CTES},
+    bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
+                FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
+    bands AS (SELECT doc_id, band,
+                     (('0x' || substring(md5(band::VARCHAR || ':' || sig_str), 1, 15))::BIGINT) AS bh
+              FROM bandsig),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    est AS (SELECT c.doc_a, c.doc_b,
+                   AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+            GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, CAST(est_jaccard AS DOUBLE) AS est_jaccard
+    FROM est WHERE est_jaccard >= 0.5
+    """,
+    doc="MinHash(16 perms)+LSH(4 bands) near-dup candidate pairs with estimated Jaccard",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH dtok AS (SELECT DISTINCT doc_id, tok
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+    th AS (SELECT doc_id, (('0x' || substring(md5(tok), 1, 15))::BIGINT) AS th FROM dtok),
+    bits AS (SELECT unnest(range(60)) AS b),
+    contrib AS (SELECT doc_id, b,
+                       CASE WHEN (th // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END AS c
+                FROM th CROSS JOIN bits),
+    sums AS (SELECT doc_id, b, SUM(c) AS s FROM contrib GROUP BY doc_id, b),
+    sig AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM sums GROUP BY doc_id),
+    chunks AS (SELECT unnest(range(4)) AS ci),
+    chunked AS (SELECT doc_id, simhash, ci,
+                       (simhash // (1::BIGINT << CAST(ci * 15 AS INT))) % 32768 AS chunk
+                FROM sig CROSS JOIN chunks),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sim_a, b.simhash AS sim_b
+             FROM chunked a JOIN chunked b
+               ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+    doc="SimHash(60-bit) near-dup pairs, Hamming<=3, pigeonhole chunk equi-join",
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    j AS (SELECT i.doc_a, i.doc_b,
+                 CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
+          FROM inter i
+          JOIN sizes na ON na.doc_id = i.doc_a
+          JOIN sizes nb ON nb.doc_id = i.doc_b)
+    SELECT doc_a, doc_b, CAST(jaccard AS DOUBLE) AS jaccard FROM j WHERE jaccard >= 0.6
+    """,
+    doc="exact word-3-gram Jaccard pairs via inverted-index join",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------- similarity
+
+_LSH_CTES = """
+    dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS d),
+    planes AS (SELECT CAST(unnest(range(8)) AS INT) AS p),
+    w AS (SELECT p, d,
+                 ((('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT) % 2001 - 1000) AS w
+          FROM planes CROSS JOIN dims),
+    expanded AS (SELECT vec_id AS id, d,
+                        CAST(ROUND(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS xq
+                 FROM embeddings CROSS JOIN dims),
+    psums AS (SELECT e.id, w.p, SUM(e.xq * w.w) AS s
+              FROM expanded e JOIN w ON e.d = w.d GROUP BY e.id, w.p),
+    buckets AS (SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+                FROM psums GROUP BY id)
+"""
+
+_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+_BAND_CTES = """
+    dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS d),
+    planes AS (SELECT CAST(unnest(range(8)) AS INT) AS p),
+    w AS (SELECT p, d,
+                 ((('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT) % 2001 - 1000) AS w
+          FROM planes CROSS JOIN dims),
+    expanded AS (SELECT vec_id AS id, d,
+                        CAST(ROUND(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS xq
+                 FROM embeddings CROSS JOIN dims),
+    psums AS (SELECT e.id, w.p, SUM(e.xq * w.w) AS s
+              FROM expanded e JOIN w ON e.d = w.d GROUP BY e.id, w.p),
+    bandbits AS (SELECT id, CAST(p // 2 AS INT) AS band,
+                        CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(p % 2 AS INT)) ELSE 0 END) AS BIGINT) AS bits
+                 FROM psums GROUP BY id, CAST(p // 2 AS INT))
+"""
+
+
+@query(
+    "embedding_neardup",
+    f"""
+    WITH {_BAND_CTES},
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bandbits a JOIN bandbits b
+               ON a.band = b.band AND a.bits = b.bits AND a.id < b.id),
+    pairs AS (SELECT c.id_a, c.id_b, {_COS} AS cosine
+              FROM cand c
+              JOIN embeddings a ON a.vec_id = c.id_a
+              JOIN embeddings b ON b.vec_id = c.id_b)
+    SELECT id_a, id_b, (FLOOR(cosine * 1000000.0 + 0.5) / 1000000.0) AS cosine
+    FROM pairs WHERE cosine >= 0.3
+    """,
+    doc="embedding near-dup pairs: banded integer-quantized hyperplane LSH + exact cosine",
+)
+def embedding_neardup(spark, sf_dir):
+    return similarity.embedding_neardup(t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    real_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                           (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                            sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
+                    FROM q JOIN embeddings c ON q.vec_id != c.vec_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM real_scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           (FLOOR(cosine * 1000000.0 + 0.5) / 1000000.0) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="exact brute-force cosine top-5 neighbors for 10 query vectors (broadcast queries)",
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH {_LSH_CTES},
+    vecs AS (SELECT e.vec_id AS id, e.embedding, b.bucket
+             FROM embeddings e JOIN buckets b ON e.vec_id = b.id),
+    q AS (SELECT * FROM vecs WHERE id < 10),
+    scored AS (SELECT a.id AS query_id, b.id AS neighbor_id, {_COS} AS cosine
+               FROM q a JOIN vecs b ON a.bucket = b.bucket AND a.id != b.id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           (FLOOR(cosine * 1000000.0 + 0.5) / 1000000.0) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="ANN top-5 via LSH bucket probe (scale path; recall<1 by design)",
+)
+def ann_lsh_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------- multimodal
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           substring(md5(text), 1, 16) AS md5_prefix,
+           'image' AS media_type
+    FROM documents
+    """,
+    doc="multimodal metadata over binary payloads (utf-8 text corpus as deterministic fake media)",
+)
+def multimodal_meta(spark, sf_dir):
+    media = multimodal.media_from_documents(t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.substring(F.md5("payload"), 1, 16).alias("md5_prefix"),
+        F.col("meta.media_type").alias("media_type"),
+    )
+
+
+@query(
+    "multimodal_features",
+    None,  # Pandas-UDF pipeline: plumbing check is rows-only + pytest
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads (stubbed codec)",
+)
+def multimodal_features(spark, sf_dir):
+    media = multimodal.media_from_documents(t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "n_bytes", "sha_prefix", F.size("feature").cast("int").alias("feature_dim")
+    )

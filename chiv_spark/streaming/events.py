@@ -1,0 +1,70 @@
+"""Structured Streaming over the events table.
+
+Net-new surface vs the reference (its "streaming" is bounded-memory
+pipelining of a batch job, SURVEY.md §2.9). Here: a real
+``readStream`` → watermark → tumbling-window aggregation →
+``writeStream``, runnable as a bounded job with
+``trigger(availableNow=True)`` so tests and the driver can execute it
+to completion on the static parquet events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window per-type aggregation with late-data watermark —
+    works on both a static and a streaming events DataFrame."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run the windowed aggregation as a real stream over the events
+    parquet (file source, availableNow trigger, memory sink) and
+    return the completed result as a DataFrame."""
+    # events.parquet stores TIMESTAMP(NANOS): stream it as long nanos
+    # and convert (same floor semantics as the batch catalog reader)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    # the file stream source needs a directory: stream the sf dir with
+    # a glob filter selecting only the events file
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_event_counts(stream, window=window, watermark=watermark)
+    name = "events_windowed"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
