@@ -12,7 +12,12 @@ import os
 import sys
 from collections.abc import Callable
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python workers resolve imports through PYTHONPATH, not the driver's
+# sys.path — export so worker-side closure deserialization can import
+# chiv_spark even when the harness runs from another directory
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -205,6 +205,11 @@ def _write_yaml_parts(df: DataFrame, path: str, null: str | None) -> None:
     reference's Formatter lifecycle mapped onto partitions,
     SURVEY.md §2.10), emitted as a text file per part."""
     from chiv_spark.formats.yaml_format import YamlFormatter
+    from chiv_spark.pyship import ensure_shipped
+
+    # the partition closure references YamlFormatter by module path:
+    # ship the package so workers can import it from any driver cwd
+    ensure_shipped(df.sparkSession)
 
     columns = df.columns
     schema = df.schema

@@ -84,38 +84,42 @@ def shingles(docs: DataFrame, words: int = SHINGLE_WORDS) -> DataFrame:
     ).distinct()
 
 
-def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
-    """(doc_id, p, mh): minimum seeded hash per permutation p.
-    The permutation axis is a broadcast range — no skew; the min-agg
-    is a partial-aggregating groupBy."""
+def minhash_signatures_wide(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): all minhashes in ONE groupBy with k
+    min-aggregates — no row multiplication by k, one shuffle total.
+    Same values as the long form (min over the same seeded hashes)."""
     sh = shingles(docs)
-    perms = docs.sparkSession.range(num_perms).select(F.col("id").cast("int").alias("p"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .select(
-            "doc_id",
-            "p",
-            hash64(F.concat_ws("#", F.col("shingle"), F.col("p"))).alias("h"),
+    aggs = [
+        F.min(hash64(F.concat_ws("#", F.col("shingle"), F.lit(p)))).alias(f"mh{p}")
+        for p in range(num_perms)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
+    """(doc_id, p, mh) long form (oracle/tests shape), unpivoted from
+    the wide aggregation."""
+    wide = minhash_signatures_wide(docs, num_perms)
+    pairs = ", ".join(f"{p}, mh{p}" for p in range(num_perms))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_perms}, {pairs}) as (p, mh)"
+    ).select("doc_id", F.col("p").cast("int").alias("p"), "mh")
+
+
+def _band_buckets_wide(sigw: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) from the wide signature: band hash =
+    hash64('band:mh_a,mh_b,...') — identical string to the oracle's
+    string_agg(mh ORDER BY p)."""
+    cols = []
+    for band in range(NUM_BANDS):
+        members = [F.col(f"mh{band * ROWS_PER_BAND + i}") for i in range(ROWS_PER_BAND)]
+        cols.append(
+            hash64(F.concat_ws(":", F.lit(band), F.concat_ws(",", *members))).alias(f"bh{band}")
         )
-        .groupBy("doc_id", "p")
-        .agg(F.min("h").alias("mh"))
-    )
-
-
-def _band_buckets(sig: DataFrame) -> DataFrame:
-    """(doc_id, band, bh): LSH band bucket hashes."""
-    banded = sig.withColumn("band", (F.col("p") / ROWS_PER_BAND).cast("int"))
-    return banded.groupBy("doc_id", "band").agg(
-        hash64(
-            F.concat_ws(
-                ":",
-                F.col("band"),
-                F.concat_ws(
-                    ",",
-                    F.expr("transform(array_sort(collect_list(struct(p, mh))), x -> cast(x.mh as string))"),
-                ),
-            )
-        ).alias("bh")
+    wide = sigw.select("doc_id", *cols)
+    pairs = ", ".join(f"{b}, bh{b}" for b in range(NUM_BANDS))
+    return wide.selectExpr("doc_id", f"stack({NUM_BANDS}, {pairs}) as (band, bh)").select(
+        "doc_id", F.col("band").cast("int").alias("band"), "bh"
     )
 
 
@@ -123,13 +127,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH with
     estimated Jaccard ≥ threshold.
 
-    Plan shape: shingle explode → min-agg → band bucket equi-join →
-    per-candidate signature comparison. No cross join anywhere; at
-    scale the band join is the only wide shuffle and AQE handles
-    skewed buckets (a degenerate bucket = a true near-dup cluster).
+    Plan shape: shingle explode → ONE wide min-agg (16 aggregates) →
+    band bucket equi-join → per-candidate signature comparison as a
+    single 16-term expression (no per-permutation join). No cross join
+    anywhere; at scale the band join is the only wide shuffle and AQE
+    handles skewed buckets (a degenerate bucket = a true near-dup
+    cluster).
     """
-    sig = minhash_signatures(docs)
-    buckets = _band_buckets(sig)
+    sigw = minhash_signatures_wide(docs)
+    buckets = _band_buckets_wide(sigw)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -141,15 +147,18 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "p", F.col("mh").alias("mh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "p", F.col("mh").alias("mh_b"))
+    sa = sigw.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{p}").alias(f"a{p}") for p in range(NUM_PERMS)])
+    sb = sigw.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{p}").alias(f"b{p}") for p in range(NUM_PERMS)])
+    match_terms = [
+        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1.0).otherwise(0.0) for p in range(NUM_PERMS)
+    ]
+    total = match_terms[0]
+    for term in match_terms[1:]:
+        total = total + term
     est = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "p"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.avg(F.when(F.col("mh_a") == F.col("mh_b"), 1.0).otherwise(0.0)).alias("est_jaccard")
-        )
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (total / float(NUM_PERMS)).alias("est_jaccard"))
     )
     return est.filter(F.col("est_jaccard") >= threshold).select(
         "doc_a", "doc_b", F.col("est_jaccard").cast("double").alias("est_jaccard")
@@ -168,22 +177,25 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         .distinct()
         .select("doc_id", hash64(F.col("tok")).alias("th"))
     )
-    bits = docs.sparkSession.range(SIM_BITS).select(F.col("id").cast("int").alias("b"))
-    contrib = toks.crossJoin(F.broadcast(bits)).select(
-        "doc_id",
-        "b",
-        F.when(F.expr("(th div shiftleft(1L, b)) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("c"),
-    )
-    return (
-        contrib.groupBy("doc_id", "b")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-    )
+    # ONE groupBy with 60 sum-aggregates instead of a x60 row explode +
+    # two shuffles: per-bit contribution is +-1 from bit b of the token
+    # hash; integer sums are order-free so values match the oracle's
+    # long-form computation exactly
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(th div shiftleft(1L, {b})) % 2") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(SIM_BITS)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_aggs)
+    sig_terms = [
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(SIM_BITS)
+    ]
+    sig = sig_terms[0]
+    for term in sig_terms[1:]:
+        sig = sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIM_MAX_HAMMING) -> DataFrame:

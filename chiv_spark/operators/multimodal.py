@@ -77,19 +77,34 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     as Arrow binary arrays — the scale-correct shape for media UDFs.
     """
 
+    # IMPORTANT: the closure must be self-contained (only stdlib +
+    # pandas imports inside) — any reference to a chiv_spark symbol
+    # makes cloudpickle serialize it by module reference, and Python
+    # workers then need `import chiv_spark` to succeed, which breaks
+    # when the driver runs from outside the repo root.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import pandas as _pd
+
+        def feat(payload: bytes, dim: int = 8) -> list[float]:
+            out: list[float] = []
+            h = payload
+            for i in range(dim):
+                h = hashlib.md5(h + bytes([i])).digest()
+                out.append(int.from_bytes(h[:8], "big") / 2**64)
+            return out
+
         for pdf in batches:
             payloads = pdf["payload"]
-            yield pd.DataFrame(
+            yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "sha_prefix": payloads.map(
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()[:16]
                     ),
-                    "feature": payloads.map(lambda b: fake_feature(bytes(b))),
+                    "feature": payloads.map(lambda b: feat(bytes(b))),
                 }
             )
 

@@ -230,9 +230,9 @@ _BAND_CTES = """
                  FROM embeddings CROSS JOIN dims),
     psums AS (SELECT e.id, w.p, SUM(e.xq * w.w) AS s
               FROM expanded e JOIN w ON e.d = w.d GROUP BY e.id, w.p),
-    bandbits AS (SELECT id, CAST(p // 2 AS INT) AS band,
-                        CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(p % 2 AS INT)) ELSE 0 END) AS BIGINT) AS bits
-                 FROM psums GROUP BY id, CAST(p // 2 AS INT))
+    bandbits AS (SELECT id, CAST(p // 4 AS INT) AS band,
+                        CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(p % 4 AS INT)) ELSE 0 END) AS BIGINT) AS bits
+                 FROM psums GROUP BY id, CAST(p // 4 AS INT))
 """
 
 

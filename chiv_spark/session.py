@@ -37,6 +37,10 @@ def get_spark(
         # every stage of a big plan.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions by SIZE, not cluster
+        # parallelism: small intermediate results collapse to few tasks
+        # instead of spraying `shuffle.partitions` empty tasks per stage
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for the Pandas-UDF paths (multimodal, custom formats).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,115 @@
+"""Operator-level unit tests on small constructed corpora (known
+answers, independent of the test-data tables)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chiv_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (2, "the quick brown fox jumps over the lazy cat", "en", "s", 43),  # near-dup of 1
+        (3, "completely different words appear here now", "en", "s", 41),
+        (4, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        groups = dedup.exact_duplicates(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["keep_doc_id"] == 1
+        assert groups[0]["group_size"] == 2
+
+    def test_normalization_collapses_whitespace_and_case(self, spark):
+        rows = [(1, "Hello  World", "en", "s", 11), (2, "hello world", "en", "s", 11)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+        assert dedup.exact_duplicates(df).count() == 1
+
+
+class TestMinHash:
+    def test_near_dup_found_exact_dup_certain(self, docs):
+        pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in dedup.minhash_lsh_pairs(docs).collect()}
+        assert pairs.get((1, 4)) == 1.0  # identical docs: all minhashes equal
+        assert (1, 2) in pairs or (2, 4) in pairs  # near-dups collide in >=1 band
+        assert all(b != 3 and a != 3 for a, b in pairs)  # distinct doc never pairs
+
+    def test_signature_shape(self, docs):
+        sig = dedup.minhash_signatures(docs)
+        assert sig.count() == 4 * dedup.NUM_PERMS
+
+
+class TestSimHash:
+    def test_exact_dup_zero_distance(self, docs):
+        pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(docs, max_hamming=10).collect()}
+        assert pairs.get((1, 4)) == 0
+
+    def test_signature_is_60bit(self, docs):
+        sigs = [r.simhash for r in dedup.simhash_signatures(docs).collect()]
+        assert all(0 <= s < (1 << 60) for s in sigs)
+
+
+class TestNgramJaccard:
+    def test_exact_dup_jaccard_one(self, docs):
+        pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, 0.1).collect()}
+        assert pairs.get((1, 4)) == 1.0
+        # 9-token docs differing in last token: 7 shared of 7+7 3-gram
+        # shingles minus 6 shared -> jaccard 6/8
+        assert pairs.get((1, 2)) == pytest.approx(6 / 8)
+
+
+class TestTextOps:
+    def test_token_count(self, docs):
+        stats = {r.doc_id: r for r in text.text_stats(docs).collect()}
+        assert stats[1].n_tokens == 9
+        assert stats[1].n_stopwords >= 1  # 'the'
+
+    def test_fingerprint_deterministic(self, docs):
+        a = {r.doc_id: r.fingerprint for r in text.fingerprints(docs).collect()}
+        b = {r.doc_id: r.fingerprint for r in text.fingerprints(docs).collect()}
+        assert a == b
+        assert a[1] == a[4]  # identical text, identical fingerprint
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.999, 0.01, 0.0, 0.0], 0),  # near-dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0], 1),
+            (3, [0.0, 0.0, 1.0, 0.0], 2),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def test_brute_force_topk(self, emb):
+        top = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=1).collect()
+        assert len(top) == 1
+        assert top[0].neighbor_id == 1
+        assert top[0].cosine > 0.999
+
+    def test_neardup_finds_close_pair(self, emb):
+        pairs = {(r.id_a, r.id_b) for r in similarity.embedding_neardup(emb, threshold=0.9).collect()}
+        assert (0, 1) in pairs
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, docs):
+        media = multimodal.media_from_documents(docs)
+        feats = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+        assert set(feats) == {1, 2, 3, 4}
+        assert feats[1].n_bytes == 43
+        assert len(feats[1].feature) == 8
+        assert feats[1].sha_prefix == feats[4].sha_prefix  # same payload
+        assert feats[1].feature == feats[4].feature  # deterministic fake
+
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")

@@ -1,0 +1,67 @@
+"""Plan-shape tests: the 100 TB contract, enforced.
+
+Correctness says the answer is right; these say the *plan* is the one
+that survives a 1000-executor cluster: dims broadcast, filters push
+to the scan, projections prune columns, top-k avoids a global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from chiv_spark.plans import op_counts, pushed_filters, read_schema
+from chiv_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestJoinStrategies:
+    def test_q5_star_join_broadcasts_all_dims(self, spark):
+        ops = op_counts(REGISTRY["q5_revenue_by_nation"].fn(spark, SF))
+        assert ops.get("BroadcastHashJoin", 0) >= 3  # nation/region/dim-side + orders
+        assert ops.get("SortMergeJoin", 0) == 0
+        assert ops.get("CartesianProduct", 0) == 0
+
+    def test_join_inner_agg_broadcasts_customer(self, spark):
+        ops = op_counts(REGISTRY["join_inner_agg"].fn(spark, SF))
+        assert ops.get("BroadcastHashJoin", 0) == 1
+
+    def test_range_join_is_broadcast_nl(self, spark):
+        ops = op_counts(REGISTRY["join_range_theta"].fn(spark, SF))
+        assert ops.get("BroadcastNestedLoopJoin", 0) == 1
+        assert ops.get("CartesianProduct", 0) == 0
+
+
+class TestPushdownPruning:
+    def test_q6_filters_reach_scan(self, spark):
+        pf = pushed_filters(REGISTRY["q6_forecast_revenue"].fn(spark, SF))
+        joined = " ".join(pf)
+        assert "l_shipdate" in joined
+        assert "l_discount" in joined
+
+    def test_q6_scan_prunes_columns(self, spark):
+        rs = read_schema(REGISTRY["q6_forecast_revenue"].fn(spark, SF))
+        assert rs, "no file scan found"
+        # only the 4 referenced columns read, not all 11
+        assert all(s.count(",") <= 3 for s in rs)
+
+    def test_projection_prunes(self, spark):
+        rs = read_schema(REGISTRY["projection_ordered"].fn(spark, SF))
+        assert rs == ["struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"]
+
+
+class TestSortAndAgg:
+    def test_topk_no_global_sort(self, spark):
+        ops = op_counts(REGISTRY["sort_topk"].fn(spark, SF))
+        assert ops.get("TakeOrderedAndProject", 0) == 1
+        assert ops.get("Exchange", 0) == 0
+
+    def test_q1_partial_final_agg_single_shuffle(self, spark):
+        ops = op_counts(REGISTRY["q1_pricing_summary"].fn(spark, SF))
+        assert ops.get("HashAggregate", 0) == 2  # partial + final
+        assert ops.get("Exchange", 0) == 1
+
+    @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash", "embedding_neardup"])
+    def test_dedup_pipelines_have_no_cartesian(self, spark, name):
+        ops = op_counts(REGISTRY[name].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
