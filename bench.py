@@ -55,6 +55,28 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # archive throughput — the reference's core operation (extract →
+    # format → load, chiv.go:121-143): single-object streaming parity
+    # path and the distributed scale path, lineitem → CSV
+    import shutil
+    import tempfile
+
+    from chiv_spark.core.archiver import Archiver
+    from chiv_spark.sources.catalog import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    bucket = tempfile.mkdtemp(prefix="chiv-bench-")
+    try:
+        a = Archiver(spark)
+        t0 = time.perf_counter()
+        a.archive_df(li, bucket, key="lineitem_dist.csv", distributed=True)
+        timings["archive_csv_distributed"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        a.archive_df(li.limit(100_000), bucket, key="lineitem_single.csv")
+        timings["archive_csv_single_100k"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(bucket, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

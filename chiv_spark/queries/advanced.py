@@ -1,0 +1,275 @@
+"""Advanced relational coverage: as-of join, grouping sets, pivot,
+subqueries (IN / scalar), ordered string aggregation, median, moving
+windows, date arithmetic. Several run through ``spark.sql`` to
+exercise the engine's SQL surface (the reference's custom-query path,
+SURVEY.md §2.1-S2) rather than the DataFrame DSL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chiv_spark.functions.detmath import det_round
+from chiv_spark.queries.base import query, t
+from chiv_spark.sources.catalog import load_tables
+
+
+@query(
+    "join_asof",
+    """
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="as-of join: attribute each purchase to the user's most recent prior click "
+    "(window-based in Spark, native ASOF JOIN in the oracle)",
+)
+def join_asof(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    # union clicks+purchases, carry the latest click forward per user
+    # (last with ignoreNulls over an ordered window — the streaming-
+    # friendly as-of shape: one shuffle on user_id, no range join)
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    enriched = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        "click_id",
+        F.col("click_ts").cast("timestamp").alias("click_ts"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="GROUPING SETS aggregation via the SQL surface",
+)
+def agg_grouping_sets(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    ).select("l_returnflag", "l_linestatus", F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "agg_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="pivot: order counts per priority, one column per status",
+)
+def agg_pivot(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("status_p"),
+    )
+
+
+@query(
+    "subquery_in",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    doc="IN-subquery (decorrelates to a semi join) via the SQL surface",
+)
+def subquery_in(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """
+    )
+
+
+@query(
+    "subquery_scalar",
+    """
+    WITH g AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                      COUNT(*) AS n FROM orders)
+    SELECT o_orderkey,
+           (FLOOR((o_totalprice / (g.s / g.n)) * 1000000.0 + 0.5) / 1000000.0) AS price_vs_avg
+    FROM orders, g
+    WHERE o_totalprice > 450000
+    """,
+    doc="scalar subquery: each price as a ratio of the global average (broadcast scalar)",
+)
+def subquery_scalar(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    g = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        o.filter(F.col("o_totalprice") > 450000)
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            det_round(F.col("o_totalprice") / (F.col("s") / F.col("n")), 6).alias("price_vs_avg"),
+        )
+    )
+
+
+@query(
+    "agg_listagg",
+    """
+    SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="ordered string aggregation (listagg) per group",
+)
+def agg_listagg(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("suppliers")
+        )
+    )
+
+
+@query(
+    "agg_median",
+    """
+    SELECT o_orderpriority,
+           (FLOOR(quantile_cont(o_totalprice, 0.5) * 1000000.0 + 0.5) / 1000000.0) AS median_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="exact median (interpolated) per group",
+)
+def agg_median(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        det_round(F.median("o_totalprice"), 6).alias("median_price"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    """
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                / COUNT(*) OVER w AS DOUBLE) AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    doc="4-row moving average per user (decimal transit keeps the sliding sum exact)",
+)
+def window_moving_avg(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        )
+        .cast("double")
+        .alias("moving_avg"),
+    )
+
+
+@query(
+    "window_first_last",
+    """
+    SELECT DISTINCT o_custkey AS c_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first/last order per customer over an unbounded window",
+)
+def window_first_last(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    ).distinct()
+
+
+@query(
+    "scalar_date_arith",
+    """
+    SELECT l_returnflag,
+           CAST(MIN(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_delay,
+           CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_delay,
+           (FLOOR(CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0) AS avg_delay
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+    doc="date arithmetic: ship-delay statistics (datediff over a fact join)",
+)
+def scalar_date_arith(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    cnt = F.count(F.lit(1))
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(delay).cast("long").alias("min_delay"),
+            F.max(delay).cast("long").alias("max_delay"),
+            det_round(F.sum(delay).cast("double") / cnt, 6).alias("avg_delay"),
+        )
+    )
