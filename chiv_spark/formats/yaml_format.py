@@ -44,6 +44,27 @@ def _yaml_scalar(v: object) -> str:
     if isinstance(v, (bytes, bytearray)):
         v = bytes(v).decode("utf-8", errors="replace")
     s = str(v)
+    if "\n" in s or any(ord(c) < 0x20 or 0x7F <= ord(c) <= 0x9F for c in s):
+        # control chars force double-quoted style (checked before every
+        # other style — raw control chars are invalid YAML anywhere);
+        # every control char gets an escape
+        out = []
+        for c in s:
+            if c == "\\":
+                out.append("\\\\")
+            elif c == '"':
+                out.append('\\"')
+            elif c == "\n":
+                out.append("\\n")
+            elif c == "\r":
+                out.append("\\r")
+            elif c == "\t":
+                out.append("\\t")
+            elif ord(c) < 0x20 or 0x7F <= ord(c) <= 0x9F:
+                out.append(f"\\x{ord(c):02x}")
+            else:
+                out.append(c)
+        return '"' + "".join(out) + '"'
     if _TIMESTAMPISH.match(s):
         # yaml.v2 double-quotes strings that would resolve as timestamps
         return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
@@ -54,16 +75,6 @@ def _yaml_scalar(v: object) -> str:
         and not s.endswith(" ")
     ):
         return s
-    if "\n" in s or any(ord(c) < 0x20 for c in s):
-        # control chars force double-quoted style with escapes
-        esc = (
-            s.replace("\\", "\\\\")
-            .replace('"', '\\"')
-            .replace("\n", "\\n")
-            .replace("\r", "\\r")
-            .replace("\t", "\\t")
-        )
-        return '"' + esc + '"'
     return "'" + s.replace("'", "''") + "'"
 
 

@@ -94,3 +94,16 @@ def events_sessionize(spark, sf_dir):
 def streaming_events_window(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="chiv-stream-ckpt-")
     return run_events_stream(spark, sf_dir, ckpt)
+
+
+@query(
+    "streaming_stateful_sessions",
+    None,  # custom stateful operator (applyInPandasWithState) — rows-only
+    doc="custom stateful streaming sessionizer via applyInPandasWithState "
+    "(closed sessions match the batch events_sessionize twin exactly)",
+)
+def streaming_stateful_sessions(spark, sf_dir):
+    from chiv_spark.streaming.sessions import run_stateful_sessions
+
+    ckpt = tempfile.mkdtemp(prefix="chiv-state-ckpt-")
+    return run_stateful_sessions(spark, sf_dir, ckpt)

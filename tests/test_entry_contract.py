@@ -66,6 +66,7 @@ class TestContractShape:
             "agg_approx_distinct",
             "multimodal_features",
             "streaming_events_window",
+            "streaming_stateful_sessions",
         }
 
     def test_registry_docs(self):
