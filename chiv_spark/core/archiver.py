@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from chiv_spark.core.errors import ArchiveError, UploadError, _UploadGuard
 from chiv_spark.core.options import ArchiveOptions
 from chiv_spark.core.storage import storage_for
 from chiv_spark.formats import FORMATS
@@ -90,9 +91,15 @@ class Archiver:
         the reference's ``Archive(db, s3, table, bucket)``."""
         distributed = bool(overrides.pop("distributed", False))
         opts = self.defaults.merged(**overrides)
-        df = self.spark.table(table)
-        if opts.columns:
-            df = df.select(*opts.columns)  # projection pushdown is Catalyst's
+        try:
+            df = self.spark.table(table)
+            if opts.columns:
+                df = df.select(*opts.columns)  # projection pushdown is Catalyst's
+        except ArchiveError:
+            raise
+        except Exception as e:  # noqa: BLE001
+            # reference: "chiv: querying '%s': %w" (chiv.go:95)
+            raise ArchiveError(f"querying '{table}'", e) from e
         return self._archive_df(df, table, bucket, opts, distributed)
 
     def archive_query(self, sql: str, bucket: str, **overrides: object) -> str:
@@ -157,9 +164,17 @@ class Archiver:
                 placeholders = [_parse_placeholder(null, f.dataType) for f in schema.fields]
             else:
                 placeholders = [null] * len(schema)
-        with storage.writer(bucket, key) as sink:
+        # stage-chained error wrapping mirrors the reference's errorf
+        # sites (chiv.go:145-198, unit-asserted at chiv_test.go:61-148)
+        try:
+            writer_cm = storage.writer(bucket, key)
+            sink_raw = writer_cm.__enter__()
+        except Exception as e:  # noqa: BLE001
+            raise UploadError(e) from e
+        try:
+            sink = _UploadGuard(sink_raw)
             formatter: Formatter = fmt_func(sink, df.columns)
-            formatter.open()
+            _staged(formatter.open, "downloading: opening formatter")
             # toLocalIterator: upstream computes distributed; the driver
             # holds at most one partition — the io.Pipe analog.
             for row in df.toLocalIterator(prefetchPartitions=True):
@@ -167,8 +182,13 @@ class Archiver:
                     placeholders[i] if v is None and null is not None else v
                     for i, v in enumerate(row)
                 ]
-                formatter.format_row(record)
-            formatter.close()
+                _staged(lambda r=record: formatter.format_row(r), "downloading: formatting row")
+            _staged(formatter.close, "downloading: closing formatter")
+        finally:
+            try:
+                writer_cm.__exit__(None, None, None)
+            except Exception as e:  # noqa: BLE001
+                raise UploadError(e) from e
 
     def _write_distributed(self, df: DataFrame, bucket: str, key: str, opts: ArchiveOptions) -> None:
         """Scale path: parallel part files under ``bucket/key/``."""
@@ -235,6 +255,17 @@ def _write_yaml_parts(df: DataFrame, path: str, null: str | None) -> None:
             yield (text,)
 
     df.rdd.mapPartitions(encode_partition).toDF(["value"]).write.mode("overwrite").text(path)
+
+
+def _staged(fn, stage: str):
+    """Run one pipeline stage, wrapping non-upload failures with the
+    stage-chained message (upload errors keep their own stage)."""
+    try:
+        return fn()
+    except ArchiveError:
+        raise
+    except Exception as e:  # noqa: BLE001
+        raise ArchiveError(stage, e) from e
 
 
 class _NullSink:

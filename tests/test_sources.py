@@ -75,6 +75,14 @@ class TestFileRoundtrips:
         assert back.count() == 25
         assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
 
+    def test_orc_roundtrip(self, spark, sf_dir, tmp_path):
+        import chiv_spark.sources.catalog as cat
+
+        df = cat.read_table(spark, sf_dir, "nation")
+        write_columnar(df, str(tmp_path / "nation_orc"), fmt="orc")
+        back = spark.read.orc(str(tmp_path / "nation_orc"))
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
     def test_columnar_partitioned_write(self, spark, sf_dir, tmp_path):
         import chiv_spark.sources.catalog as cat
 
