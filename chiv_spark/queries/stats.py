@@ -1,0 +1,253 @@
+"""Statistical + array + iterative-algorithm coverage.
+
+- Exact spread statistics (variance/stddev/correlation) computed from
+  DECIMAL-transit power sums — the naive engine-native stddev/corr
+  aggregate their float sums in nondeterministic order and would never
+  hash-match across engines; power sums are exact integers-at-scale,
+  so the derived doubles are bit-identical.
+- Connected-component dedup clustering: iterative min-label
+  propagation in Spark (driver loop to fixpoint — bounded by cluster
+  diameter) vs a recursive CTE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chiv_spark.functions.detmath import det_round
+from chiv_spark.operators import dedup
+from chiv_spark.queries.base import query, t
+
+
+@query(
+    "agg_variance_exact",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy2,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem)
+    SELECT n,
+           (FLOOR(((sx2 - sx*sx/n) / (n-1)) * 1000000.0 + 0.5) / 1000000.0) AS var_qty,
+           (FLOOR(SQRT((sx2 - sx*sx/n) / (n-1)) * 1000000.0 + 0.5) / 1000000.0) AS stddev_qty,
+           (FLOOR(((sxy - sx*sy/n) / SQRT((sx2 - sx*sx/n) * (sy2 - sy*sy/n))) * 1000000.0 + 0.5) / 1000000.0) AS corr_qty_price
+    FROM s
+    """,
+    doc="exact sample variance/stddev/correlation via decimal power sums (order-free)",
+)
+def agg_variance_exact(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    q8 = F.col("l_quantity").cast("decimal(8,2)")
+    p12 = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(q8 * q8).cast("double").alias("sx2"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(p12 * p12).cast("double").alias("sy2"),
+        F.sum(q8 * p12).cast("double").alias("sxy"),
+    )
+    n, sx, sx2, sy, sy2, sxy = (F.col(c) for c in ["n", "sx", "sx2", "sy", "sy2", "sxy"])
+    var_q = (sx2 - sx * sx / n) / (n - 1)
+    var_p = sy2 - sy * sy / n
+    return s.select(
+        n.cast("long").alias("n"),
+        det_round(var_q, 6).alias("var_qty"),
+        det_round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        det_round((sxy - sx * sy / n) / F.sqrt((sx2 - sx * sx / n) * var_p), 6).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_customers,
+           CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.k = s.k
+    """,
+    doc="full outer join: nations with customers and/or suppliers",
+)
+def join_full_outer(spark, sf_dir):
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = c.join(s, "k", "full_outer")
+    return j.select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_suppliers"),
+    )
+
+
+@query(
+    "scalar_regexp",
+    """
+    SELECT c_custkey,
+           regexp_extract(c_name, '[0-9]+') AS cust_num,
+           CAST(regexp_matches(c_mktsegment, '^B') AS BOOLEAN) AS seg_starts_b,
+           regexp_replace(c_name, '[0-9]+', '#') AS name_masked
+    FROM customer WHERE c_custkey <= 300
+    """,
+    doc="regexp family: extract / match / replace (patterns valid in both Java regex and RE2)",
+)
+def scalar_regexp(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("cust_num"),
+        F.col("c_mktsegment").rlike("^B").alias("seg_starts_b"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+    )
+
+
+@query(
+    "array_functions",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           (FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS first_elem,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+           CAST(list_contains(list_transform(embedding, x -> x > 0.5), true) AS BOOLEAN) AS any_gt_half
+    FROM embeddings WHERE vec_id < 100
+    """,
+    doc="array function family: size / index / filter / transform / contains",
+)
+def array_functions(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        det_round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_positive"),
+        F.exists("embedding", lambda x: x > 0.5).alias("any_gt_half"),
+    )
+
+
+@query(
+    "agg_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders GROUP BY 1
+    """,
+    doc="fixed-width histogram via floor bucketing",
+)
+def agg_histogram(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )
+
+
+@query(
+    "explode_tokens",
+    """
+    SELECT lang, tok, COUNT(*) AS n
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY lang, tok
+    HAVING COUNT(*) >= 100
+    """,
+    doc="explode/unnest + re-aggregate: frequent tokens per language",
+)
+def explode_tokens(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+@query(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      -- inline MinHash-LSH candidate pairs (same pipeline as dedup_minhash_lsh)
+      SELECT doc_a, doc_b FROM (
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        idx AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3),
+        sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM idx),
+        perms AS (SELECT unnest(range(16)) AS p),
+        hashed AS (SELECT doc_id, p,
+                          (('0x' || substring(md5(shingle || '#' || p::VARCHAR), 1, 15))::BIGINT) AS h
+                   FROM sh CROSS JOIN perms),
+        sig AS (SELECT doc_id, p, MIN(h) AS mh FROM hashed GROUP BY doc_id, p),
+        bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                           string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
+                    FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
+        bands AS (SELECT doc_id, band,
+                         (('0x' || substring(md5(band::VARCHAR || ':' || sig_str), 1, 15))::BIGINT) AS bh
+                  FROM bandsig),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        est AS (SELECT c.doc_a, c.doc_b,
+                       AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS ej
+                FROM cand c
+                JOIN sig sa ON sa.doc_id = c.doc_a
+                JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+                GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b FROM est WHERE ej >= 0.5)
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+    doc="near-dup cluster assignment: connected components over MinHash-LSH pairs "
+    "(iterative min-label propagation in Spark, recursive CTE oracle)",
+)
+def dedup_clusters(spark, sf_dir):
+    pairs = dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents")).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("a", "b").distinct()
+    edges = edges.persist()
+    # min-label propagation to fixpoint: iterations bounded by the
+    # cluster diameter (near-dup clusters are small by nature); each
+    # round is one equi-join + min-agg — no driver-side data transfer
+    # beyond a convergence counter
+    labels = edges.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("label"))
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(edges.a)
+            .agg(F.min("label").alias("nmin"))
+            .select(F.col("a").alias("node"), "nmin")
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+        ).persist()
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.select("node", "label")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id"))
