@@ -327,6 +327,49 @@ def multimodal_meta(spark, sf_dir):
 
 
 @query(
+    "pandas_udaf_lang_profile",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="grouped Pandas UDAF (applyInPandas) — integer-only math inside the "
+    "UDF so results are order-free and oracle-exact",
+)
+def pandas_udaf_lang_profile(spark, sf_dir):
+    import pandas as _pd
+
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("lang", "n_chars")
+    out_schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("total_chars", T.LongType()),
+            T.StructField("max_chars", T.LongType()),
+        ]
+    )
+
+    # self-contained closure (stdlib + pandas only) — see pyship notes
+    def profile(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [int(len(pdf))],
+                "total_chars": [int(pdf["n_chars"].sum())],
+                "max_chars": [int(pdf["n_chars"].max())],
+            }
+        )
+
+    return docs.groupBy("lang").applyInPandas(profile, out_schema)
+
+
+@query(
     "multimodal_features",
     None,  # Pandas-UDF pipeline: plumbing check is rows-only + pytest
     doc="Arrow-batched mapInPandas feature extraction over binary payloads (stubbed codec)",
