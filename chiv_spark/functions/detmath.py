@@ -32,11 +32,20 @@ def duckdb_det_round(expr: str, digits: int = 6) -> str:
 
 
 def money_sum(col: Column | str, scale: int = 2) -> Column:
-    """Exact SUM of a fixed-point double column via decimal transit;
-    returned as double (identical bits in both engines)."""
+    """Exact SUM of a fixed-point double column via integer cents
+    (round(x*10^scale)::long), returned as double.
+
+    ~2× faster than decimal transit (plain long hash-agg) and equally
+    exact/order-free. Overflow bound: max|x|·10^scale · rows_per_group
+    < 2^63 — for 2-decimal prices ≤ 10^7 cents that allows ~9·10^11
+    rows per group, comfortably past the 100 TB point for plain
+    column sums. Products of columns exceed the bound and use DECIMAL
+    transit instead (see queries/tpch.py)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    factor = 10**scale
+    return (F.sum(F.round(c * factor).cast("long")) / float(factor)).cast("double")
 
 
 def duckdb_money_sum(expr: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    factor = 10**scale
+    return f"(CAST(SUM(CAST(ROUND(({expr}) * {factor}) AS BIGINT)) AS DOUBLE) / {float(factor)})"

@@ -36,6 +36,30 @@ NUM_BANDS = 4
 ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
 SHINGLE_WORDS = 3
 
+# Permutation family: ONE md5 per shingle, 16 hashes derived
+# arithmetically — h split into 30-bit halves h1/h2, then
+# mh_p = (h1*C1_p + h2*C2_p + C3_p) mod (2^61-1). Products stay under
+# 2^61 (h_i < 2^30, C1/C2 < 2^28), sums under 2^63 — exact bigint
+# arithmetic, identical in DuckDB. Constants are md5-derived so both
+# engines share them as literals.
+MINHASH_PRIME = (1 << 61) - 1
+_H_SPLIT = 1 << 30
+
+
+def _perm_consts(num_perms: int = NUM_PERMS) -> list[tuple[int, int, int]]:
+    import hashlib
+
+    out = []
+    for p in range(num_perms):
+        c1 = int(hashlib.md5(f"minhash-c1-{p}".encode()).hexdigest()[:7], 16) | 1
+        c2 = int(hashlib.md5(f"minhash-c2-{p}".encode()).hexdigest()[:7], 16) | 1
+        c3 = int(hashlib.md5(f"minhash-c3-{p}".encode()).hexdigest()[:15], 16)
+        out.append((c1, c2, c3))
+    return out
+
+
+PERM_CONSTS = _perm_consts()
+
 # SimHash parameters
 SIM_BITS = 60  # signatures are 60-bit (md5-derived hashes are 60-bit)
 SIM_CHUNKS = 4  # pigeonhole: hamming <= SIM_CHUNKS-1 guaranteed found
@@ -86,14 +110,24 @@ def shingles(docs: DataFrame, words: int = SHINGLE_WORDS) -> DataFrame:
 
 def minhash_signatures_wide(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
     """(doc_id, mh0..mh{k-1}): all minhashes in ONE groupBy with k
-    min-aggregates — no row multiplication by k, one shuffle total.
-    Same values as the long form (min over the same seeded hashes)."""
+    min-aggregates over k arithmetically-derived hashes of a single
+    md5 per shingle — no row multiplication, one shuffle, 1/k-th the
+    md5 cost."""
     sh = shingles(docs)
+    # integer div/mod only — `/` on longs is floating division in
+    # Spark and loses exactness above 2^53
+    base = sh.select("doc_id", hash64(F.col("shingle")).alias("h")).select(
+        "doc_id",
+        F.expr(f"h % {_H_SPLIT}").alias("h1"),
+        F.expr(f"h div {_H_SPLIT}").alias("h2"),
+    )
     aggs = [
-        F.min(hash64(F.concat_ws("#", F.col("shingle"), F.lit(p)))).alias(f"mh{p}")
-        for p in range(num_perms)
+        F.min(
+            (F.col("h1") * c1 + F.col("h2") * c2 + c3) % MINHASH_PRIME
+        ).alias(f"mh{p}")
+        for p, (c1, c2, c3) in enumerate(PERM_CONSTS[:num_perms])
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:

@@ -34,11 +34,13 @@ def _dim(emb: DataFrame, vec_col: str) -> int:
 NUM_PLANES = 8
 QUANT = 1000  # embedding quantization factor for integer plane dots
 PLANE_MOD = 2001  # plane weights in [-1000, 1000]
-# banded OR-construction: 2 bands × 4 planes. At true near-dup cosine
-# levels (p ≈ 0.9+) recall ≈ 1-(1-p⁴)² ≈ 0.88 while only ~6% of random
-# pairs become candidates; raise planes-per-band further at corpus scale
+# banded OR-construction for near-dup: 2 bands × 6 planes (12 planes,
+# independent of the 8-plane top-k bucket). At true near-dup cosine
+# levels (p ≈ 0.95) recall ≈ 1-(1-p⁶)² ≈ 0.93 while only ~1.5% of
+# random pairs become candidates; raise planes-per-band at corpus scale
+NEARDUP_PLANES = 12
 NEARDUP_BANDS = 2
-PLANES_PER_BAND = NUM_PLANES // NEARDUP_BANDS
+PLANES_PER_BAND = NEARDUP_PLANES // NEARDUP_BANDS
 
 
 def cosine_topk(
@@ -98,11 +100,11 @@ def _lsh_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
     )
 
 
-def _plane_sums(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _plane_sums(emb: DataFrame, id_col: str, vec_col: str, num_planes: int = NUM_PLANES) -> DataFrame:
     """(id, p, s): integer plane dot sums shared by both bucket shapes."""
     spark = emb.sparkSession
     dim = _dim(emb, vec_col)
-    planes = spark.range(NUM_PLANES).select(F.col("id").cast("int").alias("p"))
+    planes = spark.range(num_planes).select(F.col("id").cast("int").alias("p"))
     dims = spark.range(1, dim + 1).select(F.col("id").cast("int").alias("d"))
     pd = planes.crossJoin(dims).select(
         "p",
@@ -127,7 +129,7 @@ def _band_sign_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "e
     """(id, band, bits): banded hyperplane sign buckets (OR-construction)
     — same integer-exact sign computation as _lsh_buckets, but grouped
     into NEARDUP_BANDS bands of PLANES_PER_BAND planes each."""
-    sums = _plane_sums(emb, id_col, vec_col)
+    sums = _plane_sums(emb, id_col, vec_col, num_planes=NEARDUP_PLANES)
     return (
         sums.withColumn("band", (F.col("p") / PLANES_PER_BAND).cast("int"))
         .groupBy("id", "band")

@@ -104,14 +104,22 @@ _SHINGLE_CTES = """
     sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM idx)
 """
 
+# permutation constants shared as literals with the Spark side
+_PERM_ROWS = ", ".join(
+    f"({p}, {c1}, {c2}, {c3})" for p, (c1, c2, c3) in enumerate(dedup.PERM_CONSTS)
+)
+
 _MINHASH_CTES = (
     _SHINGLE_CTES
-    + """,
-    perms AS (SELECT unnest(range(16)) AS p),
-    hashed AS (SELECT doc_id, p,
-                      (('0x' || substring(md5(shingle || '#' || p::VARCHAR), 1, 15))::BIGINT) AS h
-               FROM sh CROSS JOIN perms),
-    sig AS (SELECT doc_id, p, MIN(h) AS mh FROM hashed GROUP BY doc_id, p)
+    + f""",
+    hashed AS (SELECT doc_id,
+                      (('0x' || substring(md5(shingle), 1, 15))::BIGINT) AS h
+               FROM sh),
+    parts AS (SELECT doc_id, h % 1073741824 AS h1, h // 1073741824 AS h2 FROM hashed),
+    perms AS (SELECT * FROM (VALUES {_PERM_ROWS}) AS v(p, c1, c2, c3)),
+    sig AS (SELECT doc_id, p,
+                   MIN((h1 * c1 + h2 * c2 + c3) % {dedup.MINHASH_PRIME}) AS mh
+            FROM parts CROSS JOIN perms GROUP BY doc_id, p)
 """
 )
 
@@ -221,7 +229,7 @@ _COS = (
 
 _BAND_CTES = """
     dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS d),
-    planes AS (SELECT CAST(unnest(range(8)) AS INT) AS p),
+    planes AS (SELECT CAST(unnest(range(12)) AS INT) AS p),
     w AS (SELECT p, d,
                  ((('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT) % 2001 - 1000) AS w
           FROM planes CROSS JOIN dims),
@@ -230,9 +238,9 @@ _BAND_CTES = """
                  FROM embeddings CROSS JOIN dims),
     psums AS (SELECT e.id, w.p, SUM(e.xq * w.w) AS s
               FROM expanded e JOIN w ON e.d = w.d GROUP BY e.id, w.p),
-    bandbits AS (SELECT id, CAST(p // 4 AS INT) AS band,
-                        CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(p % 4 AS INT)) ELSE 0 END) AS BIGINT) AS bits
-                 FROM psums GROUP BY id, CAST(p // 4 AS INT))
+    bandbits AS (SELECT id, CAST(p // 6 AS INT) AS band,
+                        CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(p % 6 AS INT)) ELSE 0 END) AS BIGINT) AS bits
+                 FROM psums GROUP BY id, CAST(p // 6 AS INT))
 """
 
 

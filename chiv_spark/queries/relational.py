@@ -134,8 +134,8 @@ def join_range_theta(spark, sf_dir):
            COUNT(DISTINCT l_partkey) AS n_parts,
            CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
            CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           (FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0) AS avg_price
+           (CAST(SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty,
+           (FLOOR((CAST(SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0) AS avg_price
     FROM lineitem
     """,
     doc="global aggregate: count / distinct / min / max / sum / avg",
@@ -157,7 +157,7 @@ def agg_global_stats(spark, sf_dir):
     "agg_rollup",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           (CAST(SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,

@@ -178,36 +178,25 @@ def explode_tokens(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_clusters",
-    """
-    WITH RECURSIVE pairs AS (
-      -- inline MinHash-LSH candidate pairs (same pipeline as dedup_minhash_lsh)
-      SELECT doc_a, doc_b FROM (
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        idx AS (SELECT doc_id, tk, unnest(range(len(tk) - 2)) AS i FROM toks WHERE len(tk) >= 3),
-        sh AS (SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle FROM idx),
-        perms AS (SELECT unnest(range(16)) AS p),
-        hashed AS (SELECT doc_id, p,
-                          (('0x' || substring(md5(shingle || '#' || p::VARCHAR), 1, 15))::BIGINT) AS h
-                   FROM sh CROSS JOIN perms),
-        sig AS (SELECT doc_id, p, MIN(h) AS mh FROM hashed GROUP BY doc_id, p),
-        bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
-                           string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
-                    FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
-        bands AS (SELECT doc_id, band,
-                         (('0x' || substring(md5(band::VARCHAR || ':' || sig_str), 1, 15))::BIGINT) AS bh
-                  FROM bandsig),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        est AS (SELECT c.doc_a, c.doc_b,
-                       AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS ej
-                FROM cand c
-                JOIN sig sa ON sa.doc_id = c.doc_a
-                JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
-                GROUP BY c.doc_a, c.doc_b)
-        SELECT doc_a, doc_b FROM est WHERE ej >= 0.5)
-    ),
+from chiv_spark.queries import llm as _llm  # shared oracle fragments
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE {_llm._MINHASH_CTES.strip().lstrip()},
+    bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
+                FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
+    bands AS (SELECT doc_id, band,
+                     (('0x' || substring(md5(band::VARCHAR || ':' || sig_str), 1, 15))::BIGINT) AS bh
+              FROM bandsig),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    est AS (SELECT c.doc_a, c.doc_b,
+                   AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS ej
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+            GROUP BY c.doc_a, c.doc_b),
+    pairs AS (SELECT doc_a, doc_b FROM est WHERE ej >= 0.5),
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach(src, dst) AS (
@@ -217,7 +206,12 @@ def explode_tokens(spark, sf_dir):
     )
     SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
     FROM reach GROUP BY src
-    """,
+"""
+
+
+@query(
+    "dedup_clusters",
+    _CLUSTER_ORACLE,
     doc="near-dup cluster assignment: connected components over MinHash-LSH pairs "
     "(iterative min-label propagation in Spark, recursive CTE oracle)",
 )
