@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from chiv_spark.core.archiver import Archiver
@@ -23,6 +24,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="chiv_spark", description=__doc__)
     p.add_argument("--table", "-t", help="table to archive")
     p.add_argument("--query", "-q", help="arbitrary SQL to archive (ArchiveRows analog)")
+    p.add_argument(
+        "--database",
+        default=os.environ.get("DATABASE_URL"),
+        help="JDBC connection string (env fallback DATABASE_URL, mirroring the "
+        "reference CLI, cmd/chiv/main.go:32-35); when set, --table/--query read "
+        "through the JDBC source instead of the parquet catalog",
+    )
     p.add_argument("--bucket", "-b", required=True, help="destination bucket (path or URI)")
     p.add_argument("--data-dir", "-d", default="/root/testdata/sf0.001", help="parquet table dir")
     p.add_argument("--format", "-f", default="csv", choices=["csv", "json", "yaml"])
@@ -43,7 +51,19 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     spark = get_spark("chiv-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    load_tables(spark, args.data_dir)
+    if args.database:
+        # RDBMS mode (reference parity): resolve --table/--query through
+        # the partitioned JDBC source; requires a JDBC driver jar on the
+        # Spark classpath
+        from chiv_spark.sources.jdbc import read_sql
+
+        src = args.table or args.query
+        df = read_sql(spark, args.database, src)
+        df.createOrReplaceTempView(args.table or "q")
+        if args.query:
+            args.table, args.query = "q", None
+    else:
+        load_tables(spark, args.data_dir)
     a = Archiver(spark)
     opts = dict(
         format=args.format,
