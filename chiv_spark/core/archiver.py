@@ -24,8 +24,6 @@ Two sink modes:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -110,12 +108,25 @@ class Archiver:
 
     def archive_df(self, df: DataFrame, bucket: str, **overrides: object) -> str:
         """Archive any DataFrame. Key defaults to the literal
-        ``table`` (+extension), matching chiv.go:224-226."""
+        ``table`` (+extension), matching chiv.go:224-226.
+
+        ``job_group=`` tags the archive's Spark jobs so :meth:`cancel`
+        can abort them — the ArchiveWithContext cancellation analog
+        (reference chiv.go:166-169, ctx check per row)."""
+        job_group = overrides.pop("job_group", None)
+        if job_group is not None:
+            self.spark.sparkContext.setJobGroup(str(job_group), "chiv archive", True)
         distributed = bool(overrides.pop("distributed", False))
         opts = self.defaults.merged(**overrides)
         if opts.columns:
             df = df.select(*opts.columns)
         return self._archive_df(df, "", bucket, opts, distributed)
+
+    def cancel(self, job_group: str) -> None:
+        """Cancel a running archive by its job group (cooperative
+        cancellation — the ``ArchiveWithContext`` ctx analog;
+        SURVEY.md §2.1-S3)."""
+        self.spark.sparkContext.cancelJobGroup(str(job_group))
 
     # -- internals ------------------------------------------------------
 
@@ -176,8 +187,14 @@ class Archiver:
             formatter: Formatter = fmt_func(sink, df.columns)
             _staged(formatter.open, "downloading: opening formatter")
             # toLocalIterator: upstream computes distributed; the driver
-            # holds at most one partition — the io.Pipe analog.
-            for row in df.toLocalIterator(prefetchPartitions=True):
+            # holds at most one partition — the io.Pipe analog. Row
+            # iteration failures (incl. job cancellation) wrap as the
+            # reference's scanning stage (chiv.go:189-191).
+            rows = iter(df.toLocalIterator(prefetchPartitions=True))
+            while True:
+                row = _staged(lambda: next(rows, _END), "downloading: scanning rows")
+                if row is _END:
+                    break
                 record = [
                     placeholders[i] if v is None and null is not None else v
                     for i, v in enumerate(row)
@@ -255,6 +272,9 @@ def _write_yaml_parts(df: DataFrame, path: str, null: str | None) -> None:
             yield (text,)
 
     df.rdd.mapPartitions(encode_partition).toDF(["value"]).write.mode("overwrite").text(path)
+
+
+_END = object()  # iterator-exhausted sentinel for the scanning stage
 
 
 def _staged(fn, stage: str):

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from chiv_spark.functions.detmath import det_round
 from chiv_spark.functions.hashing import hash64
-from chiv_spark.functions.vectors import cosine_similarity, dot_fixed, l2_norm_fixed
+from chiv_spark.functions.vectors import dot_fixed, l2_norm_fixed
 
 
 def _dim(emb: DataFrame, vec_col: str) -> int:

@@ -248,6 +248,54 @@ def window_first_last(spark, sf_dir):
 
 
 @query(
+    "scalar_date_format",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month_str,
+           CAST(o_orderdate + INTERVAL 1 DAY AS TIMESTAMP) AS next_day,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="date formatting (engine-dialect format strings producing identical text) + interval arithmetic",
+)
+def scalar_date_format(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month_str"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).cast("timestamp").alias("next_day"),
+        )
+        .groupBy("month_str", "next_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
+    "scalar_string_pad",
+    """
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           rpad(c_mktsegment, 12, '.') AS padded_seg,
+           trim(concat('  ', c_name, '  ')) AS trimmed,
+           reverse(c_mktsegment) AS seg_rev,
+           repeat('-', CAST(c_custkey % 5 AS INT)) AS dashes
+    FROM customer WHERE c_custkey <= 200
+    """,
+    doc="string pad/trim family: lpad/rpad/trim/reverse/repeat",
+)
+def scalar_string_pad(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.lit("-"), (F.col("c_custkey") % 5).cast("int")).alias("dashes"),
+    )
+
+
+@query(
     "scalar_date_arith",
     """
     SELECT l_returnflag,

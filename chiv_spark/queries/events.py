@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chiv_spark.queries.base import query, t
-from chiv_spark.streaming.events import run_events_stream, windowed_event_counts
+from chiv_spark.streaming.events import run_events_stream
 
 
 @query(

@@ -12,9 +12,7 @@ DuckDB's list_dot_product), or integer-quantized arithmetic.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from chiv_spark.functions.detmath import det_round
 from chiv_spark.operators import dedup, multimodal, similarity, text
 from chiv_spark.queries.base import query, t
 
