@@ -30,6 +30,40 @@ from chiv_spark.functions.vectors import dot_fixed, l2_norm_fixed
 def _dim(emb: DataFrame, vec_col: str) -> int:
     return len(emb.select(vec_col).first()[0])
 
+
+def _plane_weight(p: int, d: int) -> int:
+    """Python twin of the JVM-side weight expression
+    hash64('p:d') % PLANE_MOD - 1000 — md5-derived, so both compute
+    identical integers (checked in tests)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+    return h % PLANE_MOD - 1000
+
+
+def _sign_sums_inline(emb: DataFrame, id_col: str, vec_col: str, num_planes: int) -> DataFrame:
+    """(id, s0..s{P-1}): all plane dot sums in ONE narrow projection —
+    the weights are compile-time constant arrays, folded per plane with
+    zip_with+aggregate. No explode, no join, no shuffle. Integer
+    arithmetic only → identical to the oracle's explode+group
+    computation in any evaluation order. (Higher-order folds are
+    interpreted, but the work is rows × planes × dim integer ops — a
+    narrow map that scales linearly and partitions perfectly.)"""
+    dim = _dim(emb, vec_col)
+    vec = F.col(vec_col)
+    cols = []
+    for p in range(num_planes):
+        warr = F.array(*[F.lit(_plane_weight(p, d)) for d in range(1, dim + 1)])
+        prod = F.zip_with(
+            vec,
+            warr,
+            lambda x, w: F.round(x.cast("double") * QUANT).cast("long") * w,
+        )
+        cols.append(
+            F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v).alias(f"s{p}")
+        )
+    return emb.select(F.col(id_col).alias("id"), *cols)
+
 # LSH parameters shared with the DuckDB oracle
 NUM_PLANES = 8
 QUANT = 1000  # embedding quantization factor for integer plane dots
@@ -94,52 +128,29 @@ def _lsh_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
     contribution(p,d)  = round(emb[d]*QUANT)::bigint * w(p,d)
     bit p = 1 iff Σ_d contribution > 0  (integer sum → order-free)
     """
-    sums = _plane_sums(emb, id_col, vec_col)
-    return sums.groupBy("id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, p)")).otherwise(F.lit(0))).alias("bucket")
-    )
-
-
-def _plane_sums(emb: DataFrame, id_col: str, vec_col: str, num_planes: int = NUM_PLANES) -> DataFrame:
-    """(id, p, s): integer plane dot sums shared by both bucket shapes."""
-    spark = emb.sparkSession
-    dim = _dim(emb, vec_col)
-    planes = spark.range(num_planes).select(F.col("id").cast("int").alias("p"))
-    dims = spark.range(1, dim + 1).select(F.col("id").cast("int").alias("d"))
-    pd = planes.crossJoin(dims).select(
-        "p",
-        "d",
-        (hash64(F.concat_ws(":", F.col("p"), F.col("d"))) % PLANE_MOD - 1000).alias("w"),
-    )
-    expanded = emb.select(
-        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x")
-    ).select(
-        "id",
-        (F.col("pos") + 1).alias("d"),
-        F.round(F.col("x").cast("double") * QUANT).cast("long").alias("xq"),
-    )
-    return (
-        expanded.join(F.broadcast(pd), "d")
-        .groupBy("id", "p")
-        .agg(F.sum(F.col("xq") * F.col("w")).alias("s"))
-    )
+    sums = _sign_sums_inline(emb, id_col, vec_col, NUM_PLANES)
+    bucket = F.lit(0).cast("long")
+    for p in range(NUM_PLANES):
+        bucket = bucket + F.when(F.col(f"s{p}") > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return sums.select("id", bucket.alias("bucket"))
 
 
 def _band_sign_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(id, band, bits): banded hyperplane sign buckets (OR-construction)
     — same integer-exact sign computation as _lsh_buckets, but grouped
     into NEARDUP_BANDS bands of PLANES_PER_BAND planes each."""
-    sums = _plane_sums(emb, id_col, vec_col, num_planes=NEARDUP_PLANES)
-    return (
-        sums.withColumn("band", (F.col("p") / PLANES_PER_BAND).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr(f"shiftleft(1L, p % {PLANES_PER_BAND})")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("bits")
-        )
+    sums = _sign_sums_inline(emb, id_col, vec_col, NEARDUP_PLANES)
+    band_cols = []
+    for band in range(NEARDUP_BANDS):
+        bits = F.lit(0).cast("long")
+        for i in range(PLANES_PER_BAND):
+            p = band * PLANES_PER_BAND + i
+            bits = bits + F.when(F.col(f"s{p}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        band_cols.append(bits.alias(f"bits{band}"))
+    wide = sums.select("id", *band_cols)
+    pairs = ", ".join(f"{b}, bits{b}" for b in range(NEARDUP_BANDS))
+    return wide.selectExpr("id", f"stack({NEARDUP_BANDS}, {pairs}) as (band, bits)").select(
+        "id", F.col("band").cast("int").alias("band"), "bits"
     )
 
 
