@@ -111,6 +111,78 @@ def extract_features(media: DataFrame, batch_hint: int = 64) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("offset_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize plumbing: Arrow-batched mapInPandas with the real
+    UDF shape; the codec call is stubbed (no imaging libs in this
+    container) — the 'resized' payload is a deterministic byte slice
+    standing in for the decoded+resized image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        target = width * height // 64  # deterministic fake output size
+
+        for pdf in batches:
+            # real implementation: PIL.Image.open(io.BytesIO(b)).resize(...)
+            # -> raise NotImplementedError without a codec; fake keeps
+            # the pipeline runnable end-to-end
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(
+                        lambda b: bytes(b)[: max(1, min(len(b), target))]
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled
+    frame (uniform offsets into the payload as the deterministic
+    stand-in for decoded frames)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "frame_payload": [], "offset_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                step = max(1, len(raw) // n_frames)
+                for i in range(n_frames):
+                    off = min(i * step, max(0, len(raw) - 1))
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["frame_payload"].append(raw[off : off + 16])
+                    out["offset_bytes"].append(off)
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table from the documents corpus (text → utf-8
     payload) — a deterministic fake corpus exercising the binary

@@ -196,6 +196,85 @@ def embedding_neardup(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id): IVF coarse quantization — assign every
+    vector to its nearest centroid by cosine.
+
+    Centroids here are the first ``n_centroids`` vectors (deterministic
+    stand-in; at scale you'd k-means offline and broadcast the
+    codebook — the assignment plan is identical either way: corpus ×
+    broadcast-codebook scoring, argmax per row, no shuffle)."""
+    dim = _dim(emb, vec_col)
+    cents = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+            l2_norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+        )
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm_fixed(F.col(vec_col), dim).alias("vnorm"),
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", dot_fixed(F.col("v"), F.col("cvec"), dim) / (F.col("vnorm") * F.col("cnorm"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe only the query's centroid cell, exact
+    cosine within it (single-probe; recall < 1 by design — raise
+    probes at scale)."""
+    dim = _dim(emb, vec_col)
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm_fixed(F.col(vec_col), dim).alias("cn"),
+    ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    q = query_ids.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm_fixed(F.col(vec_col), dim).alias("qn"),
+    ).join(assign.withColumnRenamed("id", "query_id"), "query_id")
+    scored = corpus.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (corpus["centroid_id"] == q["centroid_id"]),
+    ).withColumn("cosine", dot_fixed(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            det_round(F.col("cosine"), 6).alias("cosine"),
+        )
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_ids: DataFrame,

@@ -113,3 +113,23 @@ class TestMultimodal:
     def test_decode_stub_raises(self):
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\x89PNG")
+
+    def test_resize_plumbing(self, docs):
+        media = multimodal.media_from_documents(docs)
+        resized = {r.media_id: r for r in multimodal.resize_images(media, 64, 64).collect()}
+        assert set(resized) == {1, 2, 3, 4}
+        assert all(r.width == 64 and r.height == 64 for r in resized.values())
+        assert len(bytes(resized[1].payload)) <= 64 * 64 // 64
+
+    def test_frame_sampling_plumbing(self, docs):
+        media = multimodal.media_from_documents(docs)
+        frames = multimodal.sample_frames(media, n_frames=3).collect()
+        assert len(frames) == 4 * 3  # every media row yields n_frames rows
+        by_media = {}
+        for f in frames:
+            by_media.setdefault(f.media_id, []).append(f)
+        assert all(sorted(x.frame_index for x in v) == [0, 1, 2] for v in by_media.values())
+        # offsets are monotone within a media item
+        for v in by_media.values():
+            offs = [x.offset_bytes for x in sorted(v, key=lambda f: f.frame_index)]
+            assert offs == sorted(offs)
