@@ -87,6 +87,91 @@ def events_sessionize(spark, sf_dir):
 
 
 @query(
+    "events_sessionize_scalable",
+    # IDENTICAL oracle to events_sessionize: this is a different
+    # physical strategy for the same logical result
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="skew-resilient sessionization: per-(user, day) mini-sessions merged "
+    "across bucket boundaries — hot users never concentrate on one task; "
+    "same logical result as events_sessionize (shared oracle)",
+)
+def events_sessionize_scalable(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    gap_us = 1_800_000_000
+    bucket_us = 86_400_000_000  # 1 day
+
+    # stage 1: sessionize WITHIN (user, day-bucket) — the window
+    # partition key includes the bucket, so a hot user's events spread
+    # across as many tasks as they span days
+    wb = Window.partitionBy("user_id", "bucket").orderBy("ts_us", "event_id")
+    wbrun = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.unix_micros("ts").alias("ts_us"),
+        (F.unix_micros("ts") / bucket_us).cast("long").alias("bucket"),
+    )
+    mini = (
+        bucketed.withColumn(
+            "new_s",
+            F.when(
+                (F.col("ts_us") - F.lag("ts_us").over(wb) > gap_us)
+                | F.lag("ts_us").over(wb).isNull(),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("mini_id", F.sum("new_s").over(wbrun))
+        .groupBy("user_id", "bucket", "mini_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    # stage 2: merge mini-sessions across bucket boundaries — per-user
+    # data is now bounded by sessions-per-user, not events-per-user
+    wu = Window.partitionBy("user_id").orderBy("start_us")
+    wurun = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = (
+        mini.withColumn(
+            "new_s",
+            F.when(
+                (F.col("start_us") - F.lag("end_us").over(wu) > gap_us)
+                | F.lag("end_us").over(wu).isNull(),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_s").over(wurun))
+    )
+    return merged.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.min("session_start").cast("timestamp").alias("session_start"),
+        F.max("session_end").cast("timestamp").alias("session_end"),
+    )
+
+
+@query(
     "streaming_events_window",
     None,  # genuine Structured Streaming run — rows-only check
     doc="real readStream→watermark→window→writeStream run (availableNow trigger, memory sink)",

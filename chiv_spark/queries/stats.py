@@ -219,11 +219,15 @@ def dedup_clusters(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents")).select("doc_a", "doc_b")
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("a", "b").distinct()
     edges = edges.persist()
-    # min-label propagation to fixpoint: iterations bounded by the
-    # cluster diameter (near-dup clusters are small by nature); each
-    # round is one equi-join + min-agg — no driver-side data transfer
-    # beyond a convergence counter
+    # min-label propagation to fixpoint. Near-dup components are
+    # cliques or near-cliques (every member pairs with most others),
+    # so the diameter — and the round count — is 1-3; plain edge
+    # propagation beats pointer-jumping (label[label]) here because
+    # the jump's extra self-join costs more per round than the rounds
+    # it could save. (Pointer jumping is the right trade on
+    # long-chain graphs; measured both, kept the simple loop.)
     labels = edges.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("label"))
+    prev = None
     while True:
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -240,7 +244,11 @@ def dedup_clusters(spark, sf_dir):
             )
         ).persist()
         n_changed = updated.filter(F.col("changed")).count()
-        labels = updated.select("node", "label")
+        new_labels = updated.select("node", "label")
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
+        labels = new_labels
         if n_changed == 0:
             break
     edges.unpersist()

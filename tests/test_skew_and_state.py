@@ -58,3 +58,33 @@ class TestStatefulSessions:
         # exactly (the dangling last session per user stays in state)
         for r in srows:
             assert batch[(r["user_id"], r["session_id"])] == r["n_events"]
+
+
+class TestScalableSessionizer:
+    def test_midnight_spanning_session_not_split(self, spark, tmp_path):
+        """A session crossing the day-bucket boundary must merge back
+        into one session (the case a naive bucketed sessionizer
+        silently breaks)."""
+        import datetime as dt
+
+        from chiv_spark.queries import REGISTRY
+
+        base = dt.datetime(2024, 3, 1, 23, 50)
+        rows = [
+            (999, base + dt.timedelta(minutes=5 * i), 10_000 + i, "click", 1.0, "{}")
+            for i in range(6)
+        ]
+        hot = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string, value double, props string"
+        )
+        hot.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        out = REGISTRY["events_sessionize_scalable"].fn(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        assert out[0]["n_events"] == 6
+
+    def test_equals_plain_sessionizer(self, spark, sf_dir):
+        from chiv_spark.queries import REGISTRY
+
+        plain = {tuple(r) for r in REGISTRY["events_sessionize"].fn(spark, sf_dir).collect()}
+        scal = {tuple(r) for r in REGISTRY["events_sessionize_scalable"].fn(spark, sf_dir).collect()}
+        assert plain == scal
