@@ -12,6 +12,15 @@ from __future__ import annotations
 from chiv_spark.queries.base import REGISTRY, QuerySpec
 
 # importing the modules populates REGISTRY
-from chiv_spark.queries import advanced, events, llm, parity, relational, stats, tpch  # noqa: E402,F401
+from chiv_spark.queries import (  # noqa: E402,F401
+    advanced,
+    events,
+    llm,
+    parity,
+    relational,
+    stats,
+    tpch,
+    tpch_extra,
+)
 
 __all__ = ["REGISTRY", "QuerySpec"]
