@@ -182,6 +182,19 @@ def streaming_events_window(spark, sf_dir):
 
 
 @query(
+    "streaming_stream_stream_join",
+    None,  # stateful stream-stream join — rows-only (batch-equality in tests)
+    doc="stream-stream interval join with dual watermarks (purchase ⋈ prior "
+    "click within 1h); matches the batch interval join exactly in tests",
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    from chiv_spark.streaming.joins import purchases_with_clicks
+
+    ckpt = tempfile.mkdtemp(prefix="chiv-ssj-ckpt-")
+    return purchases_with_clicks(spark, sf_dir, ckpt)
+
+
+@query(
     "streaming_stateful_sessions",
     None,  # custom stateful operator (applyInPandasWithState) — rows-only
     doc="custom stateful streaming sessionizer via applyInPandasWithState "

@@ -67,6 +67,7 @@ class TestContractShape:
             "multimodal_features",
             "streaming_events_window",
             "streaming_stateful_sessions",
+            "streaming_stream_stream_join",
         }
 
     def test_registry_docs(self):
