@@ -163,7 +163,12 @@ def embedding_neardup(
     """Near-duplicate embedding pairs: banded LSH bucket equi-join →
     exact cosine ≥ threshold. The only shuffle is on the (band, bits)
     key; quadratic work happens per-bucket, never globally."""
-    buckets = _band_sign_buckets(emb, id_col, vec_col)
+    # materialize buckets before the self-join: the bucket plan is
+    # narrow (no exchange), so Spark has no ReusedExchange point and
+    # would otherwise evaluate the plane folds twice (~25% of query
+    # wall). localCheckpoint truncates lineage; the small (id, band,
+    # bits) frame is cheap to hold.
+    buckets = _band_sign_buckets(emb, id_col, vec_col).localCheckpoint(eager=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
