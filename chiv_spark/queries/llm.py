@@ -309,6 +309,66 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @query(
+    "pipeline_clean_corpus",
+    f"""
+    WITH {_MINHASH_CTES},
+    bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
+                FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
+    bands AS (SELECT doc_id, band,
+                     (('0x' || substring(md5(band::VARCHAR || ':' || sig_str), 1, 15))::BIGINT) AS bh
+              FROM bandsig),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    est AS (SELECT c.doc_a, c.doc_b,
+                   AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS ej
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+            GROUP BY c.doc_a, c.doc_b),
+    neardup_drop AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE ej >= 0.5),
+    exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM
+                   (SELECT doc_id, {_FP} AS fp FROM documents) GROUP BY fp),
+    quality AS (SELECT doc_id, lang,
+                       ({_R6.format(expr=f"0.5 * LEAST(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) + 0.5 * LEAST({_SW_RATIO} * 10.0, 1.0)")}) AS quality,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents)
+    SELECT q.doc_id, q.lang, q.quality, q.n_tokens
+    FROM quality q
+    JOIN exact_keep k ON q.doc_id = k.doc_id
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM neardup_drop)
+      AND q.quality >= 0.3 AND q.n_tokens >= 20
+    """,
+    doc="capstone corpus-cleaning pipeline: exact dedup (keep min id per "
+    "fingerprint) → near-dup removal (MinHash-LSH, drop the younger twin) → "
+    "quality/token gate — the full training-data filter as one composed plan",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    # exact dedup survivors
+    keep = (
+        docs.select("doc_id", text.fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # near-dup younger twins to drop
+    drop = dedup.minhash_lsh_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        text.quality_score().alias("quality"),
+        text.token_count().alias("n_tokens"),
+    )
+    return (
+        quality.join(keep, "doc_id", "left_semi")
+        .join(drop, "doc_id", "left_anti")
+        .filter((F.col("quality") >= 0.3) & (F.col("n_tokens") >= 20))
+        .select("doc_id", "lang", "quality", "n_tokens")
+    )
+
+
+@query(
     "ann_ivf_topk",
     f"""
     WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
