@@ -375,6 +375,47 @@ def set_except(spark, sf_dir):
     return c.subtract(s)
 
 
+@query(
+    "set_union_by_name",
+    """
+    SELECT * FROM (
+      SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS o_orderpriority
+      FROM orders WHERE o_orderkey <= 400
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey > 5600)
+    """,
+    doc="union by name with missing columns (null-filled schema alignment)",
+)
+def set_union_by_name(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") <= 400).select(
+        "o_orderkey", "o_totalprice", F.lit(None).cast("string").alias("o_orderpriority")
+    )
+    b = o.filter(F.col("o_orderkey") > 5600).select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@query(
+    "scalar_hash_funcs",
+    """
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           CAST(length(md5(c_name)) AS INT) AS md5_len
+    FROM customer WHERE c_custkey <= 200
+    """,
+    doc="cryptographic hash family: md5 / sha256 over strings",
+)
+def scalar_hash_funcs(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.length(F.md5("c_name")).cast("int").alias("md5_len"),
+    )
+
+
 # ------------------------------------------------------ scalar functions
 
 
