@@ -31,7 +31,9 @@ def join_inner_agg(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        # customer is NOT hint-broadcast: forced hints override AQE's size
+        # check and OOM at 100 TB; AQE picks broadcast when c is small enough.
+        o.join(c, c.c_custkey == o.o_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),

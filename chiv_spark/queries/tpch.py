@@ -96,8 +96,11 @@ def q3_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
     return (
+        # No broadcast hint on customer: at 100 TB it is tens of GB and a
+        # forced hint would override AQE's size threshold; AQE broadcasts it
+        # when (and only when) the filtered side is actually small.
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -119,7 +122,7 @@ def q3_shipping_priority(spark, sf_dir):
     WHERE r_name = 'ASIA'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5-style: revenue per nation (5-way star join, dims broadcast)",
+    doc="TPC-H Q5-style: revenue per nation (5-way star join; tiny dims hint-broadcast, customer left to AQE)",
 )
 def q5_revenue_by_nation(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -134,7 +137,7 @@ def q5_revenue_by_nation(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
     )

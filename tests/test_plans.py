@@ -16,15 +16,27 @@ SF = "/root/testdata/sf0.001"
 
 
 class TestJoinStrategies:
-    def test_q5_star_join_broadcasts_all_dims(self, spark):
+    def test_q5_star_join_broadcasts_small_dims_only(self, spark):
+        # nation/region carry explicit hints (guaranteed tiny at any SF);
+        # customer must NOT be hint-forced — AQE decides for it by size.
         ops = op_counts(REGISTRY["q5_revenue_by_nation"].fn(spark, SF))
-        assert ops.get("BroadcastHashJoin", 0) >= 3  # nation/region/dim-side + orders
-        assert ops.get("SortMergeJoin", 0) == 0
+        assert ops.get("BroadcastHashJoin", 0) >= 2  # nation, region
         assert ops.get("CartesianProduct", 0) == 0
 
-    def test_join_inner_agg_broadcasts_customer(self, spark):
+    def test_q5_customer_broadcast_not_forced(self, spark):
+        import inspect
+
+        from chiv_spark.queries import tpch
+
+        src = inspect.getsource(tpch.q5_revenue_by_nation)
+        assert "broadcast(dims" not in src and "broadcast(cust" not in src
+
+    def test_join_inner_agg_no_forced_broadcast(self, spark):
+        # Correct answer regardless of join strategy; AQE picks broadcast at
+        # small SF, shuffled hash join at scale. Plan must stay equi-join.
         ops = op_counts(REGISTRY["join_inner_agg"].fn(spark, SF))
-        assert ops.get("BroadcastHashJoin", 0) == 1
+        assert ops.get("CartesianProduct", 0) == 0
+        assert ops.get("BroadcastNestedLoopJoin", 0) == 0
 
     def test_range_join_is_broadcast_nl(self, spark):
         ops = op_counts(REGISTRY["join_range_theta"].fn(spark, SF))
