@@ -272,26 +272,102 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIM_MAX_HAMMING) -> DataFr
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle
-    (inverted-index join — non-overlapping pairs never materialize)."""
-    sh = shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+def ngram_candidate_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    words: int = SHINGLE_WORDS,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Candidate pairs for Jaccard >= threshold via DF-ranked prefix
+    filtering (Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW'08 / ppjoin).
+
+    Shingles are globally ordered rarest-first (document frequency,
+    then lexicographic); each doc joins only on its first
+    n - floor(t*n) + 1 shingles. Any pair with true Jaccard >= t is
+    guaranteed to collide on a prefix shingle (floor, not ceil, so
+    IEEE rounding of t*n can only lengthen the prefix — lossless).
+    Ubiquitous shingles sort last and drop out of large-doc prefixes,
+    so posting lists in the join no longer scale with the document
+    frequency of stop-word n-grams.
+
+    df_cap additionally drops shingles whose document frequency
+    exceeds the cap from the shingle universe entirely (lossy but
+    oracle-mirrorable): at web scale a trigram appearing in 1M docs
+    contributes 10^12 candidate rows and carries no near-dup signal.
+
+    Returns (doc_a, doc_b, na, nb) with na/nb the (capped) shingle
+    set sizes — a superset of the true result, exact-verified by
+    ngram_jaccard_pairs.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(docs, words)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if df_cap is not None:
+        dfc = dfc.filter(F.col("df") <= int(df_cap))
+    shd = sh.join(dfc, "shingle")
+    w_n = Window.partitionBy("doc_id")
+    w_rk = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = shd.select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.floor(F.lit(float(threshold)) * F.col("n")) + 1
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    return (
+        pa.join(
+            pb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    words: int = SHINGLE_WORDS,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs with J >= threshold.
+
+    Candidate generation is DF-ranked prefix filtering (see
+    ngram_candidate_pairs — lossless, bounds posting lists); the exact
+    intersection is then computed only for candidate pairs, so no step
+    is quadratic in a stop-word shingle's document frequency. With
+    df_cap set, Jaccard is over the capped shingle universe (mirror
+    the same DF filter in any oracle SQL)."""
+    sh = shingles(docs, words)
+    if df_cap is not None:
+        keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= int(df_cap)
+        )
+        sh = sh.join(keep.select("shingle"), "shingle")
+    cand = ngram_candidate_pairs(docs, threshold, words, df_cap)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn(
-            "jaccard",
-            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")),
-        )
+    j = inter.withColumn(
+        "jaccard",
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
     )
     return j.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.col("jaccard").cast("double").alias("jaccard")

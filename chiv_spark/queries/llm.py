@@ -180,13 +180,21 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(t(spark, sf_dir, "documents"))
 
 
+#: shingles appearing in more docs than this are dropped from the Jaccard
+#: universe (stop-word n-grams: no near-dup signal, quadratic join cost).
+#: Shared as a literal with the oracle SQL below.
+NGRAM_DF_CAP = 200
+
+
 @query(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLE_CTES},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id),
     j AS (SELECT i.doc_a, i.doc_b,
                  CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jaccard
@@ -195,10 +203,12 @@ def dedup_simhash(spark, sf_dir):
           JOIN sizes nb ON nb.doc_id = i.doc_b)
     SELECT doc_a, doc_b, CAST(jaccard AS DOUBLE) AS jaccard FROM j WHERE jaccard >= 0.6
     """,
-    doc="exact word-3-gram Jaccard pairs via inverted-index join",
+    doc="exact word-3-gram Jaccard pairs: DF-capped universe, prefix-filter candidates, exact verify",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), df_cap=NGRAM_DF_CAP
+    )
 
 
 # ---------------------------------------------------------- similarity

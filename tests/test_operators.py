@@ -64,6 +64,29 @@ class TestNgramJaccard:
         # shingles minus 6 shared -> jaccard 6/8
         assert pairs.get((1, 2)) == pytest.approx(6 / 8)
 
+    def test_prefix_filter_bounds_stopword_candidates(self, spark):
+        # 30 docs all opening with the same stop-word boilerplate but
+        # otherwise unique: the shared shingles are high-DF, land at the
+        # tail of the rarest-first order, and must NOT generate all-pairs
+        # candidates. True near-dups must still be found (lossless).
+        boiler = "it is a truth universally acknowledged that"
+        rows = [(i, f"{boiler} document {i} speaks of topic{i} alpha{i} beta{i} gamma{i}", "en", "s", 1) for i in range(1, 31)]
+        rows.append((99, rows[0][1], "en", "s", 1))  # exact dup of doc 1
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+        n_cand = dedup.ngram_candidate_pairs(df, threshold=0.6).count()
+        assert n_cand < 60  # naive inverted-index join yields 30*29/2=435+ via shared boilerplate
+        pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(df, 0.6).collect()}
+        assert pairs.get((1, 99)) == 1.0
+        assert all({a, b} == {1, 99} for a, b in pairs)
+
+    def test_df_cap_drops_ubiquitous_shingles(self, spark):
+        # With df_cap=2 every shingle shared by >2 docs leaves the
+        # universe; three identical docs then share no shingles at all.
+        rows = [(i, "same words repeated in every single document here", "en", "s", 1) for i in (1, 2, 3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+        assert dedup.ngram_jaccard_pairs(df, 0.1, df_cap=2).count() == 0
+        assert dedup.ngram_jaccard_pairs(df, 0.1, df_cap=3).count() == 3
+
 
 class TestTextOps:
     def test_token_count(self, docs):
