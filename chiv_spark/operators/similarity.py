@@ -8,12 +8,16 @@ Two tiers (SURVEY.md §7.7 / BASELINE.json north star):
   scales linearly in corpus size across executors.
 - ``lsh_cosine_topk`` / ``embedding_neardup``: the scale path —
   random-hyperplane LSH buckets computed with *integer-quantized*
-  arithmetic (round(emb*1000) dot integer plane weights), so bucket
-  assignment is exactly reproducible in any engine and any
+  arithmetic (floor(emb*1000+0.5) dot integer plane weights), so
+  bucket assignment is exactly reproducible in any engine and any
   aggregation order; exact cosine runs only within buckets.
 
-All vector math is JVM-side (zip_with/aggregate fold) — sequential
-per-row fold, deterministic float accumulation, no Python UDFs.
+Pairwise vector math (the per-candidate hot loop) is JVM-side
+fixed-dim expression chains (GetArrayItem + arithmetic — whole-stage
+codegen). The per-row P-plane sign sums are ONE Arrow-batched numpy
+int64 matmul (interpreted zip_with/aggregate folds and >64KB unrolled
+codegen both lose by a wide margin there). Accumulation order is
+deterministic everywhere — the DuckDB oracle gate depends on it.
 """
 
 from __future__ import annotations
@@ -23,46 +27,78 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chiv_spark.functions.detmath import det_round
-from chiv_spark.functions.hashing import hash64
 from chiv_spark.functions.vectors import dot_fixed, l2_norm_fixed
 
 
-def _dim(emb: DataFrame, vec_col: str) -> int:
+def _dim(emb: DataFrame, vec_col: str, dim: int | None = None) -> int:
+    """Embedding dimension. Spark's array type carries no length, so
+    callers that know it pass ``dim`` and plan construction stays pure;
+    the ``.first()`` probe is only the convenience fallback."""
+    if dim is not None:
+        return dim
     return len(emb.select(vec_col).first()[0])
 
 
 def _plane_weight(p: int, d: int) -> int:
-    """Python twin of the JVM-side weight expression
-    hash64('p:d') % PLANE_MOD - 1000 — md5-derived, so both compute
-    identical integers (checked in tests)."""
+    """Plane weight w(p,d) = md5-60bit('p:d') % PLANE_MOD - 1000 —
+    the oracle SQL computes the identical integer from the same md5
+    prefix (hash64('p:d') twin), so both engines share the planes."""
     import hashlib
 
     h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
     return h % PLANE_MOD - 1000
 
 
-def _sign_sums_inline(emb: DataFrame, id_col: str, vec_col: str, num_planes: int) -> DataFrame:
-    """(id, s0..s{P-1}): all plane dot sums in ONE narrow projection —
-    the weights are compile-time constant arrays, folded per plane with
-    zip_with+aggregate. No explode, no join, no shuffle. Integer
-    arithmetic only → identical to the oracle's explode+group
-    computation in any evaluation order. (Higher-order folds are
-    interpreted, but the work is rows × planes × dim integer ops — a
-    narrow map that scales linearly and partitions perfectly.)"""
-    dim = _dim(emb, vec_col)
-    vec = F.col(vec_col)
-    cols = []
-    for p in range(num_planes):
-        warr = F.array(*[F.lit(_plane_weight(p, d)) for d in range(1, dim + 1)])
-        prod = F.zip_with(
-            vec,
-            warr,
-            lambda x, w: F.round(x.cast("double") * QUANT).cast("long") * w,
-        )
-        cols.append(
-            F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v).alias(f"s{p}")
-        )
-    return emb.select(F.col(id_col).alias("id"), *cols)
+def _sign_sums_inline(
+    emb: DataFrame, id_col: str, vec_col: str, num_planes: int, dim: int | None = None
+) -> DataFrame:
+    """(id, s0..s{P-1}): all plane dot sums via ONE Arrow-batched numpy
+    int64 matmul per batch.
+
+    Quantization is floor(x*QUANT + 0.5)::int64 — the det_round
+    formula: pure IEEE double ops, bit-identical across numpy, Spark
+    and DuckDB FLOOR (unlike native round(), whose tie handling
+    differs per engine). The weight matrix (P×D, md5-derived ints) is
+    built driver-side and shipped by value in the closure, so workers
+    need no chiv_spark import; all sums are exact int64 — identical
+    to the oracle's explode+group computation in any order.
+
+    Why a Pandas UDF and not expressions: per-plane zip_with/aggregate
+    folds run interpreted (outside codegen), and unrolled fixed-dim
+    chains for P×D terms blow Janino's 64KB method limit, which
+    silently falls back to interpreted too. A narrow mapInPandas with
+    a vectorized integer matmul is the shape that survives 100 TB:
+    no shuffle, no explode, linear in rows, SIMD inside the batch."""
+    import numpy as np
+
+    dim = _dim(emb, vec_col, dim)
+    weights = np.array(
+        [[_plane_weight(p, d) for d in range(1, dim + 1)] for p in range(num_planes)],
+        dtype=np.int64,
+    ).T  # (dim, P)
+    quant = float(QUANT)
+    names = [f"s{p}" for p in range(num_planes)]
+    schema = "id long, " + ", ".join(f"{n} long" for n in names)
+    vc, ic = vec_col, id_col
+
+    def gen(batches):
+        # self-contained: captures only local values (weights ships by
+        # value) — safe when the driver runs from a foreign cwd
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _np.stack(pdf[vc].to_numpy()).astype(_np.float64)
+            q = _np.floor(x * quant + 0.5).astype(_np.int64)
+            s = q @ weights
+            out = {"id": pdf[ic].to_numpy()}
+            for j, n in enumerate(names):
+                out[n] = s[:, j]
+            yield _pd.DataFrame(out)
+
+    return emb.select(ic, vc).mapInPandas(gen, schema)
 
 # LSH parameters shared with the DuckDB oracle
 NUM_PLANES = 8
@@ -83,6 +119,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -90,7 +127,7 @@ def cosine_topk(
     columns); defaults to the full corpus (all-pairs top-k). The
     query side is broadcast — corpus never shuffles.
     """
-    dim = _dim(emb, vec_col)
+    dim = _dim(emb, vec_col, dim)
     # precompute norms once per vector (not once per pair) and use the
     # codegen-friendly fixed-dim dot: same accumulation order, ~10x
     # faster than interpreted higher-order folds in pairwise loops
@@ -120,26 +157,36 @@ def cosine_topk(
     )
 
 
-def _lsh_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def _lsh_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
     """(id, bucket): sign-bit bucket over NUM_PLANES deterministic
     hyperplanes using integer arithmetic only.
 
     plane weight w(p,d) = (hash64('p:d') % PLANE_MOD) - 1000 ∈ [-1000,1000]
-    contribution(p,d)  = round(emb[d]*QUANT)::bigint * w(p,d)
+    contribution(p,d)  = floor(emb[d]*QUANT + 0.5)::bigint * w(p,d)
     bit p = 1 iff Σ_d contribution > 0  (integer sum → order-free)
     """
-    sums = _sign_sums_inline(emb, id_col, vec_col, NUM_PLANES)
+    sums = _sign_sums_inline(emb, id_col, vec_col, NUM_PLANES, dim)
     bucket = F.lit(0).cast("long")
     for p in range(NUM_PLANES):
         bucket = bucket + F.when(F.col(f"s{p}") > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
     return sums.select("id", bucket.alias("bucket"))
 
 
-def _band_sign_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def _band_sign_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
     """(id, band, bits): banded hyperplane sign buckets (OR-construction)
     — same integer-exact sign computation as _lsh_buckets, but grouped
     into NEARDUP_BANDS bands of PLANES_PER_BAND planes each."""
-    sums = _sign_sums_inline(emb, id_col, vec_col, NEARDUP_PLANES)
+    sums = _sign_sums_inline(emb, id_col, vec_col, NEARDUP_PLANES, dim)
     band_cols = []
     for band in range(NEARDUP_BANDS):
         bits = F.lit(0).cast("long")
@@ -159,6 +206,7 @@ def embedding_neardup(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: banded LSH bucket equi-join →
     exact cosine ≥ threshold. The only shuffle is on the (band, bits)
@@ -168,7 +216,8 @@ def embedding_neardup(
     # would otherwise evaluate the plane folds twice (~25% of query
     # wall). localCheckpoint truncates lineage; the small (id, band,
     # bits) frame is cheap to hold.
-    buckets = _band_sign_buckets(emb, id_col, vec_col).localCheckpoint(eager=True)
+    dim = _dim(emb, vec_col, dim)
+    buckets = _band_sign_buckets(emb, id_col, vec_col, dim).localCheckpoint(eager=True)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -180,7 +229,6 @@ def embedding_neardup(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()  # a pair can collide in several bands — dedupe ids only
     )
-    dim = _dim(emb, vec_col)
     va = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
@@ -206,6 +254,7 @@ def ivf_assign(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, centroid_id): IVF coarse quantization — assign every
     vector to its nearest centroid by cosine.
@@ -214,7 +263,7 @@ def ivf_assign(
     stand-in; at scale you'd k-means offline and broadcast the
     codebook — the assignment plan is identical either way: corpus ×
     broadcast-codebook scoring, argmax per row, no shuffle)."""
-    dim = _dim(emb, vec_col)
+    dim = _dim(emb, vec_col, dim)
     cents = (
         emb.filter(F.col(id_col) < n_centroids)
         .select(
@@ -246,12 +295,13 @@ def ivf_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe only the query's centroid cell, exact
     cosine within it (single-probe; recall < 1 by design — raise
     probes at scale)."""
-    dim = _dim(emb, vec_col)
-    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    dim = _dim(emb, vec_col, dim)
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col, dim)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -286,12 +336,13 @@ def lsh_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: probe only the query's LSH bucket, exact cosine
     within it. Recall < 1 by construction; the exactness story is
     cosine_topk, this is the latency/scale path."""
-    dim = _dim(emb, vec_col)
-    buckets = _lsh_buckets(emb, id_col, vec_col)
+    dim = _dim(emb, vec_col, dim)
+    buckets = _lsh_buckets(emb, id_col, vec_col, dim)
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

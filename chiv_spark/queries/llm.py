@@ -213,6 +213,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 # ---------------------------------------------------------- similarity
 
+#: testdata embeddings are 64-dim (TESTDATA.md); passing the dimension
+#: keeps plan construction pure (no .first() action at build time)
+EMB_DIM = 64
+
 _LSH_CTES = """
     dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS d),
     planes AS (SELECT CAST(unnest(range(8)) AS INT) AS p),
@@ -220,7 +224,7 @@ _LSH_CTES = """
                  ((('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT) % 2001 - 1000) AS w
           FROM planes CROSS JOIN dims),
     expanded AS (SELECT vec_id AS id, d,
-                        CAST(ROUND(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS xq
+                        CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xq
                  FROM embeddings CROSS JOIN dims),
     psums AS (SELECT e.id, w.p, SUM(e.xq * w.w) AS s
               FROM expanded e JOIN w ON e.d = w.d GROUP BY e.id, w.p),
@@ -242,7 +246,7 @@ _BAND_CTES = """
                  ((('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT) % 2001 - 1000) AS w
           FROM planes CROSS JOIN dims),
     expanded AS (SELECT vec_id AS id, d,
-                        CAST(ROUND(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS xq
+                        CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xq
                  FROM embeddings CROSS JOIN dims),
     psums AS (SELECT e.id, w.p, SUM(e.xq * w.w) AS s
               FROM expanded e JOIN w ON e.d = w.d GROUP BY e.id, w.p),
@@ -269,7 +273,9 @@ _BAND_CTES = """
     doc="embedding near-dup pairs: banded integer-quantized hyperplane LSH + exact cosine",
 )
 def embedding_neardup(spark, sf_dir):
-    return similarity.embedding_neardup(t(spark, sf_dir, "embeddings"), threshold=0.3)
+    return similarity.embedding_neardup(
+        t(spark, sf_dir, "embeddings"), threshold=0.3, dim=EMB_DIM
+    )
 
 
 @query(
@@ -292,7 +298,7 @@ def embedding_neardup(spark, sf_dir):
 )
 def ann_cosine_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=EMB_DIM)
 
 
 @query(
@@ -315,7 +321,9 @@ def ann_cosine_topk(spark, sf_dir):
 )
 def ann_lsh_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
-    return similarity.lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return similarity.lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=EMB_DIM
+    )
 
 
 @query(
@@ -410,7 +418,7 @@ def pipeline_clean_corpus(spark, sf_dir):
 )
 def ann_ivf_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=EMB_DIM)
 
 
 # ---------------------------------------------------------- multimodal
