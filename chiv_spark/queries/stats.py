@@ -218,7 +218,12 @@ _CLUSTER_ORACLE = f"""
 def dedup_clusters(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents")).select("doc_a", "doc_b")
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("a", "b").distinct()
-    edges = edges.persist()
+    # materialize the edge set ONCE and truncate lineage: persist()
+    # alone leaves the full minhash->band->verify plan in every round's
+    # DAG (first action pays it, and concurrent subtrees in the same
+    # job can race the cache and recompute it). After the eager
+    # localCheckpoint the loop joins run on a small flat frame.
+    edges = edges.localCheckpoint(eager=True)
     # min-label propagation to fixpoint. Near-dup components are
     # cliques or near-cliques (every member pairs with most others),
     # so the diameter — and the round count — is 1-3; plain edge
@@ -251,5 +256,4 @@ def dedup_clusters(spark, sf_dir):
         labels = new_labels
         if n_changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id"))
