@@ -87,6 +87,9 @@ class Archiver:
     def archive(self, table: str, bucket: str, **overrides: object) -> str:
         """Archive a named table (temp view / catalog table) —
         the reference's ``Archive(db, s3, table, bucket)``."""
+        job_group = overrides.pop("job_group", None)
+        if job_group is not None:
+            self.spark.sparkContext.setJobGroup(str(job_group), "chiv archive", True)
         distributed = bool(overrides.pop("distributed", False))
         opts = self.defaults.merged(**overrides)
         try:
@@ -182,6 +185,12 @@ class Archiver:
             sink_raw = writer_cm.__enter__()
         except Exception as e:  # noqa: BLE001
             raise UploadError(e) from e
+        # On any failure no object may remain at bucket/key: the
+        # reference cancels the errgroup context, which aborts the S3
+        # multipart upload so nothing appears (chiv.go:126-143). A
+        # truncated object surviving here could be mistaken for a
+        # complete archive.
+        failure: BaseException | None = None
         try:
             sink = _UploadGuard(sink_raw)
             formatter: Formatter = fmt_func(sink, df.columns)
@@ -201,11 +210,26 @@ class Archiver:
                 ]
                 _staged(lambda r=record: formatter.format_row(r), "downloading: formatting row")
             _staged(formatter.close, "downloading: closing formatter")
+        except BaseException as e:
+            failure = e
+            raise
         finally:
+            close_exc: Exception | None = None
             try:
                 writer_cm.__exit__(None, None, None)
             except Exception as e:  # noqa: BLE001
-                raise UploadError(e) from e
+                close_exc = e
+            if failure is not None or close_exc is not None:
+                try:
+                    storage.delete(bucket, key)
+                except Exception:  # noqa: BLE001, S110
+                    pass  # best-effort cleanup; the primary error wins
+            if close_exc is not None:
+                if failure is None:
+                    raise UploadError(close_exc) from close_exc
+                # the in-flight ArchiveError keeps propagating; record
+                # the close failure instead of masking the original
+                failure.add_note(f"additionally, closing the upload failed: {close_exc!r}")
 
     def _write_distributed(self, df: DataFrame, bucket: str, key: str, opts: ArchiveOptions) -> None:
         """Scale path: parallel part files under ``bucket/key/``."""

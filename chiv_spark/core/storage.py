@@ -30,6 +30,12 @@ class LocalStorage:
         with open(os.path.join(bucket, key), "rb") as f:
             return f.read()
 
+    def delete(self, bucket: str, key: str) -> None:
+        try:
+            os.remove(os.path.join(bucket, key))
+        except FileNotFoundError:
+            pass
+
 
 class HadoopStorage:
     """Hadoop-FS-backed storage: handles s3a:// (streaming multipart
@@ -60,6 +66,10 @@ class HadoopStorage:
             yield _W()
         finally:
             stream.close()
+
+    def delete(self, bucket: str, key: str) -> None:
+        fs, path = self._fs_path(bucket, key)
+        fs.delete(path, False)
 
     def read_bytes(self, bucket: str, key: str) -> bytes:
         fs, path = self._fs_path(bucket, key)

@@ -15,12 +15,22 @@ from chiv_spark.formats.base import ByteSink, RecordLengthError
 from chiv_spark.formats.encode import to_csv_str
 
 
+# Go fieldNeedsQuotes checks unicode.IsSpace on the first rune: the
+# full White_Space set, not just space/tab (\v, \f, U+0085, U+00A0,
+# U+1680, U+2000-200A, U+2028, U+2029, U+202F, U+205F, U+3000).
+_GO_SPACE = frozenset(
+    "\t\n\v\f\r \u0085\u00a0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+
+
 def _quote_field(s: str) -> str:
     if s == "\\.":
         return '"\\."'
     if s == "":
         return s
-    needs = any(c in s for c in (',', '"', '\r', '\n')) or s[0] in (" ", "\t")
+    needs = any(c in s for c in (',', '"', '\r', '\n')) or s[0] in _GO_SPACE
     if not needs:
         return s
     return '"' + s.replace('"', '""') + '"'

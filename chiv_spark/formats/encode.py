@@ -44,6 +44,38 @@ def go_float_str(f: float) -> str:
     return r
 
 
+def go_g_float_str(f: float) -> str:
+    """Format a float like Go ``strconv.FormatFloat(f, 'g', -1, 64)``
+    — the rule yaml.v2 uses for float64 (its encoder calls exactly
+    that), which differs from encoding/json's: scientific notation
+    whenever the decimal exponent is < -4 or >= 6, fixed otherwise.
+    So ``1e-5`` renders ``1e-05`` and ``1e16`` renders ``1e+16``
+    (json would give ``0.00001`` / ``10000000000000000``); exponent
+    is signed with at least two digits.
+    """
+    if math.isnan(f) or math.isinf(f):
+        raise ValueError(f"cannot encode non-finite float {f!r}")
+    f = float(f)
+    neg = math.copysign(1.0, f) < 0
+    if f == 0.0:
+        return "-0" if neg else "0"
+    # Python repr is the shortest round-trip decimal — same digits Go
+    # computes for shortest 'g'
+    sign, digits, dexp = Decimal(repr(f)).as_tuple()
+    digs = "".join(map(str, digits)).rstrip("0") or "0"
+    exp = dexp + len(digits) - 1  # decimal exponent of the leading digit
+    if exp < -4 or exp >= 6:
+        mant = digs[0] + ("." + digs[1:] if len(digs) > 1 else "")
+        return f"{'-' if sign else ''}{mant}e{'+' if exp >= 0 else '-'}{abs(exp):02d}"
+    if exp >= len(digs) - 1:
+        body = digs + "0" * (exp - (len(digs) - 1))
+    elif exp >= 0:
+        body = digs[: exp + 1] + "." + digs[exp + 1 :]
+    else:
+        body = "0." + "0" * (-exp - 1) + digs
+    return ("-" if sign else "") + body
+
+
 def rfc3339(ts: _dt.datetime) -> str:
     """RFC3339 / UTC, fractional seconds trimmed of trailing zeros."""
     base = ts.strftime("%Y-%m-%dT%H:%M:%S")

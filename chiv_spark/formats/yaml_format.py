@@ -17,10 +17,26 @@ from collections.abc import Sequence
 from decimal import Decimal
 
 from chiv_spark.formats.base import ByteSink, RecordLengthError
-from chiv_spark.formats.encode import go_float_str, rfc3339
+from chiv_spark.formats.encode import go_g_float_str, rfc3339
 
-# plain-safe: no YAML indicator chars, not number/bool/null-like
-_PLAIN_OK = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_ .\-/()]*$")
+# plain-safe: no YAML indicator chars, not number/bool/null-like.
+# yaml.v2's emitter allows printable non-ASCII in plain scalars
+# ('café' stays unquoted), so the ASCII whitelist is extended by a
+# printable-non-ASCII check (NBSP etc. are not printable → quoted).
+_PLAIN_FIRST = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_"
+)
+_PLAIN_REST = _PLAIN_FIRST | frozenset(" .-/()")
+
+
+def _plain_char(c: str, charset: frozenset) -> bool:
+    return c in charset or (ord(c) > 0x7F and c.isprintable())
+
+
+def _plain_ok(s: str) -> bool:
+    return bool(s) and _plain_char(s[0], _PLAIN_FIRST) and all(
+        _plain_char(c, _PLAIN_REST) for c in s[1:]
+    )
 _BOOLISH = {"true", "false", "yes", "no", "on", "off", "null", "~", ""}
 _TIMESTAMPISH = re.compile(r"^\d{4}-\d{1,2}-\d{1,2}([Tt ].*)?$")
 _NUMBERISH = re.compile(r"^[-+]?(\d[\d_]*\.?[\d_]*([eE][-+]?\d+)?|\.\d+|0x[0-9a-fA-F]+|0o?[0-7]+)$")
@@ -32,9 +48,9 @@ def _yaml_scalar(v: object) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return go_float_str(v)
+        return go_g_float_str(v)
     if isinstance(v, Decimal):
-        return go_float_str(float(v))
+        return go_g_float_str(float(v))
     if isinstance(v, int):
         return str(v)
     if isinstance(v, _dt.datetime):
@@ -69,7 +85,7 @@ def _yaml_scalar(v: object) -> str:
         # yaml.v2 double-quotes strings that would resolve as timestamps
         return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
     if (
-        _PLAIN_OK.match(s)
+        _plain_ok(s)
         and s.lower() not in _BOOLISH
         and not _NUMBERISH.match(s)
         and not s.endswith(" ")

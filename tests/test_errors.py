@@ -117,3 +117,122 @@ class TestStageChainedErrors:
         except ArchiveError as e:
             assert e.stage == "querying 'missing_table'"
             assert e.cause is not None
+
+
+class TestNoPartialObjectOnFailure:
+    """The reference aborts the S3 multipart upload on error (ctx
+    cancellation through the errgroup, chiv.go:126-143), so no object
+    appears at bucket/key; a truncated object here would read as a
+    complete archive."""
+
+    class _ExplodesMidway:
+        extension = "x"
+
+        def __init__(self, sink, columns):
+            self._sink = sink
+            self._n = 0
+
+        def open(self):
+            self._sink.write(b"partial header\n")
+
+        def format_row(self, record):
+            self._n += 1
+            if self._n == 2:
+                raise RuntimeError("boom")
+            self._sink.write(b"row\n")
+
+        def close(self):
+            pass
+
+    def test_local_storage_partial_object_removed(self, spark, small_df, tmp_path):
+        with pytest.raises(ArchiveError, match="formatting"):
+            Archiver(spark).archive_df(
+                small_df, str(tmp_path), format=self._ExplodesMidway, key="part.x"
+            )
+        assert not (tmp_path / "part.x").exists()
+
+    def test_hadoop_storage_partial_object_removed(self, spark, small_df, tmp_path):
+        with pytest.raises(ArchiveError, match="formatting"):
+            Archiver(spark).archive_df(
+                small_df, f"file://{tmp_path}", format=self._ExplodesMidway, key="part.x"
+            )
+        assert not (tmp_path / "part.x").exists()
+
+    def test_close_failure_chains_not_masks(self, spark, small_df, tmp_path):
+        """If the body failed AND the writer close failed, the original
+        ArchiveError propagates with the close error attached as a note
+        (not replaced by an UploadError)."""
+        import chiv_spark.core.archiver as archiver_mod
+
+        class BadCloseStorage:
+            def writer(self, bucket, key):
+                from contextlib import contextmanager
+
+                @contextmanager
+                def cm():
+                    yield type("W", (), {"write": lambda self, d: None})()
+                    raise OSError("close failed")
+
+                return cm()
+
+            def delete(self, bucket, key):
+                pass
+
+        orig = archiver_mod.storage_for
+        archiver_mod.storage_for = lambda bucket, spark=None: BadCloseStorage()
+        try:
+            with pytest.raises(ArchiveError, match="formatting") as ei:
+                Archiver(spark).archive_df(
+                    small_df, str(tmp_path), format=TestNoPartialObjectOnFailure._ExplodesMidway
+                )
+            assert any("close failed" in n for n in getattr(ei.value, "__notes__", []))
+        finally:
+            archiver_mod.storage_for = orig
+
+    def test_close_failure_alone_is_upload_error_and_removes_object(
+        self, spark, small_df, tmp_path
+    ):
+        import chiv_spark.core.archiver as archiver_mod
+        from chiv_spark.core.storage import LocalStorage
+
+        class BadCloseLocal(LocalStorage):
+            def writer(self, bucket, key):
+                from contextlib import contextmanager
+
+                @contextmanager
+                def cm():
+                    import os
+
+                    path = os.path.join(bucket, key)
+                    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+                    with open(path, "wb") as f:
+                        yield f
+                    raise OSError("finalize failed")
+
+                return cm()
+
+        orig = archiver_mod.storage_for
+        archiver_mod.storage_for = lambda bucket, spark=None: BadCloseLocal()
+        try:
+            with pytest.raises(UploadError, match="finalize failed"):
+                Archiver(spark).archive_df(small_df, str(tmp_path), format="csv", key="t.csv")
+            assert not (tmp_path / "t.csv").exists()
+        finally:
+            archiver_mod.storage_for = orig
+
+
+class TestJobGroupOption:
+    def test_archive_accepts_job_group(self, spark, small_df, tmp_path):
+        """archive() must pop job_group like archive_df does — it is a
+        runtime tag, not an ArchiveOptions field (a bare TypeError from
+        dataclasses.replace is the bug)."""
+        key = Archiver(spark).archive(
+            "err_table", str(tmp_path), job_group="jg-archive", format="csv"
+        )
+        assert (tmp_path / key).exists()
+
+    def test_archive_query_accepts_job_group(self, spark, small_df, tmp_path):
+        key = Archiver(spark).archive_query(
+            "SELECT * FROM err_table", str(tmp_path), job_group="jg-q", format="csv"
+        )
+        assert (tmp_path / key).exists()

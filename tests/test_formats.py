@@ -173,3 +173,57 @@ class TestScalarEncoding:
         f.open()
         with pytest.raises(ValueError, match="record length"):
             f.format_row([1])
+
+
+class TestGoGFloat:
+    """yaml.v2 marshals float64 via strconv.FormatFloat(f,'g',-1,64):
+    scientific when the decimal exponent is < -4 or >= 6 — different
+    thresholds from encoding/json's (-6, 21)."""
+
+    def test_yaml_rules(self):
+        from chiv_spark.formats.encode import go_g_float_str as g
+
+        assert g(1e-5) == "1e-05"
+        assert g(1e16) == "1e+16"
+        assert g(1e6) == "1e+06"
+        assert g(100000.0) == "100000"
+        assert g(0.0001) == "0.0001"
+        assert g(3.141592) == "3.141592"
+        assert g(100.0) == "100"
+        assert g(-0.0) == "-0"
+        assert g(-2.5) == "-2.5"
+        assert g(1234567.8) == "1.2345678e+06"
+        assert g(1e100) == "1e+100"
+        assert g(6.5e-7) == "6.5e-07"
+        with pytest.raises(ValueError):
+            g(float("inf"))
+
+    def test_yaml_sink_uses_g_format(self):
+        out = run_formatter(YamlFormatter, ["v"], [[1e-5], [1e16], [100.0]])
+        assert out.decode() == "- v: 1e-05\n- v: 1e+16\n- v: 100\n"
+
+    def test_json_keeps_json_rules(self):
+        assert go_float_str(1e-5) == "0.00001"
+        assert go_float_str(1e16) == "10000000000000000"
+
+
+class TestYamlNonAscii:
+    def test_printable_non_ascii_stays_plain(self):
+        out = run_formatter(YamlFormatter, ["s"], [["caf\u00e9"], ["na\u00efve id\u00e9e"]])
+        assert out.decode() == "- s: caf\u00e9\n- s: na\u00efve id\u00e9e\n"
+
+    def test_non_printable_non_ascii_quoted(self):
+        # NBSP is not printable -> single-quoted, unlike accented letters
+        out = run_formatter(YamlFormatter, ["s"], [["a\u00a0b"]])
+        assert out.decode() == "- s: 'a\u00a0b'\n"
+
+
+class TestCsvUnicodeSpaceQuoting:
+    def test_go_isspace_first_rune(self):
+        rows = [["\vx"], ["\fx"], ["\u0085x"], ["\u00a0x"], ["\u2028x"], ["x\u00a0"]]
+        out = run_formatter(CsvFormatter, ["a"], rows)
+        expected = (
+            "a\n\"\vx\"\n\"\fx\"\n\"\u0085x\"\n\"\u00a0x\"\n"
+            "\"\u2028x\"\nx\u00a0\n"
+        )
+        assert out.decode() == expected
