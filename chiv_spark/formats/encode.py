@@ -96,7 +96,11 @@ def to_csv_str(v: object) -> str:
     if isinstance(v, float):
         return go_float_str(v)
     if isinstance(v, Decimal):
-        return go_float_str(float(v))
+        # CSV is the raw-bytes sink: the reference writes the driver's
+        # NUMERIC text verbatim, scale included ("9.50" stays "9.50",
+        # chiv_formatters.go CSV path). Typed sinks (JSON/YAML) parse
+        # to float64 first and drop the scale — see json_value.
+        return str(v)
     if isinstance(v, _dt.datetime):
         return rfc3339(v)
     if isinstance(v, _dt.date):

@@ -4,9 +4,15 @@ The reference extracts from Postgres/MySQL via ``database/sql``
 (/root/reference/cmd/chiv/main.go:16-17). The Spark-native equivalent
 is the JDBC DataFrame source, which additionally gives *partitioned*
 parallel extraction (numPartitions/partitionColumn) — something a
-single row cursor can never do. No JDBC driver jar ships in this
-container, so this module only builds the reader; it is exercised by
-option-construction unit tests.
+single row cursor can never do.
+
+Exercised two ways: option-construction unit tests
+(tests/test_sources.py) and a LIVE round-trip against embedded Apache
+Derby on the Spark classpath (tests/test_jdbc_integration.py — typed
+table over java.sql.DriverManager, driver-metadata type inference,
+partitioned parallel read, archive + download-back byte compare: the
+reference's chiv_integration_test.go:313-319 loop with an embedded
+engine standing in for its dockerized Postgres/MariaDB).
 """
 
 from __future__ import annotations

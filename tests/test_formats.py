@@ -227,3 +227,14 @@ class TestCsvUnicodeSpaceQuoting:
             "\"\u2028x\"\nx\u00a0\n"
         )
         assert out.decode() == expected
+
+
+class TestDecimalScaleInCsv:
+    def test_decimal_keeps_driver_scale(self):
+        from decimal import Decimal
+
+        from chiv_spark.formats.encode import to_csv_str
+
+        assert to_csv_str(Decimal("9.50")) == "9.50"
+        assert to_csv_str(Decimal("19.99")) == "19.99"
+        assert to_csv_str(Decimal("0.01")) == "0.01"
