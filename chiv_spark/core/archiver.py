@@ -214,10 +214,16 @@ class Archiver:
             failure = e
             raise
         finally:
-            close_exc: Exception | None = None
+            close_exc: BaseException | None = None
             try:
-                writer_cm.__exit__(None, None, None)
-            except Exception as e:  # noqa: BLE001
+                if failure is not None:
+                    # give the storage the real exception: backends with
+                    # transactional uploads (S3 multipart) abort instead
+                    # of finalizing — the reference's errgroup-ctx path
+                    writer_cm.__exit__(type(failure), failure, failure.__traceback__)
+                else:
+                    writer_cm.__exit__(None, None, None)
+            except BaseException as e:  # noqa: BLE001
                 close_exc = e
             if failure is not None or close_exc is not None:
                 try:

@@ -170,8 +170,10 @@ class TestNoPartialObjectOnFailure:
 
                 @contextmanager
                 def cm():
-                    yield type("W", (), {"write": lambda self, d: None})()
-                    raise OSError("close failed")
+                    try:
+                        yield type("W", (), {"write": lambda self, d: None})()
+                    finally:
+                        raise OSError("close failed")
 
                 return cm()
 
