@@ -173,7 +173,17 @@ def events_sessionize_scalable(spark, sf_dir):
 
 @query(
     "streaming_events_window",
-    None,  # genuine Structured Streaming run — rows-only check
+    # the availableNow run processes the whole file before the watermark
+    # ever advances, so nothing is dropped and the streaming result is
+    # exactly the batch tumbling window — same oracle as the batch twin
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
     doc="real readStream→watermark→window→writeStream run (availableNow trigger, memory sink)",
 )
 def streaming_events_window(spark, sf_dir):
@@ -183,9 +193,24 @@ def streaming_events_window(spark, sf_dir):
 
 @query(
     "streaming_stream_stream_join",
-    None,  # stateful stream-stream join — rows-only (batch-equality in tests)
+    # single-microbatch availableNow run: the dual watermarks never
+    # advance mid-stream, so no state is evicted and the streaming
+    # result equals the batch interval join below
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           c.event_id AS click_id,
+           CAST(p.ts AS TIMESTAMP) AS p_ts,
+           CAST(c.ts AS TIMESTAMP) AS c_ts
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
     doc="stream-stream interval join with dual watermarks (purchase ⋈ prior "
-    "click within 1h); matches the batch interval join exactly in tests",
+    "click within 1h); matches the batch interval join exactly",
 )
 def streaming_stream_stream_join(spark, sf_dir):
     from chiv_spark.streaming.joins import purchases_with_clicks
@@ -196,9 +221,35 @@ def streaming_stream_stream_join(spark, sf_dir):
 
 @query(
     "streaming_stateful_sessions",
-    None,  # custom stateful operator (applyInPandasWithState) — rows-only
+    # the sessionizer emits CLOSED sessions; each user's final session
+    # stays in the state store (NoTimeout + availableNow), so the
+    # streaming result is the batch sessionization minus every user's
+    # last session — expressed exactly below in epoch-microseconds
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps),
+    agg AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             COUNT(*) AS n_events,
+             MIN(epoch_us(ts)) AS start_us,
+             MAX(epoch_us(ts)) AS end_us
+      FROM sess GROUP BY user_id, session_id)
+    SELECT user_id, session_id, n_events, start_us, end_us
+    FROM agg
+    WHERE session_id < (SELECT MAX(session_id) FROM agg a2 WHERE a2.user_id = agg.user_id)
+    """,
     doc="custom stateful streaming sessionizer via applyInPandasWithState "
-    "(closed sessions match the batch events_sessionize twin exactly)",
+    "(emits closed sessions = batch sessionization minus each user's last session)",
 )
 def streaming_stateful_sessions(spark, sf_dir):
     from chiv_spark.streaming.sessions import run_stateful_sessions

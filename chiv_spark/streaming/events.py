@@ -22,7 +22,9 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: 
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # decimal sum: exact and order-free, so the streaming result
+            # is bit-identical to the batch twin and its DuckDB oracle
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
