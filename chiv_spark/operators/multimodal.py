@@ -3,9 +3,10 @@
 Images/audio/video ride through the engine as ``binary`` columns with
 a typed metadata struct. The Spark-side plumbing — schema, Arrow batch
 shape, ``mapInPandas`` signature, partition sizing — is real and
-tested; the actual codec calls are stubbed behind
-``NotImplementedError`` / a deterministic fake because no media
-libraries ship in this container (per the build contract).
+tested. PNG decode/resize is REAL too (pure-stdlib codec,
+chiv_spark.formats.png); formats needing native libraries absent from
+this container (JPEG, audio, video) raise ``NotImplementedError`` or
+fall back to a clearly-marked deterministic fake.
 
 At scale: media payloads dominate partition size, so feature
 extraction repartitions by a size-aware key first and processes with
@@ -52,9 +53,19 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder slot — media libs are absent in this container."""
-    raise NotImplementedError("image codecs are not available in this environment")
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload to (width, height, channels, raw pixels).
+
+    PNG decodes for real via the pure-stdlib codec
+    (chiv_spark.formats.png — zlib inflate + per-spec unfiltering).
+    Other formats (JPEG/WebP/...) need native codecs absent from this
+    container and raise — a documented environment limit, not a stub.
+    """
+    from chiv_spark.formats.png import decode_png, is_png
+
+    if is_png(payload):
+        return decode_png(payload)
+    raise NotImplementedError("only PNG decodes here; JPEG/WebP need native codecs")
 
 
 def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -131,26 +142,38 @@ FRAME_SCHEMA = T.StructType(
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image resize plumbing: Arrow-batched mapInPandas with the real
-    UDF shape; the codec call is stubbed (no imaging libs in this
-    container) — the 'resized' payload is a deterministic byte slice
-    standing in for the decoded+resized image."""
+    """Arrow-batched image resize over binary payloads.
+
+    PNG payloads take the REAL path: pure-stdlib decode (zlib inflate,
+    per-spec unfiltering), numpy nearest-neighbor resample, re-encode
+    — output rows carry a valid PNG of the target size. Non-PNG
+    payloads (the synthetic text-bytes corpus, JPEG without native
+    codecs) fall back to a deterministic byte slice so mixed pipelines
+    still run end-to-end; the split is per-row, not per-job."""
+    from chiv_spark.pyship import ensure_shipped
+
+    # the closure imports chiv_spark.formats.png on the worker — ship
+    # the package so the import works from any driver cwd
+    ensure_shipped(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
-        target = width * height // 64  # deterministic fake output size
+        from chiv_spark.formats.png import is_png, resize_png
+
+        fake_target = width * height // 64
+
+        def one(b: bytes) -> bytes:
+            raw = bytes(b)
+            if is_png(raw):
+                return resize_png(raw, width, height)
+            return raw[: max(1, min(len(raw), fake_target))]
 
         for pdf in batches:
-            # real implementation: PIL.Image.open(io.BytesIO(b)).resize(...)
-            # -> raise NotImplementedError without a codec; fake keeps
-            # the pipeline runnable end-to-end
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": pdf["payload"].map(
-                        lambda b: bytes(b)[: max(1, min(len(b), target))]
-                    ),
+                    "payload": pdf["payload"].map(one),
                     "width": width,
                     "height": height,
                 }
