@@ -1,11 +1,18 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "spread": {name: max-min, ...}, "sf": ...}.
+
+Fixed protocol (round-2 verdict item #10 — this box has ±30% run-to-
+run noise, so cross-round comparisons need a stable recipe):
+one warmup execution per query (pays plan + codegen compile), then
+best-of-3 timed runs; ``spread`` records max-min over the timed runs
+so a BENCH_r{N} vs BENCH_r{N-1} delta can be read against the
+measured variance instead of guessed noise.
 
 Each query materializes fully via the noop sink (forces end-to-end
 execution incl. all expressions, without sink I/O or driver-collect
-skew). One warmup query amortizes JVM/codegen startup.
+skew).
 """
 
 from __future__ import annotations
@@ -49,16 +56,19 @@ def main() -> None:
     REGISTRY["scan_full_table"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        # best of two runs: the first pays per-plan codegen compile,
-        # the second measures steady-state execution
-        best = float("inf")
-        for _ in range(2):
+        # one untimed warmup (plan + codegen compile), then best-of-3
+        # steady-state runs; record max-min as the noise estimate
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
     # archive throughput — the reference's core operation (extract →
     # format → load, chiv.go:121-143): single-object streaming parity
@@ -90,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "protocol": "warmup+best-of-3",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
