@@ -16,6 +16,7 @@ from chiv_spark.queries import (  # noqa: E402,F401
     advanced,
     events,
     llm,
+    mlprep,
     parity,
     relational,
     stats,

@@ -1,0 +1,117 @@
+"""Training-data preparation operators beyond dedup/similarity:
+deterministic sampling, train/val/test splitting, exact distribution
+percentiles, and embedding normalization — the bread-and-butter steps
+between a cleaned corpus and a training run, each with an exact DuckDB
+oracle twin.
+
+Determinism contract: sampling/splitting decisions hash a stable key
+(md5-derived 60-bit, the same ``hash64`` family as dedup) rather than
+using RNG, so a row's fate is a pure function of its id — stable
+across engines, re-runs, partitionings and cluster sizes, which is
+exactly what reproducible dataset curation needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chiv_spark.functions.detmath import det_round
+from chiv_spark.functions.hashing import hash64
+from chiv_spark.functions.vectors import l2_norm_fixed
+from chiv_spark.queries.base import query, t
+from chiv_spark.queries.llm import EMB_DIM
+
+#: SQL twin of hash64(concat('smp:', doc_id)) — shared literal salt
+_H = "(('0x' || substring(md5('smp:' || doc_id::VARCHAR), 1, 15))::BIGINT)"
+
+
+@query(
+    "sample_deterministic",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_H} % 100 < 10
+    """,
+    doc="deterministic 10% corpus sample via stable hash threshold (no RNG — "
+    "reproducible across engines, re-runs and partitionings)",
+)
+def sample_deterministic(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    return docs.filter(h % 100 < 10).select("doc_id", "lang")
+
+
+@query(
+    "split_train_val_test",
+    f"""
+    WITH labeled AS (
+      SELECT lang,
+             CASE WHEN {_H} % 100 < 80 THEN 'train'
+                  WHEN {_H} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM labeled GROUP BY lang, split
+    """,
+    doc="hash-based 80/10/10 train/val/test assignment with per-split counts "
+    "(a doc's split is a pure function of its id)",
+)
+def split_train_val_test(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    """
+    SELECT o_orderpriority,
+           (FLOOR(quantile_cont(o_totalprice, 0.25) * 1000000.0 + 0.5) / 1000000.0) AS p25,
+           (FLOOR(quantile_cont(o_totalprice, 0.50) * 1000000.0 + 0.5) / 1000000.0) AS p50,
+           (FLOOR(quantile_cont(o_totalprice, 0.75) * 1000000.0 + 0.5) / 1000000.0) AS p75,
+           (FLOOR(quantile_cont(o_totalprice, 0.95) * 1000000.0 + 0.5) / 1000000.0) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="exact linear-interpolation percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont; length/quality cutoffs for curriculum filtering)",
+)
+def agg_percentile_exact(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cols = [
+        det_round(F.expr(f"percentile(o_totalprice, {p})"), 6).alias(name)
+        for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+    ]
+    return orders.groupBy("o_orderpriority").agg(*cols)
+
+
+@query(
+    "embedding_normalize",
+    f"""
+    WITH n AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings)
+    SELECT vec_id,
+           [FLOOR(x / nrm * 1000000.0 + 0.5) / 1000000.0 FOR x IN e] AS unit
+    FROM n
+    """,
+    doc="L2-normalize the embedding column to unit vectors (elements rounded "
+    "6dp; fixed-dim codegen chains, no interpreted HOFs in the norm)",
+)
+def embedding_normalize(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = l2_norm_fixed(F.col("embedding"), EMB_DIM)
+    unit = F.array(
+        *[
+            det_round(F.element_at("embedding", d).cast("double") / nrm, 6)
+            for d in range(1, EMB_DIM + 1)
+        ]
+    )
+    return emb.select("vec_id", unit.alias("unit"))
