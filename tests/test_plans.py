@@ -77,3 +77,23 @@ class TestSortAndAgg:
     def test_dedup_pipelines_have_no_cartesian(self, spark, name):
         ops = op_counts(REGISTRY[name].fn(spark, SF))
         assert ops.get("CartesianProduct", 0) == 0
+
+
+class TestRound2PlanShapes:
+    def test_ngram_jaccard_no_cartesian(self, spark):
+        ops = op_counts(REGISTRY["dedup_ngram_jaccard"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        assert ops.get("BroadcastNestedLoopJoin", 0) == 0
+
+    def test_embedding_normalize_is_narrow(self, spark):
+        # pure per-row math: no shuffle anywhere in the plan
+        ops = op_counts(REGISTRY["embedding_normalize"].fn(spark, SF))
+        assert ops.get("Exchange", 0) == 0
+
+    def test_sample_deterministic_prunes_scan(self, spark):
+        rs = read_schema(REGISTRY["sample_deterministic"].fn(spark, SF))
+        assert rs and all("text" not in s for s in rs)  # only doc_id/lang read
+
+    def test_percentile_single_shuffle(self, spark):
+        ops = op_counts(REGISTRY["agg_percentile_exact"].fn(spark, SF))
+        assert ops.get("Exchange", 0) == 1
