@@ -306,7 +306,8 @@ def ngram_candidate_pairs(
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     if df_cap is not None:
         dfc = dfc.filter(F.col("df") <= int(df_cap))
-    shd = sh.join(dfc, "shingle")
+    # distinct-shingle count scales with the corpus: never broadcast
+    shd = sh.hint("shuffle_merge").join(dfc.hint("shuffle_merge"), "shingle")
     w_n = Window.partitionBy("doc_id")
     w_rk = Window.partitionBy("doc_id").orderBy("df", "shingle")
     ranked = shd.select(
@@ -318,10 +319,18 @@ def ngram_candidate_pairs(
     prefix = ranked.filter(
         F.col("rk") <= F.col("n") - F.floor(F.lit(float(threshold)) * F.col("n")) + 1
     )
+    # shuffle_merge hint: both sides of the prefix self-join scale with
+    # the corpus, but Catalyst's size estimate for the window+filter
+    # subtree is unreliable — on duplication-heavy corpora the static
+    # planner broadcast the "small" side and OOMed the driver (AQE
+    # cannot demote a statically-planned broadcast; there is no shuffle
+    # stage to re-measure). An explicit sort-merge join is the only
+    # plan that is safe at every corpus size.
     pa, pb = prefix.alias("a"), prefix.alias("b")
     return (
-        pa.join(
-            pb,
+        pa.hint("shuffle_merge")
+        .join(
+            pb.hint("shuffle_merge"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -354,13 +363,19 @@ def ngram_jaccard_pairs(
         keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
             F.col("df") <= int(df_cap)
         )
-        sh = sh.join(keep.select("shingle"), "shingle")
+        sh = sh.hint("shuffle_merge").join(
+            keep.select("shingle").hint("shuffle_merge"), "shingle"
+        )
     cand = ngram_candidate_pairs(docs, threshold, words, df_cap)
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # candidate count scales with near-dup density, not corpus size —
+    # unestimable statically, so pin the verification joins to shuffle
+    # plans too (see the hint rationale in ngram_candidate_pairs)
     inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        cand.hint("shuffle_merge")
+        .join(sa.hint("shuffle_merge"), "doc_a")
+        .join(sb.hint("shuffle_merge"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Timestamps in parquet test data are TIMESTAMP_MICROS.
         .config("spark.sql.session.timeZone", "UTC")
+        # Local mode runs everything in the driver JVM; Spark's 1g
+        # default is far below this box and makes every broadcast build
+        # an OOM hazard. Applies only when this builder launches the
+        # JVM (on a cluster, spark-submit owns it).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if shuffle_partitions is None:
         # Local default: ~2x cores. On a cluster this is overridden by
