@@ -172,6 +172,46 @@ def events_sessionize_scalable(spark, sf_dir):
 
 
 @query(
+    "events_session_window_native",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps)
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="sessionization via Spark's NATIVE session_window operator (dynamic-gap "
+    "merge inside one aggregation; merge when gap < 30min — note the strict "
+    "inequality, mirrored with >= in the oracle's new-session flag; window "
+    "end = last event + gap per the operator's contract)",
+)
+def events_session_window_native(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "streaming_events_window",
     # the availableNow run processes the whole file before the watermark
     # ever advances, so nothing is dropped and the streaming result is
