@@ -125,3 +125,109 @@ def agg_collect_set(spark, sf_dir):
         F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
         F.count(F.lit(1)).cast("long").alias("n_customers"),
     )
+
+
+_PRICE = "decimal(12,2)"
+_FRAC = "decimal(4,2)"
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def _rev():
+    return F.col("l_extendedprice").cast(_PRICE) * (
+        F.lit(1).cast(_FRAC) - F.col("l_discount").cast(_FRAC)
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top customers by revenue lost to returns "
+    "(fact-fact join + tiny-dim broadcast + top-k, no global sort)",
+)
+def q10_returned_revenue(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    f"""
+    SELECT FLOOR(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM({_REV_SQL}) AS DOUBLE) * 100.0 * 1000000000.0 + 0.5) / 1000000000.0
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14: promo revenue share — conditional aggregation over a "
+    "fact⋈dim join with a tight pushed date filter",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type").like("PROMO%"), _rev()).otherwise(
+        F.lit(0).cast(_PRICE)
+    )
+    # the engines' decimal->double conversions can differ by 1 ulp on
+    # wide-scale sums; det_round at 9dp (far above ulp noise for a
+    # 0-100 pct) makes the outputs identical
+    from chiv_spark.functions.detmath import det_round
+
+    return joined.agg(
+        det_round(
+            F.sum(promo).cast("double") / F.sum(_rev()).cast("double") * F.lit(100.0), 9
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-attribute predicates across a "
+    "fact⋈dim join — Catalyst extracts the common sub-predicates for pushdown",
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    b = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(b).agg(
+        F.sum(_rev()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )

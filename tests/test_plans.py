@@ -97,3 +97,11 @@ class TestRound2PlanShapes:
     def test_percentile_single_shuffle(self, spark):
         ops = op_counts(REGISTRY["agg_percentile_exact"].fn(spark, SF))
         assert ops.get("Exchange", 0) == 1
+
+    def test_q19_disjunct_extraction_pushes_to_scans(self, spark):
+        # Catalyst extracts per-table common disjuncts from the OR
+        # predicate: the part scan must see a brand filter even though
+        # the full predicate spans both tables
+        pf = " ".join(pushed_filters(REGISTRY["q19_disjunctive_predicates"].fn(spark, SF)))
+        assert "p_brand" in pf
+        assert "l_quantity" in pf
