@@ -53,3 +53,64 @@ class TestEndToEnd:
         assert "archived to" in out.stdout
         data = (tmp_path / "region.json").read_bytes()
         assert data.startswith(b"[{") and data.endswith(b"}]")
+
+
+class TestCliDatabaseMode:
+    """The reference's defining CLI invocation — `chiv --database
+    $DATABASE_URL table bucket` (cmd/chiv/main.go:30-45) — run for
+    real against embedded Derby."""
+
+    def test_archive_live_jdbc_table(self, spark, tmp_path):
+        db = tmp_path / "clidb"
+        url = f"jdbc:derby:{db};create=true"
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+        st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE cli_tbl (id INT, name VARCHAR(20))")
+        st.executeUpdate("INSERT INTO cli_tbl VALUES (1, 'alpha'), (2, 'beta')")
+        st.close()
+        conn.close()
+        rc = main(
+            [
+                "--database",
+                url,
+                "--table",
+                "cli_tbl",
+                "--bucket",
+                str(tmp_path),
+                "--format",
+                "csv",
+                "--key",
+                "cli.csv",
+            ]
+        )
+        assert rc == 0
+        body = (tmp_path / "cli.csv").read_text()
+        assert body.startswith("ID,NAME\n")
+        assert "1,alpha\n" in body and "2,beta\n" in body
+
+    def test_archive_live_jdbc_query(self, spark, tmp_path):
+        db = tmp_path / "clidb2"
+        url = f"jdbc:derby:{db};create=true"
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+        st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE q_tbl (id INT, v DOUBLE)")
+        st.executeUpdate("INSERT INTO q_tbl VALUES (1, 0.5), (2, 1.5), (3, 2.5)")
+        st.close()
+        conn.close()
+        rc = main(
+            [
+                "--database",
+                url,
+                "--query",
+                "SELECT id, v FROM q_tbl WHERE v > 1.0",
+                "--bucket",
+                str(tmp_path),
+                "--format",
+                "json",
+                "--key",
+                "cliq.json",
+            ]
+        )
+        assert rc == 0
+        body = (tmp_path / "cliq.json").read_text()
+        assert '"ID":2' in body and '"ID":3' in body and '"ID":1' not in body
