@@ -149,11 +149,12 @@ class S3BotoStorage:
         w = _W()
         try:
             yield w
+            w._finish()  # noqa: SLF001
         except BaseException:
+            # abort on ANY failure — including a failed complete call —
+            # so no dangling multipart upload accrues storage charges
             client.abort_multipart_upload(Bucket=bkt, Key=key, UploadId=upload_id)
             raise
-        else:
-            w._finish()  # noqa: SLF001
 
     def read_bytes(self, bucket: str, key: str) -> bytes:
         return self._client.get_object(Bucket=self.split(bucket), Key=key)["Body"].read()

@@ -148,3 +148,33 @@ class TestSparkResizePath:
         assert multimodal.decode_image(data)[:3] == (3, 2, 4)
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"\xff\xd8\xffJPEG")
+
+
+class TestPngProperty:
+    def test_random_round_trips(self):
+        """Property: encode∘decode is identity for arbitrary pixel
+        buffers across sizes and channel layouts."""
+        try:
+            from hypothesis import given, settings
+            from hypothesis import strategies as st
+        except ImportError:
+            pytest.skip("hypothesis unavailable")
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            w=st.integers(1, 24),
+            h=st.integers(1, 24),
+            ch=st.sampled_from([1, 2, 3, 4]),
+            data=st.data(),
+        )
+        def check(w, h, ch, data):
+            raw = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+                    )
+                )
+            )
+            assert decode_png(encode_png(w, h, ch, raw)) == (w, h, ch, raw)
+
+        check()

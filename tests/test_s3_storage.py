@@ -110,3 +110,15 @@ class TestS3Storage:
 
         with pytest.raises(ClientError):
             s3.get_object(Bucket=BUCKET, Key="d.bin")
+
+    def test_failed_complete_aborts_upload(self, s3):
+        """If complete_multipart_upload itself fails (e.g. a part under
+        the 5 MiB minimum — moto enforces it), the upload must be
+        aborted, not left dangling."""
+        from botocore.exceptions import ClientError
+
+        st = S3BotoStorage(part_size=1024, client=s3)  # parts too small: complete fails
+        with pytest.raises(ClientError, match="EntityTooSmall"):
+            with st.writer(f"s3://{BUCKET}", "small-parts.bin") as w:
+                w.write(bytes(5000))
+        assert s3.list_multipart_uploads(Bucket=BUCKET).get("Uploads", []) == []
