@@ -73,6 +73,38 @@ def _parse_placeholder(placeholder: str, dtype: T.DataType) -> object:
     return placeholder
 
 
+class _BadPlaceholder:
+    """Deferred placeholder parse failure: the reference substitutes
+    the placeholder into NULL cells only and parses at format time
+    (chiv.go:175-181), so an int column whose placeholder is not an
+    int errors only if that column actually contains a NULL."""
+
+    def __init__(self, err: ValueError):
+        self.err = err
+
+
+def _try_parse_placeholder(placeholder: str, dtype: T.DataType) -> object:
+    try:
+        return _parse_placeholder(placeholder, dtype)
+    except ValueError as e:
+        return _BadPlaceholder(e)
+
+
+def _substitute(row, placeholders: list[object], null: str | None) -> list[object]:
+    """Replace NULL cells with their typed placeholder, raising the
+    deferred parse error only when a NULL actually hits the column."""
+    out = []
+    for i, v in enumerate(row):
+        if v is None and null is not None:
+            p = placeholders[i]
+            if isinstance(p, _BadPlaceholder):
+                raise p.err
+            out.append(p)
+        else:
+            out.append(v)
+    return out
+
+
 class Archiver:
     """Reusable session archiver (reference ``NewArchiver``,
     /root/reference/chiv.go:67-79): holds a SparkSession plus default
@@ -175,7 +207,7 @@ class Archiver:
         placeholders: list[object] = [None] * len(schema)
         if null is not None:
             if typed_sink:
-                placeholders = [_parse_placeholder(null, f.dataType) for f in schema.fields]
+                placeholders = [_try_parse_placeholder(null, f.dataType) for f in schema.fields]
             else:
                 placeholders = [null] * len(schema)
         # stage-chained error wrapping mirrors the reference's errorf
@@ -204,10 +236,10 @@ class Archiver:
                 row = _staged(lambda: next(rows, _END), "downloading: scanning rows")
                 if row is _END:
                     break
-                record = [
-                    placeholders[i] if v is None and null is not None else v
-                    for i, v in enumerate(row)
-                ]
+                record = _staged(
+                    lambda r=row: _substitute(r, placeholders, null),
+                    "downloading: formatting row",
+                )
                 _staged(lambda r=record: formatter.format_row(r), "downloading: formatting row")
             _staged(formatter.close, "downloading: closing formatter")
         except BaseException as e:
@@ -239,8 +271,15 @@ class Archiver:
 
     def _write_distributed(self, df: DataFrame, bucket: str, key: str, opts: ArchiveOptions) -> None:
         """Scale path: parallel part files under ``bucket/key/``."""
-        path = f"{bucket.rstrip('/')}/{key}"
         fmt = opts.format if isinstance(opts.format, str) else None
+        if bucket.startswith("s3://"):
+            # direct S3 API: each partition uploads its own part object
+            # from the executors (no Hadoop connector, no driver relay)
+            from chiv_spark.core.s3dist import write_distributed_s3
+
+            write_distributed_s3(df, bucket, key, fmt or "csv", opts.null)
+            return
+        path = f"{bucket.rstrip('/')}/{key}"
         if fmt == "csv":
             w = df.write.mode("overwrite").option("header", True)
             if opts.null is not None:
@@ -282,20 +321,18 @@ def _write_yaml_parts(df: DataFrame, path: str, null: str | None) -> None:
     schema = df.schema
     placeholders: list[object] = [None] * len(columns)
     if null is not None:
-        placeholders = [_parse_placeholder(null, f.dataType) for f in schema.fields]
+        placeholders = [_try_parse_placeholder(null, f.dataType) for f in schema.fields]
 
     def encode_partition(rows):
         import io
+
+        from chiv_spark.core.archiver import _substitute
 
         buf = io.BytesIO()
         f = YamlFormatter(buf, columns)
         f.open()
         for row in rows:
-            record = [
-                placeholders[i] if v is None and null is not None else v
-                for i, v in enumerate(row)
-            ]
-            f.format_row(record)
+            f.format_row(_substitute(row, placeholders, null))
         f.close()
         text = buf.getvalue().decode("utf-8")
         if text:

@@ -238,3 +238,28 @@ class TestJobGroupOption:
             "SELECT * FROM err_table", str(tmp_path), job_group="jg-q", format="csv"
         )
         assert (tmp_path / key).exists()
+
+
+class TestLazyPlaceholderParity:
+    """The reference substitutes the placeholder into NULL cells only
+    and parses at format time (chiv.go:175-181): an int column with an
+    unparseable placeholder errors only if that column actually holds
+    a NULL."""
+
+    def test_no_null_in_typed_column_succeeds(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, None), (2, "x")], "id long, s string").coalesce(1)
+        key = Archiver(spark).archive_df(
+            df, str(tmp_path), format="json", key="ok.json", null="NA"
+        )
+        body = (tmp_path / key).read_text()
+        assert '"s":"NA"' in body  # string NULL takes the placeholder
+
+    def test_null_hitting_typed_column_fails_at_format_stage(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "a"), (None, "b")], "id long, s string"
+        ).coalesce(1)
+        with pytest.raises(ArchiveError, match="formatting"):
+            Archiver(spark).archive_df(
+                df, str(tmp_path), format="json", key="bad.json", null="NA"
+            )
+        assert not (tmp_path / "bad.json").exists()  # failure leaves no object
