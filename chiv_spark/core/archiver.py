@@ -236,11 +236,12 @@ class Archiver:
                 row = _staged(lambda: next(rows, _END), "downloading: scanning rows")
                 if row is _END:
                     break
-                record = _staged(
-                    lambda r=row: _substitute(r, placeholders, null),
+                _staged(
+                    lambda r=row: formatter.format_row(
+                        r if null is None else _substitute(r, placeholders, null)
+                    ),
                     "downloading: formatting row",
                 )
-                _staged(lambda r=record: formatter.format_row(r), "downloading: formatting row")
             _staged(formatter.close, "downloading: closing formatter")
         except BaseException as e:
             failure = e
