@@ -321,3 +321,74 @@ def scalar_date_arith(spark, sf_dir):
             det_round(F.sum(delay).cast("double") / cnt, 6).alias("avg_delay"),
         )
     )
+
+
+@query(
+    "window_range_interval",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc="value-range window frame (RANGE INTERVAL 1 HOUR PRECEDING): frame "
+    "membership decided by timestamp distance, not row offsets — peers with "
+    "equal ts share one frame, so the result is tie-order independent",
+)
+def window_range_interval(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    # rangeBetween needs a numeric ordering key: order by epoch seconds
+    # and phrase the hour as -3600 (micros would overflow neither, but
+    # the oracle's INTERVAL arithmetic is second-granular here)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_last_hour"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    """
+    WITH counts AS (
+      SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority),
+    ranked AS (
+      SELECT c_mktsegment, o_orderpriority, n,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM counts)
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
+    FROM ranked WHERE rk = 1
+    """,
+    doc="deterministic mode per group: most frequent order priority per market "
+    "segment, ties broken by value (native mode() tie-breaks differ per "
+    "engine, so the count+rank formulation IS the cross-engine contract)",
+)
+def agg_mode_deterministic(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("n").desc(), "o_orderpriority")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("long").alias("n_orders"),
+        )
+    )
