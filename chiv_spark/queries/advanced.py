@@ -392,3 +392,67 @@ def agg_mode_deterministic(spark, sf_dir):
             F.col("n").cast("long").alias("n_orders"),
         )
     )
+
+
+@query(
+    "join_lateral_topn",
+    """
+    SELECT c.c_custkey, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) o
+    """,
+    doc="correlated LATERAL join: top-2 orders per customer via a per-row "
+    "subquery (Catalyst decorrelates to a ranked join, no nested loop)",
+)
+def join_lateral_topn(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM customer_lat c
+        JOIN LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders_lat
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) o
+        """
+    )
+
+
+@query(
+    "transform_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, CAST(value AS DOUBLE) AS value
+    FROM (SELECT l_orderkey, l_linenumber,
+                 CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+                 CAST(l_discount AS DOUBLE) AS discount,
+                 CAST(l_tax AS DOUBLE) AS tax
+          FROM lineitem WHERE l_orderkey < 100)
+    UNPIVOT (value FOR metric IN (extendedprice, discount, tax))
+    """,
+    doc="UNPIVOT/melt: wide measure columns to (metric, value) rows — the "
+    "long-format reshape feature tables need before per-metric aggregation",
+)
+def transform_unpivot(spark, sf_dir):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            F.col("l_discount").cast("double").alias("discount"),
+            F.col("l_tax").cast("double").alias("tax"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["extendedprice", "discount", "tax"],
+        "metric",
+        "value",
+    )
