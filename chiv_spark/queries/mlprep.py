@@ -115,3 +115,56 @@ def embedding_normalize(spark, sf_dir):
         ]
     )
     return emb.select("vec_id", unit.alias("unit"))
+
+
+# the capstone oracle composes the clean-corpus oracle verbatim so the
+# two stay in lockstep (a nested WITH is valid DuckDB); llm is fully
+# imported above, so its registry entry exists at module-build time
+from chiv_spark.queries.base import REGISTRY as _REG  # noqa: E402
+
+_TRAINING_DATASET_ORACLE = f"""
+    WITH cleaned AS ({_REG["pipeline_clean_corpus"].oracle}),
+    labeled AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR(quality * 1000000 + 0.5) AS BIGINT) AS q_micros,
+             CASE WHEN {_H} % 100 < 80 THEN 'train'
+                  WHEN {_H} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM cleaned)
+    SELECT split, lang, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           SUM(q_micros) AS sum_quality_micros
+    FROM labeled GROUP BY split, lang
+"""
+
+
+@query(
+    "pipeline_training_dataset",
+    _TRAINING_DATASET_ORACLE,
+    doc="capstone v2: cleaned corpus → deterministic 80/10/10 split → per-"
+    "(split, lang) dataset card (doc counts, token totals, quality sums as "
+    "exact micro-units) — the whole dataset build as one composed plan",
+)
+def pipeline_training_dataset(spark, sf_dir):
+    from chiv_spark.queries.llm import pipeline_clean_corpus
+
+    cleaned = pipeline_clean_corpus(spark, sf_dir)
+    h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        cleaned.select(
+            "lang",
+            split.alias("split"),
+            "n_tokens",
+            # quality is det-rounded to 6dp already: micro-units sum exactly
+            F.floor(F.col("quality") * 1_000_000 + F.lit(0.5)).cast("long").alias("q_micros"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("q_micros").cast("long").alias("sum_quality_micros"),
+        )
+    )
