@@ -195,3 +195,34 @@ class TestDistributedS3Sink:
             Archiver(spark).archive_df(
                 df, f"s3://{BUCKET}", format="parquet", key="p", distributed=True
             )
+
+    def test_streaming_archive_to_s3(self, spark, s3_server, tmp_path):
+        """The continuous-archival job (foreachBatch -> distributed
+        sink) lands micro-batches as part objects on real S3: the
+        reference's archival made continuous AND cloud-parallel."""
+        from chiv_spark.streaming.joins import run_streaming_archive
+
+        n = run_streaming_archive(
+            spark,
+            "/root/testdata/sf0.001",
+            f"s3://{BUCKET}",
+            str(tmp_path / "ckpt"),
+            fmt="csv",
+        )
+        assert n >= 1
+        objs = s3_server.list_objects_v2(Bucket=BUCKET, Prefix="events_stream.csv/")[
+            "Contents"
+        ]
+        assert objs, "no part objects uploaded"
+        total_rows = 0
+        for o in objs:
+            body = s3_server.get_object(Bucket=BUCKET, Key=o["Key"])["Body"].read().decode()
+            lines = body.splitlines()
+            assert lines[0].startswith("event_id,") or "," in lines[0]  # header
+            total_rows += len(lines) - 1
+        import duckdb
+
+        expected = duckdb.sql(
+            "SELECT COUNT(*) FROM '/root/testdata/sf0.001/events.parquet'"
+        ).fetchone()[0]
+        assert total_rows == expected
