@@ -230,18 +230,26 @@ class Archiver:
             # toLocalIterator: upstream computes distributed; the driver
             # holds at most one partition — the io.Pipe analog. Row
             # iteration failures (incl. job cancellation) wrap as the
-            # reference's scanning stage (chiv.go:189-191).
+            # reference's scanning stage (chiv.go:189-191). The loop
+            # avoids per-row closures (this is the driver-bound hot
+            # path): exceptions are stage-wrapped in-place instead.
             rows = iter(df.toLocalIterator(prefetchPartitions=True))
+            format_row = formatter.format_row
             while True:
-                row = _staged(lambda: next(rows, _END), "downloading: scanning rows")
+                try:
+                    row = next(rows, _END)
+                except ArchiveError:
+                    raise
+                except Exception as e:  # noqa: BLE001
+                    raise ArchiveError("downloading: scanning rows", e) from e
                 if row is _END:
                     break
-                _staged(
-                    lambda r=row: formatter.format_row(
-                        r if null is None else _substitute(r, placeholders, null)
-                    ),
-                    "downloading: formatting row",
-                )
+                try:
+                    format_row(row if null is None else _substitute(row, placeholders, null))
+                except ArchiveError:
+                    raise  # UploadError from the sink guard keeps its stage
+                except Exception as e:  # noqa: BLE001
+                    raise ArchiveError("downloading: formatting row", e) from e
             _staged(formatter.close, "downloading: closing formatter")
         except BaseException as e:
             failure = e
