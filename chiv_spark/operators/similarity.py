@@ -288,6 +288,41 @@ def ivf_assign(
     )
 
 
+def ivf_probes(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    n_probes: int = 1,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(query_id, centroid_id): each query's ``n_probes`` nearest
+    centroid cells — the multi-probe recall dial. Same broadcast-
+    codebook scoring as ivf_assign, keeping the top-P cells per query
+    instead of only the nearest."""
+    dim = _dim(emb, vec_col, dim)
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+    )
+    qs = query_ids.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("v"),
+        l2_norm_fixed(F.col(vec_col), dim).alias("vnorm"),
+    )
+    scored = qs.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", dot_fixed(F.col("v"), F.col("cvec"), dim) / (F.col("vnorm") * F.col("cnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_probes)
+        .select("query_id", "centroid_id")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: DataFrame,
@@ -296,10 +331,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """IVF ANN top-k: probe only the query's centroid cell, exact
-    cosine within it (single-probe; recall < 1 by design — raise
-    probes at scale)."""
+    """IVF ANN top-k: probe the query's ``n_probes`` nearest centroid
+    cells, exact cosine within them. Single-probe (default) trades
+    recall for cost; multi-probe is the recall dial — each extra probe
+    scans one more cell (~corpus/n_centroids rows) per query."""
     dim = _dim(emb, vec_col, dim)
     assign = ivf_assign(emb, n_centroids, id_col, vec_col, dim)
     corpus = emb.select(
@@ -307,11 +344,12 @@ def ivf_topk(
         F.col(vec_col).alias("cv"),
         l2_norm_fixed(F.col(vec_col), dim).alias("cn"),
     ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+    probes = ivf_probes(emb, query_ids, n_probes, n_centroids, id_col, vec_col, dim)
     q = query_ids.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         l2_norm_fixed(F.col(vec_col), dim).alias("qn"),
-    ).join(assign.withColumnRenamed("id", "query_id"), "query_id")
+    ).join(probes, "query_id")
     scored = corpus.join(
         F.broadcast(q),
         (F.col("query_id") != F.col("neighbor_id"))

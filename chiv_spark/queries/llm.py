@@ -421,6 +421,48 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=EMB_DIM)
 
 
+@query(
+    "ann_ivf_multiprobe",
+    f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    scored_assign AS (
+      SELECT e.vec_id AS id, c.centroid_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(c.cvec::DOUBLE[], c.cvec::DOUBLE[]))) AS cos
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT id, centroid_id FROM (
+      SELECT id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, centroid_id) AS rk
+      FROM scored_assign) WHERE rk = 1),
+    probes AS (SELECT id, centroid_id FROM (
+      SELECT id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, centroid_id) AS rk
+      FROM scored_assign WHERE id < 10) WHERE rk <= 2),
+    q AS (SELECT e.vec_id, e.embedding, p.centroid_id
+          FROM embeddings e JOIN probes p ON e.vec_id = p.id),
+    corpus AS (SELECT e.vec_id, e.embedding, a.centroid_id
+               FROM embeddings e JOIN assign a ON e.vec_id = a.id),
+    scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
+               FROM q a JOIN corpus b
+                 ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+           (FLOOR(cosine * 1000000.0 + 0.5) / 1000000.0) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF ANN top-5 with 2-probe search: each query scans its two nearest "
+    "cells - the recall dial; each extra probe costs ~corpus/n_centroids rows",
+)
+def ann_ivf_multiprobe(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=EMB_DIM, n_probes=2
+    )
+
+
 # ---------------------------------------------------------- multimodal
 
 
