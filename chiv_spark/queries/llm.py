@@ -463,6 +463,61 @@ def ann_ivf_multiprobe(spark, sf_dir):
     )
 
 
+def _recall_oracle() -> str:
+    from chiv_spark.queries.base import REGISTRY
+
+    # compose the two registered oracles verbatim so the recall gate
+    # can never drift from the queries it measures
+    exact = REGISTRY["ann_cosine_topk"].oracle
+    approx = REGISTRY["ann_ivf_multiprobe"].oracle
+    return f"""
+    WITH exact AS ({exact}),
+    approx AS ({approx}),
+    hits AS (SELECT e.query_id, COUNT(a.neighbor_id) AS n_hits
+             FROM exact e LEFT JOIN approx a
+               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             GROUP BY e.query_id)
+    SELECT query_id, CAST(n_hits AS DOUBLE) / 5.0 AS recall_at_5 FROM hits
+    """
+
+
+@query(
+    "ann_recall_at_5",
+    None,  # oracle attached below (composes two registered oracles)
+    doc="ANN evaluation: per-query recall@5 of 2-probe IVF against the exact "
+    "brute-force top-5 — the quality gate an ANN rollout needs, as a query",
+)
+def ann_recall_at_5(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, qs, k=5, dim=EMB_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.ivf_topk(emb, qs, k=5, dim=EMB_DIM, n_probes=2).select(
+        F.col("query_id").alias("a_query_id"), F.col("neighbor_id").alias("a_neighbor_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.a_query_id)
+            & (exact.neighbor_id == approx.a_neighbor_id),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg((F.count("a_neighbor_id").cast("double") / F.lit(5.0)).alias("recall_at_5"))
+    )
+
+
+from chiv_spark.queries.base import REGISTRY as _LLM_REG  # noqa: E402
+
+_LLM_REG["ann_recall_at_5"] = _LLM_REG["ann_recall_at_5"].__class__(
+    name="ann_recall_at_5",
+    fn=_LLM_REG["ann_recall_at_5"].fn,
+    oracle=_recall_oracle(),
+    doc=_LLM_REG["ann_recall_at_5"].doc,
+)
+
+
 # ---------------------------------------------------------- multimodal
 
 
