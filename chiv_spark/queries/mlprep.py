@@ -168,3 +168,61 @@ def pipeline_training_dataset(spark, sf_dir):
             F.sum("q_micros").cast("long").alias("sum_quality_micros"),
         )
     )
+
+
+@query(
+    "text_token_topk",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM toks GROUP BY tok
+    ORDER BY tf DESC, tok LIMIT 50
+    """,
+    doc="corpus Zipf head: top-50 tokens by term frequency with document "
+    "frequency — the vocabulary profile behind stop-word and DF-cap choices",
+)
+def text_token_topk(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "tok")
+        .limit(50)
+    )
+
+
+@query(
+    "text_corpus_freq_score",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    scored AS (SELECT t.doc_id, SUM(f.tf) AS tf_sum, COUNT(*) AS n
+               FROM toks t JOIN freq f ON t.tok = f.tok
+               GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(tf_sum AS DOUBLE) / CAST(n AS DOUBLE) AS freq_score
+    FROM scored
+    """,
+    doc="frequency-based fluency proxy: mean corpus term-frequency of each "
+    "doc's tokens (integer sums, one deterministic division) — a cheap "
+    "LM-free quality signal; unusually low scores flag gibberish",
+)
+def text_corpus_freq_score(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.sum("tf").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "freq_score"
+            ),
+        )
+        .select("doc_id", "n_tokens", "freq_score")
+    )
