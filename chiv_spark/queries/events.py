@@ -296,3 +296,79 @@ def streaming_stateful_sessions(spark, sf_dir):
 
     ckpt = tempfile.mkdtemp(prefix="chiv-state-ckpt-")
     return run_stateful_sessions(spark, sf_dir, ckpt)
+
+
+@query(
+    "events_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id),
+    flags AS (
+      SELECT user_id,
+             CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END AS viewed,
+             CASE WHEN first_view IS NOT NULL AND first_click > first_view THEN 1 ELSE 0 END AS clicked,
+             CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                   AND first_purchase > first_click THEN 1 ELSE 0 END AS purchased
+      FROM firsts)
+    SELECT CAST(SUM(viewed) AS BIGINT) AS n_viewed,
+           CAST(SUM(clicked) AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(purchased) AS BIGINT) AS n_purchased_after_click
+    FROM flags
+    """,
+    doc="view→click→purchase funnel: ordered-stage conversion counts from one "
+    "conditional-min aggregation per user (no self-joins, single shuffle)",
+)
+def events_funnel(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return firsts.agg(
+        F.sum(viewed.cast("int")).cast("long").alias("n_viewed"),
+        F.sum(clicked.cast("int")).cast("long").alias("n_clicked_after_view"),
+        F.sum(purchased.cast("int")).cast("long").alias("n_purchased_after_click"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH days AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+    cohorts AS (SELECT user_id, MIN(d) AS cohort_day FROM days GROUP BY user_id),
+    activity AS (SELECT DISTINCT dd.user_id, c.cohort_day,
+                        date_diff('day', c.cohort_day, dd.d) AS day_offset
+                 FROM days dd JOIN cohorts c ON dd.user_id = c.user_id)
+    SELECT CAST(cohort_day AS DATE) AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    doc="retention cohorts: users grouped by first-seen day, distinct active "
+    "users per (cohort, day-offset) for the first week — the classic "
+    "retention triangle as one pipeline",
+)
+def events_retention_cohorts(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    days = e.select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+    cohorts = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        days.join(cohorts, "user_id")
+        .select("user_id", "cohort_day", F.datediff("d", "cohort_day").alias("day_offset"))
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
