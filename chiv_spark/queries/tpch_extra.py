@@ -231,3 +231,27 @@ def q19_disjunctive_predicates(spark, sf_dir):
         F.sum(_rev()).cast("double").alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
+
+
+@query(
+    "agg_weighted_avg",
+    f"""
+    SELECT l_returnflag,
+           FLOOR(CAST(SUM({_REV_SQL} * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+           AS wavg_disc_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="quantity-weighted average discounted price per return flag: exact "
+    "decimal sums on both numerator and denominator, one deterministic "
+    "double division at the end (order-free at any parallelism)",
+)
+def agg_weighted_avg(spark, sf_dir):
+    from chiv_spark.functions.detmath import det_round
+
+    li = t(spark, sf_dir, "lineitem")
+    num = F.sum(_rev() * F.col("l_quantity").cast("decimal(8,2)")).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(8,2)")).cast("double")
+    # det_round 6dp absorbs the engines' 1-ulp decimal->double gap on
+    # wide-scale sums (same pattern as q14)
+    return li.groupBy("l_returnflag").agg(det_round(num / den, 6).alias("wavg_disc_price"))
