@@ -544,3 +544,31 @@ def scalar_case_when(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total"),
     )
+
+
+@query(
+    "join_salted_skew",
+    """
+    SELECT o_custkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    """,
+    doc="salted hot-key join: the big side scatters each key across 8 salt "
+    "buckets, the small side replicates 8x — shuffle distribution changes, "
+    "results are provably identical to the plain join (this oracle IS the "
+    "plain join)",
+)
+def join_salted_skew(spark, sf_dir):
+    from chiv_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return (
+        salted_join(li, o, "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+    )
