@@ -92,29 +92,38 @@ def agg_percentile_exact(spark, sf_dir):
 
 @query(
     "embedding_normalize",
-    f"""
+    """
     WITH n AS (
       SELECT vec_id,
              embedding::DOUBLE[] AS e,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings)
     SELECT vec_id,
-           [FLOOR(x / nrm * 1000000.0 + 0.5) / 1000000.0 FOR x IN e] AS unit
+           CAST(generate_subscripts(e, 1) AS BIGINT) AS d,
+           FLOOR(unnest(e) / nrm * 1000000.0 + 0.5) / 1000000.0 AS unit_value
     FROM n
     """,
-    doc="L2-normalize the embedding column to unit vectors (elements rounded "
-    "6dp; fixed-dim codegen chains, no interpreted HOFs in the norm)",
+    doc="L2-normalize the embedding column to unit vectors, emitted as "
+    "(vec_id, d, unit_value) scalar rows (elements rounded 6dp; fixed-dim "
+    "codegen chains, no interpreted HOFs in the norm). Array-valued variant "
+    "lives in chiv_spark.functions.vectors for library use — gradeable "
+    "registry outputs are scalars-only by repo convention",
 )
 def embedding_normalize(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
+    # compute the O(dim) norm chain ONCE per row, then explode the raw
+    # array and divide each element by it — keeps total expression size
+    # O(dim), not O(dim^2) as inlining the norm into every exploded
+    # element would (26s -> sub-second plan compile at dim=64)
     nrm = l2_norm_fixed(F.col("embedding"), EMB_DIM)
-    unit = F.array(
-        *[
-            det_round(F.element_at("embedding", d).cast("double") / nrm, 6)
-            for d in range(1, EMB_DIM + 1)
-        ]
+    return (
+        emb.select("vec_id", nrm.alias("nrm"), F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("long").alias("d"),
+            det_round(F.col("x").cast("double") / F.col("nrm"), 6).alias("unit_value"),
+        )
     )
-    return emb.select("vec_id", unit.alias("unit"))
 
 
 # the capstone oracle composes the clean-corpus oracle verbatim so the
@@ -132,8 +141,8 @@ _TRAINING_DATASET_ORACLE = f"""
                   ELSE 'test' END AS split
       FROM cleaned)
     SELECT split, lang, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
-           SUM(q_micros) AS sum_quality_micros
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(q_micros) AS BIGINT) AS sum_quality_micros
     FROM labeled GROUP BY split, lang
 """
 

@@ -113,16 +113,18 @@ def window_rank_stats(spark, sf_dir):
     "agg_collect_set",
     """
     SELECT c_nationkey AS nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
            COUNT(*) AS n_customers
     FROM customer GROUP BY c_nationkey
     """,
-    doc="sorted set aggregation: distinct segments per nation as an array column",
+    doc="sorted set aggregation: distinct segments per nation, joined to a "
+    "scalar CSV string (gradeable outputs are scalars-only by repo convention; "
+    "the underlying collect_set is still exercised before the join)",
 )
 def agg_collect_set(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
         F.count(F.lit(1)).cast("long").alias("n_customers"),
     )
 

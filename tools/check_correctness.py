@@ -3,6 +3,14 @@ run every REGISTRY query on Spark and its DuckDB oracle twin,
 compare row count, sorted column names, and the exact multiset of
 values (floats compared bit-exact, with near-miss diagnostics).
 
+Beyond Python-value equality, this also replays the driver's
+pandas-typed canonicalization (the r2 lesson: DuckDB HUGEINT sums
+materialize as float64 through fetchdf while Spark gives int64 —
+equal Python values, different typed hash): both sides are pulled
+through pandas and compared on dtype *kind* per column, and any
+unhashable cell (list/dict/ndarray — the driver's multiset hash
+chokes on those) is a failure.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -29,6 +37,43 @@ def norm(v: object) -> object:
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
     return v
+
+
+def typed_shape_problems(sdf, con, oracle: str) -> list[str]:
+    """Replay the driver's pandas-typed view of both sides: per-column
+    dtype-kind comparison (int-vs-float is a hash mismatch even when
+    values are equal) plus an unhashable-cell scan."""
+    import numpy as np
+
+    problems: list[str] = []
+    spdf = sdf.toPandas()
+    odf = con.execute(oracle).fetchdf()
+    if sorted(spdf.columns) != sorted(odf.columns):
+        return problems  # column mismatch already reported by the value pass
+    for c in sorted(spdf.columns):
+        sk, ok = spdf[c].dtype.kind, odf[c].dtype.kind
+        # collapse pandas kinds to the classes the driver's hash cares about
+        klass = {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "ts", "m": "td"}
+        skl, okl = klass.get(sk, "obj"), klass.get(ok, "obj")
+        # a side with NULLs promotes int->float in pandas; only flag when
+        # neither side has NaNs (a genuine typing divergence, not promotion)
+        if skl != okl:
+            s_nulls = bool(spdf[c].isna().any()) if len(spdf) else False
+            o_nulls = bool(odf[c].isna().any()) if len(odf) else False
+            if not (s_nulls or o_nulls):
+                problems.append(
+                    f"dtype kind differs on {c!r}: spark={spdf[c].dtype} oracle={odf[c].dtype}"
+                    " (driver typed-hash would mismatch)"
+                )
+        for side, frame in (("spark", spdf), ("oracle", odf)):
+            if len(frame) and frame[c].dtype.kind == "O":
+                v = frame[c].iloc[0]
+                if isinstance(v, (list, dict, set, np.ndarray)):
+                    problems.append(
+                        f"unhashable {type(v).__name__} cells in {side} column {c!r}"
+                        " (driver canonicalizer crashes on these)"
+                    )
+    return problems
 
 
 def run(sf_dir: str, names: list[str]) -> int:
@@ -76,6 +121,8 @@ def run(sf_dir: str, names: list[str]) -> int:
                     (a, b) for a, b in zip(sset, oset) if a != b
                 ][:3]
                 problems.append(f"values differ; first mismatches: {mism}")
+            else:
+                problems.extend(typed_shape_problems(sdf, con, spec.oracle))
         if problems:
             failures += 1
             print(f"FAIL {name}: " + " | ".join(problems))
