@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Timestamps in parquet test data are TIMESTAMP_MICROS.
         .config("spark.sql.session.timeZone", "UTC")
+        # Read tz-less parquet timestamps as TIMESTAMP (session-tz),
+        # not TIMESTAMP_NTZ: unix_micros()/withWatermark() reject NTZ,
+        # and under the UTC session tz the two are value-identical.
+        # The catalog's normalize_event_ts still defends per-column for
+        # sessions built outside this factory.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Local mode runs everything in the driver JVM; Spark's 1g
         # default is far below this box and makes every broadcast build
         # an OOM hazard. Applies only when this builder launches the

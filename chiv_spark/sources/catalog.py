@@ -25,20 +25,38 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to TIMESTAMP regardless of
+    how the parquet encoded it. Three encodings have been observed from
+    the generator across rounds:
+
+    - ``TIMESTAMP(NANOS)`` read as ``bigint`` under
+      ``spark.sql.legacy.parquet.nanosAsLong`` → floor-divide to micros
+      (matches DuckDB's ns→us truncation bit-exactly);
+    - tz-less ``timestamp[us]`` read as ``timestamp_ntz`` (PySpark 4.1
+      infers NTZ by default) → cast to ``timestamp``, exact under the
+      engine's UTC session timezone;
+    - plain ``timestamp`` → no-op.
+
+    Every events consumer (batch catalog + the three streaming readers)
+    must go through this: ``unix_micros()`` and ``withWatermark()``
+    both reject TIMESTAMP_NTZ.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects; read nanos as long (runtime-settable legacy
-        # conf) and convert to a proper timestamp via integer division
-        # (floor — matches DuckDB's ns→us truncation bit-exactly).
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -45,19 +45,19 @@ def run_events_stream(
     """Run the windowed aggregation as a real stream over the events
     parquet (file source, availableNow trigger, memory sink) and
     return the completed result as a DataFrame."""
-    # events.parquet stores TIMESTAMP(NANOS): stream it as long nanos
-    # and convert (same floor semantics as the batch catalog reader)
+    # normalize ts across the generator's parquet encodings (nanos-as-
+    # long / TIMESTAMP_NTZ / TIMESTAMP) — watermarks reject NTZ
+    from chiv_spark.sources.catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
     # the file stream source needs a directory: stream the sf dir with
     # a glob filter selecting only the events file
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = windowed_event_counts(stream, window=window, watermark=watermark)
     name = "events_windowed"
     q = (

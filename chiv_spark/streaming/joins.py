@@ -17,16 +17,15 @@ from pyspark.sql import functions as F
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chiv_spark.sources.catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    stream = (
+    return normalize_event_ts(
         spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
 
 
 def purchases_with_clicks(

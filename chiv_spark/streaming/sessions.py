@@ -98,17 +98,16 @@ def run_stateful_sessions(
     # _track is a module-level function → cloudpickle serializes it by
     # reference; ship the package so workers can import it
     ensure_shipped(spark)
+    from chiv_spark.sources.catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    ts_us = (
-        F.expr("ts div 1000") if dict(stream.dtypes).get("ts") == "bigint" else F.unix_micros("ts")
-    )
-    events = stream.select("user_id", ts_us.alias("ts_us"))
+    events = stream.select("user_id", F.unix_micros("ts").alias("ts_us"))
     sessions = events.groupBy("user_id").applyInPandasWithState(
         _track,
         outputStructType=SESSION_SCHEMA,

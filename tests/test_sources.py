@@ -119,3 +119,42 @@ class TestJdbcFacade:
     def test_partitioned_requires_bounds(self):
         with pytest.raises(ValueError, match="lower_bound"):
             jdbc_reader_options("jdbc:x://h/db", "t", partition_column="id")
+
+
+class TestEventsTimestampContract:
+    """Pin the events.ts contract: whatever the generator's parquet
+    encoding (TIMESTAMP(NANOS)-as-long, tz-less timestamp[us]/NTZ, or
+    plain TIMESTAMP), `read_table` must yield a TIMESTAMP column —
+    `unix_micros()` and `withWatermark()` both reject TIMESTAMP_NTZ,
+    so a silent encoding change must fail here, not in the driver gate."""
+
+    def test_read_table_yields_timestamp(self, spark, sf_dir):
+        from chiv_spark.sources.catalog import read_table
+
+        df = read_table(spark, sf_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        # unix_micros is the canary: it raises on NTZ
+        from pyspark.sql import functions as F
+
+        assert df.select(F.unix_micros("ts")).first()[0] is not None
+
+    def test_normalize_handles_ntz_and_bigint(self, spark):
+        from pyspark.sql import functions as F
+
+        from chiv_spark.sources.catalog import normalize_event_ts
+
+        base = spark.range(3).select(
+            (F.col("id") * 1_000_000_000).alias("ns"),
+        )
+        # bigint nanos -> timestamp, floor to micros
+        as_big = base.withColumnRenamed("ns", "ts")
+        out = normalize_event_ts(as_big)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        # NTZ -> timestamp, value-identical under the UTC session tz
+        as_ntz = base.select(
+            F.timestamp_micros((F.col("ns") / 1000).cast("long")).cast("timestamp_ntz").alias("ts")
+        )
+        out2 = normalize_event_ts(as_ntz)
+        assert dict(out2.dtypes)["ts"] == "timestamp"
+        vals = [r[0] for r in out2.select(F.unix_micros("ts")).collect()]
+        assert vals == [0, 1_000_000, 2_000_000]
