@@ -53,22 +53,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM + codegen + parquet footer caches
-    REGISTRY["scan_full_table"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        REGISTRY["scan_full_table"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — per-query warmups still run
+        pass
 
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         # one untimed warmup (plan + codegen compile), then best-of-3
-        # steady-state runs; record max-min as the noise estimate
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = REGISTRY[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
-        spread[name] = round(max(runs) - min(runs), 3)
+        # steady-state runs; record max-min as the noise estimate.
+        # Each query is individually fenced: one broken query must not
+        # zero the whole round's bench (round-3 lesson — the NTZ break
+        # at events_sessionize's warmup killed every number).
+        try:
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = REGISTRY[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+            spread[name] = round(max(runs) - min(runs), 3)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # archive throughput — the reference's core operation (extract →
     # format → load, chiv.go:121-143): single-object streaming parity
@@ -79,9 +89,9 @@ def main() -> None:
     from chiv_spark.core.archiver import Archiver
     from chiv_spark.sources.catalog import read_table
 
-    li = read_table(spark, sf_dir, "lineitem")
     bucket = tempfile.mkdtemp(prefix="chiv-bench-")
     try:
+        li = read_table(spark, sf_dir, "lineitem")
         a = Archiver(spark)
         t0 = time.perf_counter()
         a.archive_df(li, bucket, key="lineitem_dist.csv", distributed=True)
@@ -89,23 +99,24 @@ def main() -> None:
         t0 = time.perf_counter()
         a.archive_df(li.limit(100_000), bucket, key="lineitem_single.csv")
         timings["archive_csv_single_100k"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["archive_csv"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
         shutil.rmtree(bucket, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "protocol": "warmup+best-of-3",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "protocol": "warmup+best-of-3",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

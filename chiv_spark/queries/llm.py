@@ -587,7 +587,17 @@ def pandas_udaf_lang_profile(spark, sf_dir):
 
 @query(
     "multimodal_features",
-    None,  # Pandas-UDF pipeline: plumbing check is rows-only + pytest
+    # every emitted column is md5/sha-derivable from the utf-8 payload,
+    # so the Pandas-UDF pipeline gets a full value-hash oracle: n_bytes
+    # = utf-8 byte length (DuckDB strlen), sha_prefix = sha256 hex
+    # prefix of the same bytes, feature_dim = the constant output dim
+    """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           substring(sha256(text), 1, 16) AS sha_prefix,
+           CAST(8 AS INTEGER) AS feature_dim
+    FROM documents
+    """,
     doc="Arrow-batched mapInPandas feature extraction over binary payloads (stubbed codec)",
 )
 def multimodal_features(spark, sf_dir):

@@ -62,6 +62,26 @@ def join_left_outer(spark, sf_dir):
 
 
 @query(
+    "join_right_outer",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    doc="right outer join preserving order-less customers (count=0) — "
+    "mirror of join_left_outer with the build/probe sides swapped",
+)
+def join_right_outer(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(c, c.c_custkey == o.o_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+
+
+@query(
     "join_semi",
     """
     SELECT c_custkey, c_mktsegment FROM customer
