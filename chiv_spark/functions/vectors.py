@@ -56,7 +56,20 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Codegen-friendly dot product for a known dimension: chained
     left-assoc adds of element products (same accumulation order as
-    the fold → bit-identical result)."""
+    the fold → bit-identical result).
+
+    When given plain column *names*, the whole chain is built as ONE
+    SQL string → one py4j round-trip instead of ~6·dim Column calls.
+    At dim=64 that's the difference between ~2 ms and ~500 ms of
+    driver-side plan construction per use (the Column path is kept as
+    a fallback for arbitrary Column expressions)."""
+    if isinstance(a, str) and isinstance(b, str):
+        # `x[i]` is 0-based in SQL; element_at is 1-based — same cells
+        return F.expr(
+            " + ".join(
+                f"(CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{b}`[{i}] AS DOUBLE))" for i in range(dim)
+            )
+        )
     ac, bc = _c(a), _c(b)
     terms = [
         F.element_at(ac, i).cast("double") * F.element_at(bc, i).cast("double")
@@ -66,6 +79,15 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
 
 
 def l2_norm_fixed(a: Column | str, dim: int) -> Column:
+    if isinstance(a, str):
+        return F.sqrt(
+            F.expr(
+                " + ".join(
+                    f"(CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{a}`[{i}] AS DOUBLE))"
+                    for i in range(dim)
+                )
+            )
+        )
     ac = _c(a)
     terms = [
         F.element_at(ac, i).cast("double") * F.element_at(ac, i).cast("double")

@@ -113,21 +113,39 @@ def minhash_signatures_wide(docs: DataFrame, num_perms: int = NUM_PERMS) -> Data
     min-aggregates over k arithmetically-derived hashes of a single
     md5 per shingle — no row multiplication, one shuffle, 1/k-th the
     md5 cost."""
-    sh = shingles(docs)
-    # integer div/mod only — `/` on longs is floating division in
-    # Spark and loses exactness above 2^53
-    base = sh.select("doc_id", hash64(F.col("shingle")).alias("h")).select(
-        "doc_id",
-        F.expr(f"h % {_H_SPLIT}").alias("h1"),
-        F.expr(f"h div {_H_SPLIT}").alias("h2"),
-    )
-    aggs = [
-        F.min(
-            (F.col("h1") * c1 + F.col("h2") * c2 + c3) % MINHASH_PRIME
-        ).alias(f"mh{p}")
+    # One spark.sql call for the whole shingle→hash→16-min pipeline:
+    # building the 16 aggregates as Column objects costs hundreds of
+    # py4j round-trips per construction; as SQL text it's one call and
+    # the identical Catalyst plan. Integer div/mod only — `/` on longs
+    # is floating division in Spark and loses exactness above 2^53.
+    parts = ", ".join(f"toks[i + {j}]" for j in range(SHINGLE_WORDS))
+    aggs = ", ".join(
+        f"MIN((h1 * {c1} + h2 * {c2} + {c3}) % {MINHASH_PRIME}) AS mh{p}"
         for p, (c1, c2, c3) in enumerate(PERM_CONSTS[:num_perms])
-    ]
-    return base.groupBy("doc_id").agg(*aggs)
+    )
+    return docs.sparkSession.sql(
+        f"""
+        WITH toks AS (SELECT doc_id, split(text, ' ') AS toks FROM {{docs}}),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       explode(transform(sequence(0, size(toks) - {SHINGLE_WORDS}),
+                                         i -> concat_ws(' ', {parts}))) AS shingle
+                FROM toks WHERE size(toks) >= {SHINGLE_WORDS}
+            )
+        ),
+        base AS (
+            SELECT doc_id, h % {_H_SPLIT} AS h1, h div {_H_SPLIT} AS h2
+            FROM (
+                SELECT doc_id,
+                       CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) AS h
+                FROM sh
+            )
+        )
+        SELECT doc_id, {aggs} FROM base GROUP BY doc_id
+        """,
+        docs=docs,
+    )
 
 
 def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame:
@@ -146,11 +164,12 @@ def _band_buckets_wide(sigw: DataFrame) -> DataFrame:
     string_agg(mh ORDER BY p)."""
     cols = []
     for band in range(NUM_BANDS):
-        members = [F.col(f"mh{band * ROWS_PER_BAND + i}") for i in range(ROWS_PER_BAND)]
+        members = ", ".join(f"mh{band * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND))
         cols.append(
-            hash64(F.concat_ws(":", F.lit(band), F.concat_ws(",", *members))).alias(f"bh{band}")
+            f"CAST(conv(substring(md5(concat_ws(':', CAST({band} AS STRING), "
+            f"concat_ws(',', {members}))), 1, 15), 16, 10) AS BIGINT) AS bh{band}"
         )
-    wide = sigw.select("doc_id", *cols)
+    wide = sigw.selectExpr("doc_id", *cols)
     pairs = ", ".join(f"{b}, bh{b}" for b in range(NUM_BANDS))
     return wide.selectExpr("doc_id", f"stack({NUM_BANDS}, {pairs}) as (band, bh)").select(
         "doc_id", F.col("band").cast("int").alias("band"), "bh"
@@ -181,18 +200,16 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sigw.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{p}").alias(f"a{p}") for p in range(NUM_PERMS)])
-    sb = sigw.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{p}").alias(f"b{p}") for p in range(NUM_PERMS)])
-    match_terms = [
-        F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1.0).otherwise(0.0) for p in range(NUM_PERMS)
-    ]
-    total = match_terms[0]
-    for term in match_terms[1:]:
-        total = total + term
+    sa = sigw.selectExpr("doc_id AS doc_a", *[f"mh{p} AS a{p}" for p in range(NUM_PERMS)])
+    sb = sigw.selectExpr("doc_id AS doc_b", *[f"mh{p} AS b{p}" for p in range(NUM_PERMS)])
+    # single 16-term double sum as SQL text (1.0D literals: bare 1.0
+    # parses as DECIMAL in Spark SQL — D keeps the original double
+    # accumulation, bit-identical left-assoc order)
+    match = " + ".join(f"IF(a{p} = b{p}, 1.0D, 0.0D)" for p in range(NUM_PERMS))
     est = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", (total / float(NUM_PERMS)).alias("est_jaccard"))
+        .selectExpr("doc_a", "doc_b", f"(({match}) / {float(NUM_PERMS)}D) AS est_jaccard")
     )
     return est.filter(F.col("est_jaccard") >= threshold).select(
         "doc_a", "doc_b", F.col("est_jaccard").cast("double").alias("est_jaccard")
@@ -206,30 +223,37 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     bit b of the token hash) is positive — integer arithmetic only,
     so any aggregation order gives the same result.
     """
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-        .select("doc_id", hash64(F.col("tok")).alias("th"))
-    )
     # ONE groupBy with 60 sum-aggregates instead of a x60 row explode +
     # two shuffles: per-bit contribution is +-1 from bit b of the token
     # hash; integer sums are order-free so values match the oracle's
-    # long-form computation exactly
-    bit_aggs = [
-        F.sum(
-            F.when(F.expr(f"(th div shiftleft(1L, {b})) % 2") == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s{b}")
-        for b in range(SIM_BITS)
-    ]
-    sums = toks.groupBy("doc_id").agg(*bit_aggs)
-    sig_terms = [
-        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        for b in range(SIM_BITS)
-    ]
-    sig = sig_terms[0]
-    for term in sig_terms[1:]:
-        sig = sig + term
-    return sums.select("doc_id", sig.alias("simhash"))
+    # long-form computation exactly. The whole pipeline is a single
+    # spark.sql call: building 60 aggregates + a 60-term signature sum
+    # as Column objects costs ~2000 py4j round-trips (~1 s of driver
+    # wall per construction); as SQL text it's one round-trip and the
+    # identical Catalyst plan.
+    sum_exprs = ", ".join(
+        f"SUM(IF((th div shiftleft(1L, {b})) % 2 = 1, 1, -1)) AS s{b}" for b in range(SIM_BITS)
+    )
+    sig_expr = " + ".join(
+        f"IF(s{b} > 0, CAST({1 << b} AS BIGINT), CAST(0 AS BIGINT))" for b in range(SIM_BITS)
+    )
+    return docs.sparkSession.sql(
+        f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, explode(split(text, ' ')) AS tok FROM {{docs}}
+            )
+        ),
+        th AS (
+            SELECT doc_id,
+                   CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS th
+            FROM toks
+        ),
+        sums AS (SELECT doc_id, {sum_exprs} FROM th GROUP BY doc_id)
+        SELECT doc_id, {sig_expr} AS simhash FROM sums
+        """,
+        docs=docs,
+    )
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIM_MAX_HAMMING) -> DataFrame:
@@ -238,37 +262,31 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIM_MAX_HAMMING) -> DataFr
     Hamming distance 3 must agree on ≥1 chunk. Join on (chunk_index,
     chunk_value), verify with bit_count(xor) — linear in candidates."""
     sig = simhash_signatures(docs)
-    chunks = docs.sparkSession.range(SIM_CHUNKS).select(F.col("id").cast("int").alias("ci"))
-    chunked = sig.crossJoin(F.broadcast(chunks)).select(
-        "doc_id",
-        "simhash",
-        "ci",
-        F.expr(f"(simhash div shiftleft(1L, ci * {SIM_CHUNK_BITS})) % {1 << SIM_CHUNK_BITS}").alias(
-            "chunk"
+    # single SQL text (one py4j round-trip; identical plan to the
+    # Column-built version: chunk-explode → self equi-join → distinct
+    # → bit_count verify)
+    return docs.sparkSession.sql(
+        f"""
+        WITH chunked AS (
+            SELECT doc_id, simhash, ci,
+                   (simhash div shiftleft(1L, ci * {SIM_CHUNK_BITS}))
+                       % {1 << SIM_CHUNK_BITS} AS chunk
+            FROM {{sig}}
+            LATERAL VIEW explode(sequence(0, {SIM_CHUNKS - 1})) AS ci
         ),
-    )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.simhash AS sim_a, b.simhash AS sim_b
+            FROM chunked a
+            JOIN chunked b
+              ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.expr("sim_a ^ sim_b")).cast("int")
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        SELECT doc_a, doc_b,
+               CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(sim_a ^ sim_b) <= {max_hamming}
+        """,
+        sig=sig,
     )
 
 

@@ -134,15 +134,15 @@ def cosine_topk(
     q = (query_ids if query_ids is not None else emb).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("qn"),
+        l2_norm_fixed(vec_col, dim).alias("qn"),
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("cn"),
+        l2_norm_fixed(vec_col, dim).alias("cn"),
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
-        "cosine", dot_fixed(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))
+        "cosine", dot_fixed("qv", "cv", dim) / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -232,17 +232,17 @@ def embedding_neardup(
     va = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("na"),
+        l2_norm_fixed(vec_col, dim).alias("na"),
     )
     vb = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("nb"),
+        l2_norm_fixed(vec_col, dim).alias("nb"),
     )
     pairs = cand.join(va, "id_a").join(vb, "id_b").select(
         "id_a",
         "id_b",
-        (dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        (dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", det_round(F.col("cosine"), 6).alias("cosine")
@@ -269,16 +269,16 @@ def ivf_assign(
         .select(
             F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("cvec"),
-            l2_norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+            l2_norm_fixed(vec_col, dim).alias("cnorm"),
         )
     )
     vecs = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("vnorm"),
+        l2_norm_fixed(vec_col, dim).alias("vnorm"),
     )
     scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "cos", dot_fixed(F.col("v"), F.col("cvec"), dim) / (F.col("vnorm") * F.col("cnorm"))
+        "cos", dot_fixed("v", "cvec", dim) / (F.col("vnorm") * F.col("cnorm"))
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
     return (
@@ -305,15 +305,15 @@ def ivf_probes(
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cvec"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("cnorm"),
+        l2_norm_fixed(vec_col, dim).alias("cnorm"),
     )
     qs = query_ids.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("v"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("vnorm"),
+        l2_norm_fixed(vec_col, dim).alias("vnorm"),
     )
     scored = qs.crossJoin(F.broadcast(cents)).withColumn(
-        "cos", dot_fixed(F.col("v"), F.col("cvec"), dim) / (F.col("vnorm") * F.col("cnorm"))
+        "cos", dot_fixed("v", "cvec", dim) / (F.col("vnorm") * F.col("cnorm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("centroid_id"))
     return (
@@ -342,19 +342,19 @@ def ivf_topk(
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("cn"),
+        l2_norm_fixed(vec_col, dim).alias("cn"),
     ).join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
     probes = ivf_probes(emb, query_ids, n_probes, n_centroids, id_col, vec_col, dim)
     q = query_ids.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("qn"),
+        l2_norm_fixed(vec_col, dim).alias("qn"),
     ).join(probes, "query_id")
     scored = corpus.join(
         F.broadcast(q),
         (F.col("query_id") != F.col("neighbor_id"))
         & (corpus["centroid_id"] == q["centroid_id"]),
-    ).withColumn("cosine", dot_fixed(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")))
+    ).withColumn("cosine", dot_fixed("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -384,18 +384,18 @@ def lsh_cosine_topk(
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("cn"),
+        l2_norm_fixed(vec_col, dim).alias("cn"),
     ).join(buckets.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
     q = query_ids.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("qn"),
+        l2_norm_fixed(vec_col, dim).alias("qn"),
     ).join(buckets.withColumnRenamed("id", "query_id"), "query_id")
     scored = corpus.join(
         F.broadcast(q),
         (F.col("query_id") != F.col("neighbor_id"))
         & (corpus["bucket"] == q["bucket"]),
-    ).withColumn("cosine", dot_fixed(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")))
+    ).withColumn("cosine", dot_fixed("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -115,7 +115,7 @@ def embedding_normalize(spark, sf_dir):
     # array and divide each element by it — keeps total expression size
     # O(dim), not O(dim^2) as inlining the norm into every exploded
     # element would (26s -> sub-second plan compile at dim=64)
-    nrm = l2_norm_fixed(F.col("embedding"), EMB_DIM)
+    nrm = l2_norm_fixed("embedding", EMB_DIM)
     return (
         emb.select("vec_id", nrm.alias("nrm"), F.posexplode("embedding").alias("pos", "x"))
         .select(

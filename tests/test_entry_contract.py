@@ -63,12 +63,10 @@ class TestContractShape:
         assert set(os_) <= set(qs)
         # rows-only entries are the documented non-SQL-expressible ops
         # (round 2 gave the three streaming queries exact batch-twin
-        # oracles; only the HLL sketch and the codec-output digest
-        # remain inherently non-SQL-expressible)
-        assert set(qs) - set(os_) == {
-            "agg_approx_distinct",
-            "multimodal_features",
-        }
+        # oracles; round 4 gave multimodal_features a sha256-derived
+        # oracle — only the HLL sketch remains inherently
+        # non-SQL-expressible)
+        assert set(qs) - set(os_) == {"agg_approx_distinct"}
 
     def test_registry_docs(self):
         for name, spec in REGISTRY.items():
