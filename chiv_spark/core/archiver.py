@@ -24,6 +24,8 @@ Two sink modes:
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -116,24 +118,41 @@ class Archiver:
 
     # -- public surface (Archive / ArchiveRows analogs) ----------------
 
+    @contextlib.contextmanager
+    def _job_group(self, job_group: object):
+        """Tag this thread's jobs with a cancellable group for the
+        duration of one archive, then clear the thread-local
+        properties — without the clear, every later job on this thread
+        would stay tagged (and cancellable) as this archive."""
+        if job_group is None:
+            yield
+            return
+        sc = self.spark.sparkContext
+        sc.setJobGroup(str(job_group), "chiv archive", True)
+        try:
+            yield
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
     def archive(self, table: str, bucket: str, **overrides: object) -> str:
         """Archive a named table (temp view / catalog table) —
         the reference's ``Archive(db, s3, table, bucket)``."""
         job_group = overrides.pop("job_group", None)
-        if job_group is not None:
-            self.spark.sparkContext.setJobGroup(str(job_group), "chiv archive", True)
         distributed = bool(overrides.pop("distributed", False))
         opts = self.defaults.merged(**overrides)
-        try:
-            df = self.spark.table(table)
-            if opts.columns:
-                df = df.select(*opts.columns)  # projection pushdown is Catalyst's
-        except ArchiveError:
-            raise
-        except Exception as e:  # noqa: BLE001
-            # reference: "chiv: querying '%s': %w" (chiv.go:95)
-            raise ArchiveError(f"querying '{table}'", e) from e
-        return self._archive_df(df, table, bucket, opts, distributed)
+        with self._job_group(job_group):
+            try:
+                df = self.spark.table(table)
+                if opts.columns:
+                    df = df.select(*opts.columns)  # projection pushdown is Catalyst's
+            except ArchiveError:
+                raise
+            except Exception as e:  # noqa: BLE001
+                # reference: "chiv: querying '%s': %w" (chiv.go:95)
+                raise ArchiveError(f"querying '{table}'", e) from e
+            return self._archive_df(df, table, bucket, opts, distributed)
 
     def archive_query(self, sql: str, bucket: str, **overrides: object) -> str:
         """Archive an arbitrary SQL result — the caller-supplied-cursor
@@ -149,13 +168,12 @@ class Archiver:
         can abort them — the ArchiveWithContext cancellation analog
         (reference chiv.go:166-169, ctx check per row)."""
         job_group = overrides.pop("job_group", None)
-        if job_group is not None:
-            self.spark.sparkContext.setJobGroup(str(job_group), "chiv archive", True)
         distributed = bool(overrides.pop("distributed", False))
         opts = self.defaults.merged(**overrides)
-        if opts.columns:
-            df = df.select(*opts.columns)
-        return self._archive_df(df, "", bucket, opts, distributed)
+        with self._job_group(job_group):
+            if opts.columns:
+                df = df.select(*opts.columns)
+            return self._archive_df(df, "", bucket, opts, distributed)
 
     def cancel(self, job_group: str) -> None:
         """Cancel a running archive by its job group (cooperative
@@ -173,6 +191,15 @@ class Archiver:
         opts: ArchiveOptions,
         distributed: bool,
     ) -> str:
+        if distributed and callable(opts.format):
+            # the single-object sink honors custom FormatterFunc; the
+            # distributed sink writes per-partition part files with
+            # built-in formatters only — silently falling back to CSV
+            # would discard the caller's formatter
+            raise ValueError(
+                "distributed sink does not support callable formatters; "
+                "pass format='csv'|'json'|'yaml' or use the single-object sink"
+            )
         fmt_func = _resolve_format(opts.format)
         extension = opts.extension
         if extension is None:

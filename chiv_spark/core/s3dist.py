@@ -25,13 +25,26 @@ from pyspark.sql import DataFrame
 
 
 def _client_cfg() -> dict[str, str]:
+    """Driver-side boto3 client kwargs shipped (by value) into the
+    per-partition upload closures.
+
+    Endpoint and region are plain configuration and always ship. The
+    access key / secret ship ONLY when ``CHIV_SPARK_SHIP_S3_CREDS=1``:
+    serializing long-lived secrets into task closures spreads them
+    across executor heaps/logs/shuffle — on a real cluster the
+    executors should resolve credentials themselves (instance
+    profile / IRSA / env, boto3's default chain). The opt-in exists
+    for dev setups (and this repo's moto tests) where the driver
+    process's env changed after the JVM launched, so the executors'
+    inherited env doesn't have the test credentials."""
     cfg: dict[str, str] = {}
     if os.environ.get("AWS_ENDPOINT_URL"):
         cfg["endpoint_url"] = os.environ["AWS_ENDPOINT_URL"]
-    if os.environ.get("AWS_ACCESS_KEY_ID"):
-        cfg["aws_access_key_id"] = os.environ["AWS_ACCESS_KEY_ID"]
-    if os.environ.get("AWS_SECRET_ACCESS_KEY"):
-        cfg["aws_secret_access_key"] = os.environ["AWS_SECRET_ACCESS_KEY"]
+    if os.environ.get("CHIV_SPARK_SHIP_S3_CREDS") == "1":
+        if os.environ.get("AWS_ACCESS_KEY_ID"):
+            cfg["aws_access_key_id"] = os.environ["AWS_ACCESS_KEY_ID"]
+        if os.environ.get("AWS_SECRET_ACCESS_KEY"):
+            cfg["aws_secret_access_key"] = os.environ["AWS_SECRET_ACCESS_KEY"]
     cfg["region_name"] = os.environ.get("AWS_DEFAULT_REGION", "us-east-1")
     return cfg
 

@@ -214,10 +214,11 @@ def embedding_neardup(
     # materialize buckets before the self-join: the bucket plan is
     # narrow (no exchange), so Spark has no ReusedExchange point and
     # would otherwise evaluate the plane folds twice (~25% of query
-    # wall). localCheckpoint truncates lineage; the small (id, band,
-    # bits) frame is cheap to hold.
+    # wall). persist + count populates the cache race-free; the cache
+    # is released as soon as the (tiny) candidate set is materialized.
     dim = _dim(emb, vec_col, dim)
-    buckets = _band_sign_buckets(emb, id_col, vec_col, dim).localCheckpoint(eager=True)
+    buckets = _band_sign_buckets(emb, id_col, vec_col, dim).persist()
+    buckets.count()
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -228,7 +229,11 @@ def embedding_neardup(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()  # a pair can collide in several bands — dedupe ids only
+        # lineage cut: the returned plan reads this small candidate
+        # frame, letting the bucket cache be released immediately
+        .localCheckpoint(eager=True)
     )
+    buckets.unpersist()
     va = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

@@ -218,12 +218,13 @@ _CLUSTER_ORACLE = f"""
 def dedup_clusters(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents")).select("doc_a", "doc_b")
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("a", "b").distinct()
-    # materialize the edge set ONCE and truncate lineage: persist()
-    # alone leaves the full minhash->band->verify plan in every round's
-    # DAG (first action pays it, and concurrent subtrees in the same
-    # job can race the cache and recompute it). After the eager
-    # localCheckpoint the loop joins run on a small flat frame.
-    edges = edges.localCheckpoint(eager=True)
+    # materialize the edge set ONCE up front: the count() fully
+    # populates the cache before the loop, so no concurrent subtree
+    # can race it into recomputing the minhash->band->verify plan —
+    # and unlike localCheckpoint, persist() can be released cleanly
+    # once the result is materialized below.
+    edges = edges.persist()
+    edges.count()
     # min-label propagation to fixpoint. Near-dup components are
     # cliques or near-cliques (every member pairs with most others),
     # so the diameter — and the round count — is 1-3; plain edge
@@ -256,4 +257,13 @@ def dedup_clusters(spark, sf_dir):
         labels = new_labels
         if n_changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id"))
+    # materialize the small final labels (lineage cut), then release
+    # every intermediate cache block — without this, the last loop
+    # round's persist and the edge cache outlive the query
+    result = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    edges.unpersist()
+    return result

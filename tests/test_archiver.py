@@ -220,3 +220,36 @@ class TestDistributedWrites:
                 docs.extend(yaml.safe_load(fh.read()) or [])
         assert len(docs) == 3
         assert {d["int_column"] for d in docs} == {42, 100, 101}
+
+
+class TestJobGroupHygiene:
+    """setJobGroup is thread-local state: an archive must clear it on
+    the way out (success or failure), or every later job on the thread
+    stays tagged — and cancellable — as that archive."""
+
+    def test_job_group_cleared_after_archive(self, spark, pg_df, tmp_path):
+        a = Archiver(spark)
+        a.archive_df(pg_df, str(tmp_path), key="jg.csv", job_group="jg-test")
+        assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+        assert spark.sparkContext.getLocalProperty("spark.job.interruptOnCancel") is None
+
+    def test_job_group_cleared_after_failure(self, spark, tmp_path):
+        a = Archiver(spark)
+        with pytest.raises(Exception):
+            a.archive("no_such_table_anywhere", str(tmp_path), job_group="jg-fail")
+        assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+
+
+class TestDistributedCallableFormatter:
+    def test_callable_formatter_rejected(self, spark, pg_df, tmp_path):
+        """The distributed sink writes built-in formats only; silently
+        coercing a custom FormatterFunc to CSV would discard it."""
+
+        def my_formatter(stream, columns):  # pragma: no cover - never called
+            raise AssertionError("must not be invoked")
+
+        a = Archiver(spark)
+        with pytest.raises(ValueError, match="callable formatter"):
+            a.archive_df(
+                pg_df, str(tmp_path), key="x", format=my_formatter, distributed=True
+            )

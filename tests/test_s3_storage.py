@@ -142,6 +142,10 @@ class TestDistributedS3Sink:
         monkeypatch.setenv("AWS_ACCESS_KEY_ID", "testing")
         monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "testing")
         monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+        # creds must ship by value here: these env vars were set after
+        # the Spark JVM launched, so workers can't inherit them (the
+        # production default is executors resolving their own creds)
+        monkeypatch.setenv("CHIV_SPARK_SHIP_S3_CREDS", "1")
         client = boto3.client(
             "s3",
             endpoint_url=endpoint,
