@@ -156,3 +156,19 @@ class TestMultimodal:
         for v in by_media.values():
             offs = [x.offset_bytes for x in sorted(v, key=lambda f: f.frame_index)]
             assert offs == sorted(offs)
+
+
+class TestApproxDistinctBounds:
+    def test_hll_within_relative_error(self, spark, sf_dir):
+        """approx_count_distinct(rsd=0.02) has no bit-exact oracle, but
+        it does have a contract: the estimate must land within a few
+        multiples of the requested relative standard deviation of the
+        exact COUNT(DISTINCT). 5*rsd = 10% is far beyond HLL++'s
+        practical spread at this cardinality — a deterministic bound
+        (the sketch itself is deterministic for fixed input)."""
+        from chiv_spark.queries import REGISTRY
+
+        row = REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).first()
+        approx, exact = row["approx_parts"], row["exact_parts"]
+        assert exact > 0
+        assert abs(approx - exact) / exact <= 0.10

@@ -42,7 +42,15 @@ def norm(v: object) -> object:
 def typed_shape_problems(sdf, con, oracle: str) -> list[str]:
     """Replay the driver's pandas-typed view of both sides: per-column
     dtype-kind comparison (int-vs-float is a hash mismatch even when
-    values are equal) plus an unhashable-cell scan."""
+    values are equal) plus an unhashable-cell scan.
+
+    This deliberately re-executes both sides through toPandas/fetchdf
+    rather than reusing the value pass's collect()/fetchall() rows:
+    the two collection paths represent NULLs differently (None vs
+    NaN/NaT) and type scalars differently (Python vs numpy/pandas),
+    and the driver's typed hash sees the *pandas* view — deriving it
+    from the Python-object rows would test a different encoding than
+    the one being replayed. The ~2x harness cost is accepted."""
     import numpy as np
 
     problems: list[str] = []
@@ -54,25 +62,52 @@ def typed_shape_problems(sdf, con, oracle: str) -> list[str]:
         sk, ok = spdf[c].dtype.kind, odf[c].dtype.kind
         # collapse pandas kinds to the classes the driver's hash cares about
         klass = {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "ts", "m": "td"}
-        skl, okl = klass.get(sk, "obj"), klass.get(ok, "obj")
-        # a side with NULLs promotes int->float in pandas; only flag when
-        # neither side has NaNs (a genuine typing divergence, not promotion)
+
+        def _klass(series, kind):
+            if kind != "O":
+                return klass.get(kind, "obj")
+            # Spark DATE columns arrive as object dtype holding
+            # datetime.date cells; the driver hashes them equal to the
+            # oracle's datetime64 (r2/r3 driver gates confirm) — so
+            # classify object columns by their first non-null cell
+            nonnull = series.dropna()
+            if len(nonnull) and isinstance(nonnull.iloc[0], (dt.date, dt.datetime)):
+                return "ts"
+            return "obj"
+
+        skl, okl = _klass(spdf[c], sk), _klass(odf[c], ok)
         if skl != okl:
-            s_nulls = bool(spdf[c].isna().any()) if len(spdf) else False
-            o_nulls = bool(odf[c].isna().any()) if len(odf) else False
-            if not (s_nulls or o_nulls):
+            # pandas promotes a NULL-bearing int column to float: only
+            # that specific direction is benign, and only when the
+            # float-kind side actually has NaNs. Any other kind
+            # mismatch (or an int/float split without nulls to explain
+            # it) is a genuine typed-hash divergence.
+            float_side = spdf[c] if skl == "float" else (odf[c] if okl == "float" else None)
+            promotion = (
+                {skl, okl} == {"int", "float"}
+                and float_side is not None
+                and len(float_side) > 0
+                and bool(float_side.isna().any())
+            )
+            if not promotion:
                 problems.append(
                     f"dtype kind differs on {c!r}: spark={spdf[c].dtype} oracle={odf[c].dtype}"
                     " (driver typed-hash would mismatch)"
                 )
         for side, frame in (("spark", spdf), ("oracle", odf)):
             if len(frame) and frame[c].dtype.kind == "O":
-                v = frame[c].iloc[0]
-                if isinstance(v, (list, dict, set, np.ndarray)):
-                    problems.append(
-                        f"unhashable {type(v).__name__} cells in {side} column {c!r}"
-                        " (driver canonicalizer crashes on these)"
-                    )
+                # scan the first non-null cell plus a bounded sample —
+                # a column whose first cell is None/str can still hide
+                # lists/ndarrays further down
+                nonnull = frame[c].dropna()
+                probe = list(nonnull.iloc[:20]) + ([nonnull.iloc[-1]] if len(nonnull) else [])
+                for v in probe:
+                    if isinstance(v, (list, dict, set, np.ndarray)):
+                        problems.append(
+                            f"unhashable {type(v).__name__} cells in {side} column {c!r}"
+                            " (driver canonicalizer crashes on these)"
+                        )
+                        break
     return problems
 
 
