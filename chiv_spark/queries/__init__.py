@@ -22,6 +22,7 @@ from chiv_spark.queries import (  # noqa: E402,F401
     stats,
     tpch,
     tpch_extra,
+    tpch_more,
 )
 
 __all__ = ["REGISTRY", "QuerySpec"]
