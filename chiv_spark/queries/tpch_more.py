@@ -10,8 +10,9 @@ Plan notes (the 100 TB story):
 - scalar thresholds (Q15 max, Q22 avg) are single-row aggregates
   joined back by broadcast — never a driver-side collect.
 - Q17's correlated per-part average filters lineitem down to the
-  brand's partkeys (broadcast semi-ish join) BEFORE the per-part
-  aggregate, so the shuffle is brand-sized, not table-sized.
+  brand's partkeys BEFORE the per-part aggregate, so the shuffle is
+  brand-sized, not table-sized (part-side joins are unhinted — AQE
+  broadcasts them only when the filtered side actually fits).
 - Q18's HAVING subquery is a bucket-key semi join on l_orderkey.
 - float determinism: exact DECIMAL / integer-cent sums, one IEEE
   division at the end, det_round where engines' decimal→double
@@ -147,7 +148,10 @@ def q8_market_share(spark, sf_dir):
     ).cast("double")
     den = F.sum(_rev()).cast("double")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # no hint on part: type-filtered part is still huge at 100 TB, and a
+        # forced broadcast would override AQE's size check (same rule as q3's
+        # customer side); AQE broadcasts it only when actually small
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -186,7 +190,8 @@ def q9_profit_by_nation_year(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     n = t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part unhinted for the same 100 TB reason as q8; nation stays hinted
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -252,7 +257,7 @@ def q15_top_supplier(spark, sf_dir):
     """,
     doc="TPC-H Q17: revenue from small-quantity orders vs the part's own "
     "average (correlated per-part aggregate). Lineitem is reduced to the "
-    "brand's partkeys via broadcast join BEFORE the per-part aggregate, "
+    "brand's partkeys BEFORE the per-part aggregate, "
     "so the shuffle is brand-sized; threshold uses the integer-cent "
     "average so the < comparison is bit-deterministic across engines",
 )
@@ -263,12 +268,14 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .filter(F.col("p_brand") == "Brand#11")
         .select("p_partkey")
     )
-    brand_li = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey)
+    # unhinted: a brand's partkey set is ~1/25 of part — still too big to
+    # force-broadcast at 100 TB; AQE picks broadcast when it fits
+    brand_li = li.join(pk, li.l_partkey == pk.p_partkey)
     per_part = brand_li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
         (money_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
-        brand_li.join(F.broadcast(per_part), brand_li.l_partkey == per_part.pp_key)
+        brand_li.join(per_part, brand_li.l_partkey == per_part.pp_key)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             (money_sum("l_extendedprice") / F.lit(7.0))
