@@ -372,3 +372,51 @@ def events_retention_cohorts(spark, sf_dir):
         .groupBy("cohort_day", F.col("day_offset").cast("long").alias("day_offset"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@query(
+    "streaming_stream_static_join",
+    # stateless per-microbatch join + one stateful aggregation; the
+    # single availableNow batch sees every row, so the streaming result
+    # equals the batch join-aggregate below
+    """
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY c_mktsegment
+    """,
+    doc="stream-static enrichment join: streaming purchases ⋈ static "
+    "customer dim → revenue per market segment (stateless join, "
+    "re-planned per microbatch; complete-mode aggregate)",
+)
+def streaming_stream_static_join(spark, sf_dir):
+    from chiv_spark.streaming.enrich import purchases_by_segment
+
+    ckpt = tempfile.mkdtemp(prefix="chiv-ss-static-ckpt-")
+    return purchases_by_segment(spark, sf_dir, ckpt)
+
+
+@query(
+    "streaming_dedup_watermark",
+    # one availableNow batch → watermark never advances mid-run →
+    # dropDuplicatesWithinWatermark emits exactly the batch DISTINCT
+    """
+    SELECT event_type, COUNT(*) AS n_users
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+    doc="watermark-bounded streaming dedup (dropDuplicatesWithinWatermark "
+    "on user_id+event_type): state holds only keys inside the watermark "
+    "horizon, unlike unbounded dropDuplicates; counted per type after "
+    "the append-mode sink",
+)
+def streaming_dedup_watermark(spark, sf_dir):
+    from chiv_spark.streaming.enrich import deduped_user_types
+
+    ckpt = tempfile.mkdtemp(prefix="chiv-dedup-ckpt-")
+    deduped = deduped_user_types(spark, sf_dir, ckpt)
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -19,3 +19,38 @@ class TestEventsStream:
     def test_watermark_present_in_stream_plan(self, spark, sf_dir):
         agg = windowed_event_counts(read_t(spark, sf_dir, "events"))
         assert "window_start" in agg.columns
+
+
+class TestStreamStaticJoin:
+    def test_matches_batch_join(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from chiv_spark.streaming.enrich import purchases_by_segment
+
+        streamed = purchases_by_segment(spark, sf_dir, str(tmp_path / "ckpt-ssj"))
+        cust = read_t(spark, sf_dir, "customer")
+        batch = (
+            read_t(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .join(cust, F.col("user_id") == cust.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_purchases"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            )
+        )
+        assert {tuple(r) for r in streamed.collect()} == {tuple(r) for r in batch.collect()}
+        assert streamed.count() > 0
+
+
+class TestStreamingDedup:
+    def test_emits_exactly_batch_distinct(self, spark, sf_dir, tmp_path):
+        from chiv_spark.streaming.enrich import deduped_user_types
+
+        deduped = deduped_user_types(spark, sf_dir, str(tmp_path / "ckpt-dd"))
+        batch = read_t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+        got = sorted(tuple(r) for r in deduped.collect())
+        want = sorted(tuple(r) for r in batch.collect())
+        assert got == want
+        # append-mode emit: no pair appears twice
+        assert len(got) == len(set(got))
