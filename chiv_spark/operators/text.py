@@ -113,3 +113,46 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fingerprint().alias("fingerprint"))
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) with a rational IDF,
+    ``(N - df + 0.5) / (df + 0.5)`` — the classic log() is avoided
+    because the engines' libm ln() can differ in the last ulp, while
+    +,-,*,/ are bit-deterministic IEEE ops. Per-term contributions are
+    rounded to integer micros and summed as bigints, so the per-doc
+    score is order-free at any parallelism.
+
+    Scale shape: tokens are filtered to the query's terms BEFORE any
+    shuffle (the tf/df aggregates are query-term-sized, not
+    vocabulary-sized); df and the corpus stats are single-digit-row
+    broadcasts; the only fact-sized shuffle is the doc-length join on
+    doc_id."""
+    toks = docs.select("doc_id", F.explode(_toks()).alias("tok"))
+    qt = toks.filter(F.col("tok").isin(*terms))
+    tf = qt.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dft = qt.groupBy("tok").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    dl = docs.select("doc_id", F.size(_toks()).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    n = F.col("n_docs").cast("double")
+    df_ = F.col("df").cast("double")
+    tf_ = F.col("tf").cast("double")
+    dl_ = F.col("dl").cast("double")
+    avgdl = F.col("total_dl").cast("double") / n
+    idf = ((n - df_) + F.lit(0.5)) / (df_ + F.lit(0.5))
+    denom = tf_ + (F.lit(1.2) * (F.lit(0.25) + (F.lit(0.75) * (dl_ / avgdl))))
+    contrib = idf * ((tf_ * F.lit(2.2)) / denom)
+    micros = F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", micros.alias("micros"))
+        .groupBy("doc_id")
+        .agg((F.sum("micros").cast("double") / F.lit(1000000.0)).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )

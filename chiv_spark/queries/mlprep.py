@@ -235,3 +235,39 @@ def text_corpus_freq_score(spark, sf_dir):
         )
         .select("doc_id", "n_tokens", "freq_score")
     )
+
+
+@query(
+    "text_bm25_topk",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    qt AS (SELECT doc_id, tok FROM toks WHERE tok IN ('join', 'merge', 'window')),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY doc_id, tok),
+    dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY tok),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               (((CAST(stats.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE)) + 0.5) / (CAST(dft.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + (1.2 * (0.25 + (0.75 * (CAST(dl.dl AS DOUBLE)
+                        / (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n_docs AS DOUBLE))))))))
+               * 1000000.0 + 0.5) AS BIGINT) AS micros
+      FROM tf JOIN dft ON tf.tok = dft.tok
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats)
+    SELECT doc_id, CAST(SUM(micros) AS DOUBLE) / 1000000.0 AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 keyword retrieval (rational IDF, integer-micro summation — "
+    "see operators/text.py:bm25_topk for the determinism and scale notes): "
+    "lexical twin of the ANN dense-retrieval family",
+)
+def text_bm25_topk(spark, sf_dir):
+    from chiv_spark.operators.text import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["join", "merge", "window"], k=20)
