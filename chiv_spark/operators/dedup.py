@@ -181,38 +181,57 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     estimated Jaccard ≥ threshold.
 
     Plan shape: shingle explode → ONE wide min-agg (16 aggregates) →
-    band bucket equi-join → per-candidate signature comparison as a
-    single 16-term expression (no per-permutation join). No cross join
-    anywhere; at scale the band join is the only wide shuffle and AQE
-    handles skewed buckets (a degenerate bucket = a true near-dup
-    cluster).
+    band bucket equi-join carrying the full signature on both sides →
+    estimate computed inline on the joined row as a single 16-term
+    expression. No cross join and no post-hoc signature joins: the
+    expensive shingle→agg pipeline feeds exactly one self-join (whose
+    two sides are the identical subplan, so the shuffle is written
+    once and reused). At scale the band join is the only wide shuffle;
+    AQE handles skewed buckets (a degenerate bucket = a true near-dup
+    cluster). Carrying 16 extra longs per (doc, band) row costs ~128
+    bytes/row in that one shuffle — far cheaper than re-shuffling the
+    signature table twice to join it back onto candidates.
     """
     sigw = minhash_signatures_wide(docs)
-    buckets = _band_buckets_wide(sigw)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    # band hashes alongside the signature, then stack to (doc_id,
+    # band, bh, mh0..mh15) — 4 rows per doc, signature carried along
+    bh_cols = []
+    for band in range(NUM_BANDS):
+        members = ", ".join(f"mh{band * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND))
+        bh_cols.append(
+            f"CAST(conv(substring(md5(concat_ws(':', CAST({band} AS STRING), "
+            f"concat_ws(',', {members}))), 1, 15), 16, 10) AS BIGINT) AS bh{band}"
+        )
+    mh_cols = [f"mh{p}" for p in range(NUM_PERMS)]
+    wide = sigw.selectExpr("doc_id", *mh_cols, *bh_cols)
+    stack_pairs = ", ".join(f"{b}, bh{b}" for b in range(NUM_BANDS))
+    banded = wide.selectExpr(
+        "doc_id", *mh_cols, f"stack({NUM_BANDS}, {stack_pairs}) as (band, bh)"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    # single 16-term double sum as SQL text (1.0D literals: bare 1.0
+    # parses as DECIMAL in Spark SQL — D keeps the original double
+    # accumulation, bit-identical left-assoc order)
+    match = " + ".join(f"IF(a.mh{p} = b.mh{p}, 1.0D, 0.0D)" for p in range(NUM_PERMS))
+    est = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            f"(({match}) / {float(NUM_PERMS)}D) AS est_jaccard",
+        )
+    )
+    # filter before distinct: pairs colliding in multiple bands carry
+    # the same estimate, so distinct-after-filter dedupes exactly
+    return (
+        est.filter(F.col("est_jaccard") >= threshold)
         .distinct()
-    )
-    sa = sigw.selectExpr("doc_id AS doc_a", *[f"mh{p} AS a{p}" for p in range(NUM_PERMS)])
-    sb = sigw.selectExpr("doc_id AS doc_b", *[f"mh{p} AS b{p}" for p in range(NUM_PERMS)])
-    # single 16-term double sum as SQL text (1.0D literals: bare 1.0
-    # parses as DECIMAL in Spark SQL — D keeps the original double
-    # accumulation, bit-identical left-assoc order)
-    match = " + ".join(f"IF(a{p} = b{p}, 1.0D, 0.0D)" for p in range(NUM_PERMS))
-    est = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .selectExpr("doc_a", "doc_b", f"(({match}) / {float(NUM_PERMS)}D) AS est_jaccard")
-    )
-    return est.filter(F.col("est_jaccard") >= threshold).select(
-        "doc_a", "doc_b", F.col("est_jaccard").cast("double").alias("est_jaccard")
+        .select("doc_a", "doc_b", F.col("est_jaccard").cast("double").alias("est_jaccard"))
     )
 
 
