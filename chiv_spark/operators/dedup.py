@@ -158,24 +158,6 @@ def minhash_signatures(docs: DataFrame, num_perms: int = NUM_PERMS) -> DataFrame
     ).select("doc_id", F.col("p").cast("int").alias("p"), "mh")
 
 
-def _band_buckets_wide(sigw: DataFrame) -> DataFrame:
-    """(doc_id, band, bh) from the wide signature: band hash =
-    hash64('band:mh_a,mh_b,...') — identical string to the oracle's
-    string_agg(mh ORDER BY p)."""
-    cols = []
-    for band in range(NUM_BANDS):
-        members = ", ".join(f"mh{band * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND))
-        cols.append(
-            f"CAST(conv(substring(md5(concat_ws(':', CAST({band} AS STRING), "
-            f"concat_ws(',', {members}))), 1, 15), 16, 10) AS BIGINT) AS bh{band}"
-        )
-    wide = sigw.selectExpr("doc_id", *cols)
-    pairs = ", ".join(f"{b}, bh{b}" for b in range(NUM_BANDS))
-    return wide.selectExpr("doc_id", f"stack({NUM_BANDS}, {pairs}) as (band, bh)").select(
-        "doc_id", F.col("band").cast("int").alias("band"), "bh"
-    )
-
-
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH with
     estimated Jaccard ≥ threshold.
