@@ -54,3 +54,45 @@ class TestStreamingDedup:
         assert got == want
         # append-mode emit: no pair appears twice
         assert len(got) == len(set(got))
+
+
+class TestStreamingArchive:
+    def test_foreachbatch_csv_matches_batch_archive(self, spark, sf_dir, tmp_path):
+        from chiv_spark.core.archiver import Archiver
+        from chiv_spark.streaming.enrich import _event_stream
+        from chiv_spark.streaming.archive import archive_stream
+
+        stream = _event_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+        bucket = str(tmp_path / "bucket")
+        keys = archive_stream(
+            stream,
+            bucket,
+            str(tmp_path / "ckpt-arch"),
+            key_template="events-{batch_id}.csv",
+            order_by=["event_id"],
+        )
+        assert keys, "stream wrote no objects"
+        streamed = b"".join((tmp_path / "bucket" / k).read_bytes() for k in sorted(keys))
+        # availableNow on one static file = a single batch, so the
+        # concatenated stream output equals one batch archive
+        batch_bucket = str(tmp_path / "bucket-batch")
+        from chiv_spark.queries.base import t as read_t
+
+        batch_df = (
+            read_t(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type")
+            .orderBy("event_id")
+        )
+        Archiver(spark).archive_df(batch_df, batch_bucket, key="all.csv")
+        batch_bytes = (tmp_path / "bucket-batch" / "all.csv").read_bytes()
+        assert streamed == batch_bytes
+
+    def test_key_template_requires_batch_id(self, spark, sf_dir, tmp_path):
+        import pytest
+
+        from chiv_spark.streaming.enrich import _event_stream
+        from chiv_spark.streaming.archive import archive_stream
+
+        stream = _event_stream(spark, sf_dir)
+        with pytest.raises(ValueError, match="batch_id"):
+            archive_stream(stream, str(tmp_path / "b"), str(tmp_path / "c"), key_template="fixed.csv")
