@@ -271,3 +271,84 @@ def text_bm25_topk(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return bm25_topk(docs, ["join", "merge", "window"], k=20)
+
+
+@query(
+    "sample_stratified",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 25 ELSE 10 END AS rate
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM rated WHERE {_H} % 100 < rate
+    GROUP BY lang
+    """,
+    doc="stratified deterministic sampling: per-language rates (en 50%, "
+    "zh 25%, rest 10% — dataset-mixing weights) via the same stable hash "
+    "threshold as sample_deterministic; a doc's inclusion is a pure "
+    "function of its id, so the mix is reproducible at any partitioning",
+)
+def sample_stratified(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "zh", 25).otherwise(10)
+    )
+    return (
+        docs.filter(h < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+
+
+@query(
+    "pack_sequences",
+    """
+    WITH sized AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             CAST(((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - n_tokens)
+                  // 2048 AS BIGINT) AS bin
+      FROM sized)
+    SELECT CAST(shard AS BIGINT) AS shard, bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard, bin
+    """,
+    doc="sequence packing for LLM training (concat-and-chunk): docs are "
+    "concatenated in doc_id order within a shard and chunked into "
+    "2048-token context windows; a doc's bin = where its first token "
+    "lands. Shards pack independently (PARTITION BY shard), so the "
+    "window never needs a global single-partition sort — the 100 TB "
+    "shape is N parallel pack streams, not one",
+)
+def pack_sequences(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    packed = sized.select(
+        "shard",
+        "n_tokens",
+        ((cum - F.col("n_tokens")) / F.lit(2048)).cast("long").alias("bin"),
+    )
+    return packed.groupBy(F.col("shard").cast("long").alias("shard"), "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
