@@ -105,3 +105,49 @@ class TestRound2PlanShapes:
         pf = " ".join(pushed_filters(REGISTRY["q19_disjunctive_predicates"].fn(spark, SF)))
         assert "p_brand" in pf
         assert "l_quantity" in pf
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_dim_filter_injects_bloom_on_fact_side(self, spark):
+        """Spark's runtime row-level filtering: a selective filter on
+        the orders side should inject a bloom-filter semi-filter on
+        the lineitem scan when the join shuffles. The scan-size
+        threshold is zeroed because the local test parquet is far
+        below the 10GB default; the *rule firing* is what the 100 TB
+        contract needs — there the thresholds are met naturally."""
+        from pyspark.sql import functions as F
+
+        keys = [
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        ]
+        old = {}
+        for k in keys:
+            try:
+                old[k] = spark.conf.get(k)
+            except Exception:  # noqa: BLE001 — unset conf
+                old[k] = None
+        try:
+            spark.conf.set(keys[0], "-1")
+            spark.conf.set(keys[1], "-1")
+            spark.conf.set(keys[2], "0")
+            li = spark.read.parquet(f"{SF}/lineitem.parquet")
+            o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            plan = j._sc._jvm.PythonSQLUtils.explainString(
+                j._jdf.queryExecution(), "extended"
+            )
+            assert "might_contain" in plan and "bloom_filter_agg" in plan
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
