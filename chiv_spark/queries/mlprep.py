@@ -352,3 +352,40 @@ def pack_sequences(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "decontaminate_eval_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+3], ' '))) AS shingle
+           FROM toks WHERE len(t) >= 4),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE {_H} % 100 < 2),
+    hits AS (SELECT s.doc_id, COUNT(*) AS n_shared_grams
+             FROM sh s JOIN ev USING (shingle)
+             WHERE {_H.replace('doc_id', 's.doc_id')} % 100 >= 2
+             GROUP BY s.doc_id)
+    SELECT doc_id, CAST(n_shared_grams AS BIGINT) AS n_shared_grams FROM hits
+    """,
+    doc="eval-set decontamination: training docs sharing any word 4-gram "
+    "with the held-out eval split (the 2% hash slice). Real pipelines use "
+    "13-grams; the synthetic corpus's overlap structure peaks at 4. Eval "
+    "grams broadcast (eval sets are fixed-size at any corpus scale), so "
+    "the corpus side never shuffles — scan, explode, broadcast-join, "
+    "one doc_id aggregation",
+)
+def decontaminate_eval_overlap(spark, sf_dir):
+    from chiv_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, words=4)
+    h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))) % 100
+    ev = sh.filter(h < 2).select("shingle").distinct()
+    train = sh.filter(h >= 2)
+    return (
+        train.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
