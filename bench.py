@@ -43,6 +43,9 @@ HEADLINE = [
     "dedup_simhash",
     "embedding_neardup",
     "ann_cosine_topk",
+    # round 4 additions: deep multi-join (Q9), lexical retrieval
+    "q9_profit_by_nation_year",
+    "text_bm25_topk",
 ]
 
 
