@@ -420,3 +420,43 @@ def streaming_dedup_watermark(spark, sf_dir):
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@query(
+    "events_value_zscore",
+    """
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx2
+      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT event_id, e.event_type,
+           (FLOOR(((value - sx / n) / SQRT((sx2 - sx*sx/n) / (n-1))) * 1000000.0 + 0.5) / 1000000.0) AS z
+    FROM events e JOIN g ON e.event_type = g.event_type
+    WHERE value IS NOT NULL
+      AND ABS((value - sx / n) / SQRT((sx2 - sx*sx/n) / (n-1))) > 2.5
+    """,
+    doc="per-type outlier detection: z-score of each event's value against "
+    "its type's mean/stddev (exact decimal power sums -> one deterministic "
+    "IEEE expression; sqrt is correctly-rounded in both engines, unlike "
+    "ln). Group stats are a 1-row-per-type broadcast back onto the fact "
+    "side — no second fact shuffle",
+)
+def events_value_zscore(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v18 = F.col("value").cast("decimal(18,2)")
+    v12 = F.col("value").cast("decimal(12,2)")
+    g = e.groupBy(F.col("event_type").alias("g_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v18).cast("double").alias("sx"),
+        F.sum(v12 * v12).cast("double").alias("sx2"),
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    z = (F.col("value") - sx / n) / F.sqrt((sx2 - sx * sx / n) / (n - F.lit(1)))
+    from chiv_spark.functions.detmath import det_round
+
+    return (
+        e.join(F.broadcast(g), e.event_type == F.col("g_type"))
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", det_round(z, 6).alias("z"))
+    )
