@@ -592,3 +592,36 @@ def join_salted_skew(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "scalar_map_funcs",
+    """
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           string_agg(event_type, ',' ORDER BY event_type) AS types,
+           CAST(COALESCE(MAX(CASE WHEN event_type = 'click' THEN c END), 0) AS BIGINT) AS n_clicks
+    FROM per GROUP BY user_id
+    """,
+    doc="map-function family (SURVEY 2.8): per-user event-type counts "
+    "built as a real MapType via map_from_entries, then read back with "
+    "size/map_keys/element_at (gradeable outputs are scalars-only by "
+    "repo convention — the map itself is the intermediate)",
+)
+def scalar_map_funcs(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    entries = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    return entries.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).cast("long").alias("n_clicks"),
+    )
