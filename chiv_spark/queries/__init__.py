@@ -18,8 +18,10 @@ from chiv_spark.queries import (  # noqa: E402,F401
     llm,
     mlprep,
     parity,
+    quality,
     relational,
     stats,
+    timeseries,
     tpch,
     tpch_extra,
     tpch_more,

@@ -1,0 +1,231 @@
+"""Corpus-quality tier: heuristic quality filtering, PII redaction,
+mixture-weighted sampling, and inverted-index construction.
+
+These extend the LLM-data-pipeline operators (SURVEY §2.12/2.13) with
+the standard pre-training corpus-curation passes:
+
+- ``text_quality_filter``: Gopher-style repetition/shape signals
+  (word count, mean word length, top-word fraction, distinct-word
+  ratio) and a keep/drop verdict. Pure token explode + two hash
+  aggregations — linear, one shuffle on doc_id, no UDFs.
+- ``text_pii_redact``: regex redaction (emails, long digit runs) with
+  per-doc match counts. The corpus is synthetic word-soup with no PII,
+  so the query derives a deterministic contact suffix from doc_id
+  first — the redaction plumbing (patterns, counts, replacement) is
+  what's under test, and both engines see identical inputs.
+- ``sample_mixture_weights``: deterministic per-language acceptance
+  sampling toward a target domain mixture (the hash-threshold family
+  of mlprep.py — a doc's fate is a pure function of its id).
+- ``text_inverted_index``: token -> document-frequency / total-tf /
+  bounded postings head. The full posting list is unbounded at scale,
+  so the query materializes only a fixed-size sorted prefix per token
+  (the scale-safe contract: output is vocabulary-sized, not
+  corpus-sized).
+
+Regex patterns are restricted to the common Java-regex / RE2 subset
+(no backreferences, no lookaround) so Spark and the DuckDB oracle
+compile identical automata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chiv_spark.functions.detmath import det_round, duckdb_det_round
+from chiv_spark.functions.hashing import duckdb_hash64, hash64
+from chiv_spark.queries.base import query, t
+
+# --------------------------------------------------------------------------
+# text_quality_filter
+
+
+@query(
+    "text_quality_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    per AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(tf) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(tf) AS BIGINT) AS top_tf,
+             CAST(SUM(LENGTH(w) * tf) AS BIGINT) AS word_chars
+      FROM per GROUP BY doc_id)
+    SELECT doc_id, n_words,
+           {duckdb_det_round('word_chars / CAST(n_words AS DOUBLE)')} AS mean_word_len,
+           {duckdb_det_round('top_tf / CAST(n_words AS DOUBLE)')} AS top_word_frac,
+           {duckdb_det_round('n_distinct / CAST(n_words AS DOUBLE)')} AS distinct_ratio,
+           (n_words >= 10
+            AND word_chars / CAST(n_words AS DOUBLE) BETWEEN 2.0 AND 12.0
+            AND top_tf / CAST(n_words AS DOUBLE) <= 0.2
+            AND n_distinct / CAST(n_words AS DOUBLE) >= 0.3) AS keep
+    FROM sig
+    """,
+    doc="Gopher-style quality signals (length, mean word length, top-word "
+    "fraction, distinct ratio) + keep verdict; explode + 2 hash-aggs, linear",
+)
+def text_quality_filter(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    per = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    sig = per.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("tf").cast("long").alias("top_tf"),
+        F.sum(F.length("w") * F.col("tf")).cast("long").alias("word_chars"),
+    )
+    nw = F.col("n_words").cast("double")
+    mean_len = F.col("word_chars") / nw
+    top_frac = F.col("top_tf") / nw
+    dist_ratio = F.col("n_distinct") / nw
+    keep = (
+        (F.col("n_words") >= 10)
+        & mean_len.between(2.0, 12.0)
+        & (top_frac <= 0.2)
+        & (dist_ratio >= 0.3)
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        det_round(mean_len).alias("mean_word_len"),
+        det_round(top_frac).alias("top_word_frac"),
+        det_round(dist_ratio).alias("distinct_ratio"),
+        keep.alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_pii_redact
+
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_DIGITS = "[0-9]{5,}"
+
+
+@query(
+    "text_pii_redact",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com tel 555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+               AS raw
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_DIGITS}')) AS BIGINT) AS n_numbers,
+           regexp_replace(regexp_replace(raw, '{_EMAIL}', '<EMAIL>', 'g'),
+                          '{_DIGITS}', '<NUM>', 'g') AS redacted
+    FROM seeded
+    """,
+    doc="regex PII redaction (emails, >=5-digit runs) with match counts; "
+    "narrow column expressions, zero shuffles",
+)
+def text_pii_redact(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+    )
+    seeded = docs.select("doc_id", raw.alias("raw"))
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("raw"), F.lit(_DIGITS), 0)).cast("long").alias("n_numbers"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _EMAIL, "<EMAIL>"), _DIGITS, "<NUM>"
+        ).alias("redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_mixture_weights
+
+#: target mixture acceptance rates per language (percent kept)
+_MIX = {"en": 90, "zh": 50, "fr": 70, "de": 60, "es": 40}
+_MIX_SQL_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX.items())
+
+
+@query(
+    "sample_mixture_weights",
+    f"""
+    WITH labeled AS (
+      SELECT lang,
+             ({duckdb_hash64("'mix:' || doc_id::VARCHAR")} % 100) <
+               (CASE lang {_MIX_SQL_CASE} ELSE 100 END) AS kept
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
+    FROM labeled GROUP BY lang
+    """,
+    doc="deterministic mixture-weighted acceptance sampling toward a target "
+    "per-language domain mix (doc fate = pure function of doc_id)",
+)
+def sample_mixture_weights(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    case = None
+    for k, v in _MIX.items():
+        case = F.when(F.col("lang") == k, v) if case is None else case.when(F.col("lang") == k, v)
+    case = case.otherwise(100)
+    kept = h < case
+    return (
+        docs.select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.count(F.when(F.col("kept"), 1)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_inverted_index
+
+_POSTINGS_HEAD = 8
+
+
+@query(
+    "text_inverted_index",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    per AS (
+      SELECT w, doc_id, COUNT(*) AS tf FROM tok GROUP BY w, doc_id)
+    SELECT w AS token,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           array_to_string(list_sort(list(doc_id))[1:{_POSTINGS_HEAD}], ',') AS postings_head
+    FROM per GROUP BY w
+    """,
+    doc="inverted index: token -> df / total tf / bounded sorted postings "
+    "prefix (output is vocabulary-sized, never corpus-sized)",
+)
+def text_inverted_index(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    per = tok.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return per.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_HEAD),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings_head"),
+    ).select(
+        F.col("w").alias("token"), "doc_freq", "total_tf", "postings_head"
+    )

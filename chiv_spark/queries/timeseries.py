@@ -1,0 +1,216 @@
+"""Time-series / change-data-capture tier over the events table.
+
+- ``timeseries_gapfill``: hourly resample per user with a generated
+  spine (``sequence`` + explode), zero-fill for missing hours and
+  forward-fill of the last observed hourly sum. The spine is built
+  per-user from that user's own [min, max] range, so spine size is
+  O(users x span-hours) regardless of event volume; the fill window
+  partitions by user (one shuffle, bounded state).
+- ``cdc_scd2_intervals``: slowly-changing-dimension type-2 validity
+  intervals from an append-only change log — each (user, type) row
+  gets valid_from/valid_to via ``lead`` and an is_current flag.
+- ``events_markov_transitions``: first-order event-type transition
+  probabilities per user-session stream (lead over (ts, event_id),
+  then a transition-pair aggregation — output is |types|^2-sized).
+- ``window_ntile_distribution``: ntile quartiles + percent_rank /
+  cume_dist over a unique ordering key (no ties -> deterministic),
+  aggregated to a quartile summary.
+
+Float sums go through DECIMAL transit (detmath.py rationale); every
+window ordering key is unique so rank-family outputs are
+order-deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from chiv_spark.functions.detmath import det_round, duckdb_det_round
+from chiv_spark.queries.base import query, t
+
+# --------------------------------------------------------------------------
+# timeseries_gapfill
+
+_GAPFILL_USERS = 20  # bound the demo spine; the shape is per-user regardless
+
+
+@query(
+    "timeseries_gapfill",
+    f"""
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v_sum
+      FROM events WHERE user_id < {_GAPFILL_USERS}
+      GROUP BY user_id, date_trunc('hour', ts)),
+    b AS (
+      SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM ev GROUP BY user_id),
+    spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM b),
+    j AS (
+      SELECT s.user_id, s.h,
+             CAST(COALESCE(ev.n_events, 0) AS BIGINT) AS n_events,
+             ev.v_sum
+      FROM spine s LEFT JOIN ev ON s.user_id = ev.user_id AND s.h = ev.h)
+    SELECT user_id, h AS hour_ts, n_events,
+           {duckdb_det_round("CAST(last_value(v_sum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)")} AS v_filled
+    FROM j
+    """,
+    doc="hourly resample + zero-fill + forward-fill over a generated "
+    "per-user spine (sequence/explode; spine is O(users x hours))",
+)
+def timeseries_gapfill(spark, sf_dir):
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < _GAPFILL_USERS)
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v_sum"),
+        )
+    )
+    bounds = ev.groupBy("user_id").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = spine.join(ev, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "v_sum",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour_ts"),
+        "n_events",
+        det_round(F.last("v_sum", ignorenulls=True).over(w).cast("double")).alias("v_filled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cdc_scd2_intervals
+
+_CDC_USERS = 50
+
+
+@query(
+    "cdc_scd2_intervals",
+    f"""
+    SELECT user_id, event_type,
+           CAST(value AS DOUBLE) AS value,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events WHERE user_id < {_CDC_USERS}
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    """,
+    doc="SCD2 validity intervals from an append-only change log: "
+    "valid_from/valid_to via lead, is_current flag (one shuffle on key)",
+)
+def cdc_scd2_intervals(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < _CDC_USERS)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_markov_transitions
+
+
+@query(
+    "events_markov_transitions",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events),
+    pairs AS (
+      SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY src, dst),
+    tot AS (
+      SELECT src, SUM(n) AS n_src FROM pairs GROUP BY src)
+    SELECT pairs.src, pairs.dst,
+           CAST(pairs.n AS BIGINT) AS n_transitions,
+           {duckdb_det_round('pairs.n / CAST(tot.n_src AS DOUBLE)')} AS prob
+    FROM pairs JOIN tot ON pairs.src = tot.src
+    """,
+    doc="first-order Markov transition matrix over per-user event streams "
+    "(lead window + |types|^2-sized aggregation)",
+)
+def events_markov_transitions(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (
+        pairs.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n_transitions"),
+            det_round(F.col("n") / F.col("n_src").cast("double")).alias("prob"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# window_ntile_distribution
+
+
+@query(
+    "window_ntile_distribution",
+    f"""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             o_totalprice,
+             ntile(4)       OVER w AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist()    OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+    SELECT o_orderpriority, quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {duckdb_det_round('MIN(o_totalprice)', 2)} AS min_price,
+           {duckdb_det_round('MAX(o_totalprice)', 2)} AS max_price,
+           {duckdb_det_round('MAX(pr)')} AS max_percent_rank,
+           {duckdb_det_round('MAX(cd)')} AS max_cume_dist
+    FROM ranked GROUP BY o_orderpriority, quartile
+    """,
+    doc="ntile quartiles + percent_rank/cume_dist over a unique ordering "
+    "key, aggregated to a per-quartile summary",
+)
+def window_ntile_distribution(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        det_round(F.min("o_totalprice"), 2).alias("min_price"),
+        det_round(F.max("o_totalprice"), 2).alias("max_price"),
+        det_round(F.max("pr")).alias("max_percent_rank"),
+        det_round(F.max("cd")).alias("max_cume_dist"),
+    )
