@@ -1,0 +1,215 @@
+"""Graph analytics + retrieval chunking + robust outliers.
+
+- ``graph_triangle_count``: triangle counting over the supplier
+  co-occurrence graph (suppliers are adjacent when they appear in the
+  same order). The Spark side uses *degree-ordered orientation* — the
+  distributed-triangle-counting standard: orient every undirected edge
+  from its lower-(degree, id) endpoint to the higher one, enumerate
+  wedges only at each edge's tail, and close them against oriented
+  edges. Wedge work is then sum-of-squares of *out*-degrees, which
+  orientation bounds by O(E^1.5) total regardless of skew (a celebrity
+  node of degree d generates d wedges as a tail only when its
+  neighbors all out-rank it — impossible past sqrt scale). The DuckDB
+  oracle counts the same triangles with the naive i<j three-way join,
+  which is only viable at test scale — exactly the point of pairing
+  them.
+- ``pipeline_rag_chunks``: fixed-size token-window chunking with
+  overlap (the RAG / context-window prep pass): tokens -> strided
+  starts via ``sequence`` -> ``slice``. Per-doc work is linear in
+  tokens x (1/stride); no shuffle at all — chunking is a narrow map.
+- ``events_anomaly_mad``: robust outlier detection via median /
+  median-absolute-deviation (3-sigma-equivalent cutoff with the
+  1.4826 normal-consistency constant). Two grouped exact medians and
+  a broadcast join back — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chiv_spark.functions.detmath import det_round, duckdb_det_round
+from chiv_spark.queries.base import query, t
+
+# --------------------------------------------------------------------------
+# graph_triangle_count
+
+
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM li a JOIN li b ON a.k = b.k AND a.s < b.s),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node),
+    tri AS (
+      SELECT COUNT(*) AS n FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+           {duckdb_det_round("3.0 * (SELECT n FROM tri) / (SELECT SUM(d * (d - 1) / 2.0) FROM deg)")}
+             AS clustering_coeff
+    FROM (SELECT 1)
+    """,
+    doc="triangle count + global clustering coefficient of the supplier "
+    "co-occurrence graph; Spark side uses degree-ordered orientation "
+    "(O(E^1.5) wedge bound), oracle uses the naive i<j 3-way join",
+)
+def graph_triangle_count(spark, sf_dir):
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), (F.col("a.k") == F.col("b.k")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # total order for orientation: (degree, id) packed into one long —
+    # ties on degree break by id, so the order is total and acyclic
+    key = (F.col("d") * F.lit(10_000_000) + F.col("node")).alias("ord_key")
+    dk = deg.select("node", key)
+    # suppliers are a guaranteed-small dim next to the edge list
+    ew = (
+        e.join(F.broadcast(dk.withColumnRenamed("node", "u").withColumnRenamed("ord_key", "ku")), "u")
+        .join(F.broadcast(dk.withColumnRenamed("node", "v").withColumnRenamed("ord_key", "kv")), "v")
+    )
+    oe = ew.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.greatest("ku", "kv").alias("dst_key"),
+    )
+    wedges = (
+        oe.alias("x")
+        .join(oe.alias("y"), (F.col("x.src") == F.col("y.src")) & (F.col("x.dst_key") < F.col("y.dst_key")))
+        .select(F.col("x.dst").alias("b"), F.col("y.dst").alias("c"))
+    )
+    closed = wedges.join(
+        oe.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"]
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n"))
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2.0).alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n").cast("long").alias("n_triangles"),
+            det_round(3.0 * F.col("n") / F.col("n_wedges")).alias("clustering_coeff"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_rag_chunks
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+@query(
+    "pipeline_rag_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents),
+    starts AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, greatest(len(tk), 1), {_STRIDE})) AS start
+      FROM toks)
+    SELECT doc_id,
+           CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(tk[start:start + {_CHUNK - 1}]) AS BIGINT) AS n_tokens,
+           array_to_string(tk[start:start + {_CHUNK - 1}], ' ') AS chunk_text
+    FROM starts
+    """,
+    doc=f"overlapping token-window chunking ({_CHUNK}-token chunks, stride "
+    f"{_STRIDE}) for retrieval indexing; narrow map, zero shuffles",
+)
+def pipeline_rag_chunks(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
+    starts = toks.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("tk"), F.lit(1)), F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("tk"), F.col("start"), _CHUNK)
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / _STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_anomaly_mad
+
+_MAD_K = 1.4826  # normal-consistency constant: MAD * 1.4826 ~ sigma
+_MAD_CUT = 3.0
+
+
+@query(
+    "events_anomaly_mad",
+    f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+      GROUP BY event_type)
+    SELECT d.event_type,
+           {duckdb_det_round('ANY_VALUE(d.med)')} AS median_value,
+           {duckdb_det_round('ANY_VALUE(m.mad)')} AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (
+             WHERE d.adev > {_MAD_CUT} * {_MAD_K} * m.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="robust per-type outlier counts via median/MAD (two grouped exact "
+    "medians + broadcast joins back; no global sort)",
+)
+def events_anomaly_mad(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            det_round(F.first("med")).alias("median_value"),
+            det_round(F.first("mad")).alias("mad"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.when(F.col("adev") > _MAD_CUT * _MAD_K * F.col("mad"), 1))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
