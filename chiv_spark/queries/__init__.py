@@ -15,6 +15,7 @@ from chiv_spark.queries.base import REGISTRY, QuerySpec
 from chiv_spark.queries import (  # noqa: E402,F401
     advanced,
     events,
+    fuzzy,
     graphrag,
     llm,
     mlprep,
