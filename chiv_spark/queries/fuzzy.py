@@ -40,21 +40,42 @@ _MAX_DIST = 3
     "verification is levenshtein <= 3; quadratic work is per-block only",
 )
 def join_fuzzy_levenshtein(spark, sf_dir):
+    # Dictionary optimization: edit distances are computed once per
+    # DISTINCT name pair (the vocabulary is tiny next to the rows —
+    # the classic entity-resolution move), then expanded back to key
+    # pairs through two hash joins on name. The naive per-row pair
+    # loop evaluates levenshtein rows²/blocks times (51s at sf0.1);
+    # this shape does it vocab²/blocks times (~1s) with identical
+    # output — the oracle stays the naive formulation as proof.
     named = t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("k"),
         F.col("p_name").alias("name"),
         F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
     )
+    names = named.select("name", "block").distinct()
+    na, nb = names.alias("na"), names.alias("nb")
+    d = F.levenshtein(F.col("na.name"), F.col("nb.name"))
+    # ordered name pairs (both orientations + the diagonal): a key
+    # pair (p, q) with p.k < q.k matches exactly the ordered pair
+    # (p.name, q.name), whatever the name ordering
+    cand = (
+        na.join(nb, F.col("na.block") == F.col("nb.block"))
+        .filter(d <= _MAX_DIST)
+        .select(
+            F.col("na.name").alias("n1"),
+            F.col("nb.name").alias("n2"),
+            d.cast("long").alias("dist"),
+        )
+    )
     a, b = named.alias("a"), named.alias("b")
-    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.k") < F.col("b.k")))
-        .filter(dist <= _MAX_DIST)
+        a.join(F.broadcast(cand), F.col("a.name") == F.col("n1"))
+        .join(b, (F.col("b.name") == F.col("n2")) & (F.col("a.k") < F.col("b.k")))
         .select(
             F.col("a.k").alias("key_a"),
             F.col("b.k").alias("key_b"),
             F.col("a.name").alias("name_a"),
             F.col("b.name").alias("name_b"),
-            dist.cast("long").alias("dist"),
+            F.col("dist"),
         )
     )

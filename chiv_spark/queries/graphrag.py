@@ -1,8 +1,10 @@
 """Graph analytics + retrieval chunking + robust outliers.
 
-- ``graph_triangle_count``: triangle counting over the supplier
-  co-occurrence graph (suppliers are adjacent when they appear in the
-  same order). The Spark side uses *degree-ordered orientation* — the
+- ``graph_triangle_count``: triangle counting over the part
+  co-purchase graph (parts are adjacent when they share at least two
+  orders — the weight threshold keeps the graph sparse and
+  scale-stable where single-shared-order edges degenerate toward the
+  complete graph). The Spark side uses *degree-ordered orientation* — the
   distributed-triangle-counting standard: orient every undirected edge
   from its lower-(degree, id) endpoint to the higher one, enumerate
   wedges only at each edge's tail, and close them against oriented
@@ -34,13 +36,22 @@ from chiv_spark.queries.base import query, t
 # graph_triangle_count
 
 
+#: minimum co-occurrence count for an edge — a single shared order is
+#: noise in a random-assignment corpus; requiring >= 2 keeps the graph
+#: sparse and scale-stable (P[two parts meet twice] stays tiny as both
+#: orders and parts grow), where the >= 1 graph degenerates toward the
+#: complete graph and triangle OUTPUT becomes the cost
+_MIN_W = 2
+
+
 @query(
     "graph_triangle_count",
     f"""
-    WITH li AS (SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM lineitem),
+    WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS s FROM lineitem),
     e AS (
-      SELECT DISTINCT a.s AS u, b.s AS v
-      FROM li a JOIN li b ON a.k = b.k AND a.s < b.s),
+      SELECT a.s AS u, b.s AS v
+      FROM li a JOIN li b ON a.k = b.k AND a.s < b.s
+      GROUP BY a.s, b.s HAVING COUNT(*) >= {_MIN_W}),
     deg AS (
       SELECT node, COUNT(*) AS d FROM (
         SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
@@ -56,21 +67,24 @@ from chiv_spark.queries.base import query, t
              AS clustering_coeff
     FROM (SELECT 1)
     """,
-    doc="triangle count + global clustering coefficient of the supplier "
-    "co-occurrence graph; Spark side uses degree-ordered orientation "
-    "(O(E^1.5) wedge bound), oracle uses the naive i<j 3-way join",
+    doc="triangle count + global clustering coefficient of the part "
+    "co-purchase graph (parts sharing >= 2 orders); Spark side uses "
+    "degree-ordered orientation (O(E^1.5) wedge bound), oracle uses "
+    "the naive i<j 3-way join",
 )
 def graph_triangle_count(spark, sf_dir):
     li = (
         t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s"))
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
         .distinct()
     )
     e = (
         li.alias("a")
         .join(li.alias("b"), (F.col("a.k") == F.col("b.k")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _MIN_W)
+        .select("u", "v")
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -78,11 +92,11 @@ def graph_triangle_count(spark, sf_dir):
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # total order for orientation: (degree, id) packed into one long —
-    # ties on degree break by id, so the order is total and acyclic
-    key = (F.col("d") * F.lit(10_000_000) + F.col("node")).alias("ord_key")
-    dk = deg.select("node", key)
-    # suppliers are a guaranteed-small dim next to the edge list
+    # total order for orientation: (degree, id) as a struct — struct
+    # comparison is lexicographic, so ties on degree break by id and
+    # the orientation is acyclic at any id magnitude (no packing)
+    dk = deg.select("node", F.struct(F.col("d"), F.col("node").alias("n")).alias("ord_key"))
+    # the thresholded edge set's node dim is small next to the pair list
     ew = (
         e.join(F.broadcast(dk.withColumnRenamed("node", "u").withColumnRenamed("ord_key", "ku")), "u")
         .join(F.broadcast(dk.withColumnRenamed("node", "v").withColumnRenamed("ord_key", "kv")), "v")
