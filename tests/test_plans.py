@@ -151,3 +151,41 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound4PlanShapes:
+    def test_rag_chunks_is_narrow(self, spark):
+        # chunking is a per-row map: zero exchanges in the whole plan
+        ops = op_counts(REGISTRY["pipeline_rag_chunks"].fn(spark, SF))
+        assert ops.get("Exchange", 0) == 0
+
+    def test_pii_redact_is_narrow(self, spark):
+        ops = op_counts(REGISTRY["text_pii_redact"].fn(spark, SF))
+        assert ops.get("Exchange", 0) == 0
+
+    def test_triangle_count_broadcasts_degree_dims_no_cartesian(self, spark):
+        ops = op_counts(REGISTRY["graph_triangle_count"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        # degree/order-key dims join the edge list by broadcast
+        assert ops.get("BroadcastHashJoin", 0) >= 2
+
+    def test_fuzzy_join_broadcasts_name_dictionary(self, spark):
+        ops = op_counts(REGISTRY["join_fuzzy_levenshtein"].fn(spark, SF))
+        # the distance-scored name-pair dictionary ships by broadcast;
+        # no quadratic per-row pair loop (= no nested-loop join)
+        assert ops.get("BroadcastHashJoin", 0) >= 1
+        assert ops.get("CartesianProduct", 0) == 0
+
+    def test_quality_filter_prunes_scan(self, spark):
+        rs = read_schema(REGISTRY["text_quality_filter"].fn(spark, SF))
+        # only doc_id + text read — lang/source/n_chars pruned
+        assert rs and all("lang" not in s and "source" not in s for s in rs)
+
+    def test_gapfill_partitions_by_user_once(self, spark):
+        # hourly agg + spine join + fill window all hash on user_id;
+        # plan must not re-shuffle per stage beyond the expected set
+        ops = op_counts(REGISTRY["timeseries_gapfill"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        # filter reaches the events scan
+        pf = " ".join(pushed_filters(REGISTRY["timeseries_gapfill"].fn(spark, SF)))
+        assert "user_id" in pf
