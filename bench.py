@@ -43,9 +43,12 @@ HEADLINE = [
     "dedup_simhash",
     "embedding_neardup",
     "ann_cosine_topk",
-    # round 4 additions: deep multi-join (Q9), lexical retrieval
+    # round 4 additions: deep multi-join (Q9), lexical retrieval,
+    # corpus-quality signals, degree-ordered triangle counting
     "q9_profit_by_nation_year",
     "text_bm25_topk",
+    "text_quality_filter",
+    "graph_triangle_count",
 ]
 
 

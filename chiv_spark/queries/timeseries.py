@@ -130,6 +130,75 @@ def cdc_scd2_intervals(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# cdc_merge_upsert
+
+_MERGE_CUTOVER = "2024-01-15"
+
+
+@query(
+    "cdc_merge_upsert",
+    f"""
+    WITH base AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_MERGE_CUTOVER}')
+      WHERE rn = 1),
+    upd AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUTOVER}')
+      WHERE rn = 1)
+    SELECT COALESCE(base.user_id, upd.user_id) AS user_id,
+           COALESCE(base.event_type, upd.event_type) AS event_type,
+           CAST(COALESCE(upd.value, base.value) AS DOUBLE) AS value,
+           CASE WHEN base.user_id IS NULL THEN 'insert'
+                WHEN upd.user_id IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM base FULL OUTER JOIN upd
+      ON base.user_id = upd.user_id AND base.event_type = upd.event_type
+    """,
+    doc="Delta-style MERGE/upsert: latest pre-cutover state full-outer-"
+    "joined with post-cutover changes; insert/update/keep actions. "
+    "Both sides shuffle once on the merge key and the join co-locates",
+)
+def cdc_merge_upsert(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    cut = F.lit(_MERGE_CUTOVER).cast("timestamp")
+    base = latest(ev.filter(F.col("ts") < cut))
+    upd = latest(ev.filter(F.col("ts") >= cut))
+    j = base.alias("b").join(
+        upd.alias("u"),
+        (F.col("b.user_id") == F.col("u.user_id"))
+        & (F.col("b.event_type") == F.col("u.event_type")),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("b.user_id"), F.col("u.user_id")).alias("user_id"),
+        F.coalesce(F.col("b.event_type"), F.col("u.event_type")).alias("event_type"),
+        F.coalesce(F.col("u.value"), F.col("b.value")).cast("double").alias("value"),
+        F.when(F.col("b.user_id").isNull(), F.lit("insert"))
+        .when(F.col("u.user_id").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+# --------------------------------------------------------------------------
 # events_markov_transitions
 
 
