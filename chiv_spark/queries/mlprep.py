@@ -389,3 +389,25 @@ def decontaminate_eval_overlap(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )
+
+
+@query(
+    "transform_global_row_ids",
+    """
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id
+    FROM documents
+    """,
+    doc="globally consecutive example ids in doc_id order WITHOUT the "
+    "single-partition window a naive ROW_NUMBER() plans: range-partition "
+    "(the distributed sort), recover per-partition offsets from "
+    "monotonically_increasing_id's (pid << 33 | local) encoding, "
+    "broadcast-join tiny prefix-summed counts back. One range exchange "
+    "total; the data never shuffles a second time (operators/rowids.py; "
+    "plan asserted in tests/test_plans.py)",
+)
+def transform_global_row_ids(spark, sf_dir):
+    from chiv_spark.operators.rowids import assign_global_row_ids
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_global_row_ids(docs, ["doc_id"], id_col="row_id")

@@ -193,3 +193,40 @@ class TestApproxPercentileBounds:
         ).first()["est"]
         rank = o.filter(F.col("o_totalprice") <= est).count()
         assert abs(rank - 0.5 * n) <= n / acc + 1
+
+
+class TestGlobalRowIds:
+    def test_consecutive_ids_in_order(self, spark):
+        from chiv_spark.operators.rowids import assign_global_row_ids
+
+        df = spark.range(0, 1000).selectExpr(
+            "cast(id as long) AS k", "id % 7 AS grp"
+        )
+        out = assign_global_row_ids(df, ["k"], buckets=8).toPandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        assert list(out["row_id"]) == list(range(1, 1001))
+        assert list(out["k"]) == sorted(out["k"])
+
+    def test_start_offset_and_multi_key(self, spark):
+        from chiv_spark.operators.rowids import assign_global_row_ids
+
+        df = spark.range(0, 100).selectExpr("id % 10 AS a", "id AS b")
+        out = assign_global_row_ids(df, ["a", "b"], id_col="idx", buckets=5, start=100)
+        pdf = out.toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+        assert list(pdf["idx"]) == list(range(100, 200))
+
+    def test_pinned_ids_stable_across_actions(self, spark):
+        from chiv_spark.operators.rowids import assign_global_row_ids
+
+        out = assign_global_row_ids(
+            spark.range(0, 500).selectExpr("cast(id as long) AS k"), ["k"], buckets=4
+        )
+        a = sorted(out.toPandas().itertuples(index=False))
+        b = sorted(out.toPandas().itertuples(index=False))
+        assert a == b
+
+    def test_empty_order_cols_rejected(self, spark):
+        from chiv_spark.operators.rowids import assign_global_row_ids
+
+        with pytest.raises(ValueError):
+            assign_global_row_ids(spark.range(3), [])

@@ -189,3 +189,28 @@ class TestRound4PlanShapes:
         # filter reaches the events scan
         pf = " ".join(pushed_filters(REGISTRY["timeseries_gapfill"].fn(spark, SF)))
         assert "user_id" in pf
+
+    def test_global_row_ids_single_range_exchange_no_data_window(self, spark):
+        # the zipWithIndex pattern, asserted in two halves because the
+        # eager checkpoint hides its upstream plan:
+        # (1) the pre-pin stage is exactly one rangepartitioning
+        #     exchange + a partition-local (non-global) sort;
+        # (2) downstream, offsets come back by broadcast join — the
+        #     data side never shuffles again and never hits the
+        #     SinglePartition window a naive global ROW_NUMBER plans.
+        from chiv_spark.operators.rowids import ranged_stage
+        from chiv_spark.plans import physical_plan
+        from chiv_spark.sources.catalog import read_table
+
+        docs = read_table(spark, SF, "documents").select("doc_id", "lang")
+        stage_plan = physical_plan(ranged_stage(docs, ["doc_id"], 32)).lower()
+        assert stage_plan.count("rangepartitioning") == 1
+        assert "singlepartition" not in stage_plan
+
+        df = REGISTRY["transform_global_row_ids"].fn(spark, SF)
+        plan = physical_plan(df).lower()
+        assert "rangepartitioning" not in plan  # pinned; no re-sort
+        ops = op_counts(df)
+        assert ops.get("BroadcastHashJoin", 0) == 1
+        assert ops.get("SortMergeJoin", 0) == 0
+        assert ops.get("CartesianProduct", 0) == 0
