@@ -44,41 +44,15 @@ from chiv_spark.queries.base import query, t
 _MIN_W = 2
 
 
-@query(
-    "graph_triangle_count",
-    f"""
-    WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS s FROM lineitem),
-    e AS (
-      SELECT a.s AS u, b.s AS v
-      FROM li a JOIN li b ON a.k = b.k AND a.s < b.s
-      GROUP BY a.s, b.s HAVING COUNT(*) >= {_MIN_W}),
-    deg AS (
-      SELECT node, COUNT(*) AS d FROM (
-        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
-      ) GROUP BY node),
-    tri AS (
-      SELECT COUNT(*) AS n FROM e e1
-      JOIN e e2 ON e2.u = e1.v
-      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
-    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
-           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
-           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
-           {duckdb_det_round("3.0 * (SELECT n FROM tri) / (SELECT SUM(d * (d - 1) / 2.0) FROM deg)")}
-             AS clustering_coeff
-    FROM (SELECT 1)
-    """,
-    doc="triangle count + global clustering coefficient of the part "
-    "co-purchase graph (parts sharing >= 2 orders); Spark side uses "
-    "degree-ordered orientation (O(E^1.5) wedge bound), oracle uses "
-    "the naive i<j 3-way join",
-)
-def graph_triangle_count(spark, sf_dir):
+def _copurchase_edges(spark, sf_dir):
+    """Lazy thresholded co-purchase edge list (u < v). Split out so
+    plan tests can assert its shape pre-persist."""
     li = (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s"))
         .distinct()
     )
-    e = (
+    return (
         li.alias("a")
         .join(li.alias("b"), (F.col("a.k") == F.col("b.k")) & (F.col("a.s") < F.col("b.s")))
         .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
@@ -86,6 +60,12 @@ def graph_triangle_count(spark, sf_dir):
         .filter(F.col("w") >= _MIN_W)
         .select("u", "v")
     )
+
+
+def _triangle_result(e, n_edges_val):
+    """Lazy triangle/clustering stats over an edge list ``e``; the
+    measured edge count rides along as a literal (the caller already
+    paid for it when materializing the cache)."""
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -119,17 +99,66 @@ def graph_triangle_count(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2.0).alias("n_wedges"),
     )
-    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    return (
-        stats.crossJoin(n_edges)
-        .crossJoin(tri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            F.col("n").cast("long").alias("n_triangles"),
-            det_round(3.0 * F.col("n") / F.col("n_wedges")).alias("clustering_coeff"),
-        )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        F.lit(n_edges_val).cast("long").alias("n_edges"),
+        F.col("n").cast("long").alias("n_triangles"),
+        det_round(3.0 * F.col("n") / F.col("n_wedges")).alias("clustering_coeff"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS s FROM lineitem),
+    e AS (
+      SELECT a.s AS u, b.s AS v
+      FROM li a JOIN li b ON a.k = b.k AND a.s < b.s
+      GROUP BY a.s, b.s HAVING COUNT(*) >= {_MIN_W}),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node),
+    tri AS (
+      SELECT COUNT(*) AS n FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+           {duckdb_det_round("3.0 * (SELECT n FROM tri) / (SELECT SUM(d * (d - 1) / 2.0) FROM deg)")}
+             AS clustering_coeff
+    FROM (SELECT 1)
+    """,
+    doc="triangle count + global clustering coefficient of the part "
+    "co-purchase graph (parts sharing >= 2 orders); Spark side uses "
+    "degree-ordered orientation (O(E^1.5) wedge bound), oracle uses "
+    "the naive i<j 3-way join",
+)
+def graph_triangle_count(spark, sf_dir):
+    # the per-order self-join in _copurchase_edges is BY FAR the
+    # dominant stage and feeds five branches (deg, orientation,
+    # wedges x2, closure) — without a persist Spark re-derives it per
+    # branch (measured 8.8s -> 4.1s at sf0.1 from persist+coalesce).
+    # The eager count() populates the cache race-free AND is n_edges.
+    e_cached = _copurchase_edges(spark, sf_dir).persist()
+    n_edges_val = e_cached.count()
+    # the cache pins the groupBy's full shuffle-partition count (AQE
+    # cannot re-coalesce a cached RDD), so every downstream graph stage
+    # would spawn that many tasks over the — post-threshold, usually
+    # small — edge list. Right-size from the MEASURED count: ~2M edges
+    # per task, floor 1. At 100 TB-scale edge lists this keeps the full
+    # partitioning; locally it collapses the task spray. coalesce is
+    # narrow — no extra shuffle either way.
+    target = max(1, min(e_cached.rdd.getNumPartitions(), n_edges_val // 2_000_000 + 1))
+    # materialize the single result row while the edge cache is alive,
+    # then release it (same lifecycle as dedup_clusters) — the caller's
+    # later collect reads the pinned row, not the lineage
+    result = _triangle_result(e_cached.coalesce(target), n_edges_val).localCheckpoint(
+        eager=True
+    )
+    e_cached.unpersist()
+    return result
 
 
 # --------------------------------------------------------------------------

@@ -164,7 +164,12 @@ class TestRound4PlanShapes:
         assert ops.get("Exchange", 0) == 0
 
     def test_triangle_count_broadcasts_degree_dims_no_cartesian(self, spark):
-        ops = op_counts(REGISTRY["graph_triangle_count"].fn(spark, SF))
+        # the registry fn pins its single result row eagerly (cache
+        # lifecycle), so assert shapes on the lazy halves it composes
+        from chiv_spark.queries.graphrag import _copurchase_edges, _triangle_result
+
+        e = _copurchase_edges(spark, SF)
+        ops = op_counts(_triangle_result(e, 0))
         assert ops.get("CartesianProduct", 0) == 0
         # degree/order-key dims join the edge list by broadcast
         assert ops.get("BroadcastHashJoin", 0) >= 2
