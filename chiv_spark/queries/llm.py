@@ -606,3 +606,48 @@ def multimodal_features(spark, sf_dir):
     return feats.select(
         "media_id", "n_bytes", "sha_prefix", F.size("feature").cast("int").alias("feature_dim")
     )
+
+
+@query(
+    "udtf_sentence_split",
+    r"""
+    WITH sent AS (
+      SELECT lang, trim(u.s) AS s
+      FROM documents, unnest(string_split(text, '. ')) AS u(s))
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(len(list_filter(string_split_regex(s, '\s+'),
+                                     x -> x <> ''))) AS BIGINT) AS total_words
+    FROM sent WHERE s <> '' GROUP BY lang
+    """,
+    doc="Python UDTF surface (Spark 4): an Arrow-batched table function "
+    "explodes each document into sentences via LATERAL join, then a "
+    "per-language aggregation. Demonstrates the user-defined "
+    "row-GENERATING extension point (the reference's Formatter triple "
+    "covers only row-consuming sinks, SURVEY 2.10). Row generation is "
+    "narrow — no shuffle until the groups-sized agg. Hot paths should "
+    "still prefer the pure-SQL twin (explode(split())): this entry "
+    "exists to pin the UDTF surface, Arrow batching, and its oracle",
+)
+def udtf_sentence_split(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence: string, n_words: int", useArrow=True)
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for raw in text.split(". "):
+                s = raw.strip()
+                if s:
+                    yield s, len(s.split())
+
+    spark.udtf.register("chiv_split_sentences", SplitSentences)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("chiv_udtf_docs")
+    exploded = spark.sql(
+        "SELECT d.lang, s.n_words "
+        "FROM chiv_udtf_docs d, LATERAL chiv_split_sentences(d.text) s"
+    )
+    return exploded.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )

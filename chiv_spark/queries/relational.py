@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from chiv_spark.functions.detmath import det_round, money_sum
+from chiv_spark.functions.detmath import det_round, duckdb_det_round, money_sum
 from chiv_spark.queries.base import query, t
 
 # ---------------------------------------------------------------- joins
@@ -624,4 +624,80 @@ def scalar_map_funcs(spark, sf_dir):
         F.size("m").cast("long").alias("n_types"),
         F.array_join(F.sort_array(F.map_keys("m")), ",").alias("types"),
         F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).cast("long").alias("n_clicks"),
+    )
+
+
+@query(
+    "scalar_variant_funcs",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_hot,
+           CAST(COUNT(*) AS BIGINT) AS n_missing_path
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Spark-4 VARIANT path for semi-structured data: build a nested "
+    "doc, parse_json ONCE into the binary VARIANT encoding, then do "
+    "multiple typed extractions (variant_get '$.meta.k' long / "
+    "'$.meta.hot' boolean, try_variant_get on a missing path -> NULL "
+    "instead of error). At scale this is the point of VARIANT: one "
+    "parse amortizes N field accesses, where get_json_object re-parses "
+    "the text per call. Oracle states the same semantics in plain SQL "
+    "(the mechanism under test is the VARIANT encoding, as with the "
+    "oriented-vs-naive triangle oracle pair)",
+)
+def scalar_variant_funcs(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    nested = F.to_json(
+        F.struct(
+            F.col("event_type").alias("et"),
+            F.struct(
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+                (F.col("value") > 50).alias("hot"),
+            ).alias("meta"),
+        )
+    )
+    v = F.parse_json(nested)
+    k = F.variant_get(v, "$.meta.k", "long")
+    hot = F.variant_get(v, "$.meta.hot", "boolean")
+    missing = F.try_variant_get(v, "$.meta.absent", "long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count_if(hot).cast("long").alias("n_hot"),
+        F.count_if(missing.isNull()).cast("long").alias("n_missing_path"),
+    )
+
+
+@query(
+    "agg_correlation",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {duckdb_det_round("corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE))")}
+             AS corr_qty_price,
+           {duckdb_det_round("covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE))", 2)}
+             AS covar_qty_price,
+           {duckdb_det_round("regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE))", 4)}
+             AS price_per_qty_slope
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="bivariate statistics family: Pearson correlation, sample "
+    "covariance, and regression slope per group — single-pass "
+    "numerically-stable co-moment aggregates (Welford-style) in both "
+    "engines; one groups-sized exchange",
+)
+def agg_correlation(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        det_round(F.corr(q, p)).alias("corr_qty_price"),
+        det_round(F.covar_samp(q, p), 2).alias("covar_qty_price"),
+        det_round(F.regr_slope(p, q), 4).alias("price_per_qty_slope"),
     )

@@ -283,3 +283,85 @@ def window_ntile_distribution(spark, sf_dir):
         det_round(F.max("pr")).alias("max_percent_rank"),
         det_round(F.max("cd")).alias("max_cume_dist"),
     )
+
+
+@query(
+    "timeseries_multi_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+           date_trunc('hour', ts) AS bucket_hour,
+           COUNT(*) AS n_events,
+           (CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             AS sum_value
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS TIMESTAMP), date_trunc('hour', ts))
+    """,
+    doc="hypertable-style multi-resolution rollup: day + hour + grand "
+    "totals in ONE pass (GROUP BY ROLLUP over truncated timestamps — "
+    "Catalyst expands grouping sets with map-side partials, so the "
+    "exchange carries groups-per-resolution, not events). NULL bucket "
+    "columns mark the coarser levels, as in agg_rollup",
+)
+def timeseries_multi_rollup(spark, sf_dir):
+    from chiv_spark.functions.detmath import money_sum
+
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("day", "ts").alias("bucket_day"),
+            F.date_trunc("hour", "ts").alias("bucket_hour"),
+            "value",
+        )
+        .rollup("bucket_day", "bucket_hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+    )
+
+
+#: EWMA smoothing factor — s_t = ALPHA*x_t + (1-ALPHA)*s_{t-1}
+_EWMA_A = 0.3
+
+
+@query(
+    "timeseries_ewma",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           {duckdb_det_round(f"list_reduce(vals, (acc, x) -> {_EWMA_A} * x + {1 - _EWMA_A} * acc)")}
+             AS ewma_value
+    FROM per_user
+    """,
+    doc="per-user exponential moving average of event values — an "
+    "order-dependent recurrence SQL windows can't express directly. "
+    "One groupBy collects each user's series (bounded: events-per-user, "
+    "not table-sized), then a JVM-side higher-order aggregate() folds "
+    "s_t = a*x_t + (1-a)*s_(t-1) left-to-right; ordering key "
+    "(ts, event_id) is unique so the fold order — and the IEEE float "
+    "result — is identical in both engines. No UDF, no window spill",
+)
+def timeseries_ewma(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    series = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("value").cast("double").alias("value"))
+            )
+        ).alias("xs")
+    )
+    vals = F.transform(F.col("xs"), lambda s: s["value"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(_EWMA_A) * x + F.lit(1 - _EWMA_A) * acc,
+    )
+    return series.select(
+        "user_id",
+        F.size(vals).cast("long").alias("n_events"),
+        det_round(fold).alias("ewma_value"),
+    )
