@@ -411,3 +411,44 @@ def transform_global_row_ids(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
     return assign_global_row_ids(docs, ["doc_id"], id_col="row_id")
+
+
+@query(
+    "mlprep_winsorize",
+    """
+    WITH cuts AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE d.n_chars < c.lo) AS BIGINT) AS n_clipped_low,
+           CAST(COUNT(*) FILTER (WHERE d.n_chars > c.hi) AS BIGINT) AS n_clipped_high,
+           (FLOOR(SUM(GREATEST(LEAST(CAST(d.n_chars AS DOUBLE), c.hi), c.lo))
+                  * 100.0 + 0.5) / 100.0) AS sum_winsorized
+    FROM documents d JOIN cuts c USING (lang)
+    GROUP BY d.lang
+    """,
+    doc="percentile winsorization (clip per-language doc lengths to "
+    "[p05, p95] before length-sensitive training stats): exact "
+    "interpolated percentiles per group (groups-sized), broadcast back "
+    "onto the corpus, clip with least/greatest — two groups-sized "
+    "exchanges, the corpus itself never shuffles. Spark percentile == "
+    "DuckDB quantile_cont (agg_percentile_exact pins the parity); the "
+    "clipped sum folds IEEE doubles identically under det rounding",
+)
+def mlprep_winsorize(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    cuts = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    d = docs.join(F.broadcast(cuts), "lang")
+    clipped = F.greatest(F.least(F.col("n_chars").cast("double"), F.col("hi")), F.col("lo"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("n_chars") < F.col("lo")).cast("long").alias("n_clipped_low"),
+        F.count_if(F.col("n_chars") > F.col("hi")).cast("long").alias("n_clipped_high"),
+        det_round(F.sum(clipped), 2).alias("sum_winsorized"),
+    )

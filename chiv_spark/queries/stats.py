@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from chiv_spark.functions.detmath import det_round
 from chiv_spark.operators import dedup
@@ -180,7 +181,7 @@ def explode_tokens(spark, sf_dir):
 
 from chiv_spark.queries import llm as _llm  # shared oracle fragments
 
-_CLUSTER_ORACLE = f"""
+_CLUSTER_CTES = f"""
     WITH RECURSIVE {_llm._MINHASH_CTES.strip().lstrip()},
     bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
                        string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
@@ -203,7 +204,9 @@ _CLUSTER_ORACLE = f"""
       SELECT a, a FROM (SELECT DISTINCT a FROM edges)
       UNION
       SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    )
+    )"""
+
+_CLUSTER_ORACLE = f"""{_CLUSTER_CTES}
     SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
     FROM reach GROUP BY src
 """
@@ -267,3 +270,55 @@ def dedup_clusters(spark, sf_dir):
         prev.unpersist()
     edges.unpersist()
     return result
+
+
+_CANONICAL_ORACLE = f"""{_CLUSTER_CTES},
+    clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+    joined AS (
+      SELECT c.cluster_id, d.doc_id, d.lang, d.n_chars
+      FROM clusters c JOIN documents d USING (doc_id)),
+    ranked AS (
+      SELECT cluster_id, doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM joined)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT), CAST(1 AS BIGINT)
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters)
+"""
+
+
+@query(
+    "dedup_canonical_docs",
+    _CANONICAL_ORACLE,
+    doc="near-dup corpus compaction: collapse every MinHash-LSH cluster "
+    "to its canonical document (longest text, doc_id tiebreak) and keep "
+    "all singletons — the step that turns cluster ASSIGNMENTS into the "
+    "deduplicated corpus a training run actually reads. Composes "
+    "dedup_clusters; winner pick is a cluster-partitioned window "
+    "(bounded by cluster size), singletons come back by anti join — "
+    "both one doc-count-sized shuffle, nothing quadratic",
+)
+def dedup_canonical_docs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    cl = dedup_clusters(spark, sf_dir)
+    joined = cl.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ws = Window.partitionBy("cluster_id")
+    kept = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(ws).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "cluster_size")
+    )
+    singles = docs.join(cl, "doc_id", "left_anti").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return kept.unionByName(singles)
