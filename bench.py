@@ -99,12 +99,27 @@ def main() -> None:
     try:
         li = read_table(spark, sf_dir, "lineitem")
         a = Archiver(spark)
-        t0 = time.perf_counter()
-        a.archive_df(li, bucket, key="lineitem_dist.csv", distributed=True)
-        timings["archive_csv_distributed"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        a.archive_df(li.limit(100_000), bucket, key="lineitem_single.csv")
-        timings["archive_csv_single_100k"] = round(time.perf_counter() - t0, 3)
+        # real-disk writes are the noisiest entries on this box: one
+        # untimed warmup then best-of-2, same protocol rationale as the
+        # query loop (the r4 bench drift was entirely archive IO)
+        def _archive_dist():
+            a.archive_df(li, bucket, key="lineitem_dist.csv", distributed=True)
+
+        def _archive_single():
+            a.archive_df(li.limit(100_000), bucket, key="lineitem_single.csv")
+
+        for name, fn in (
+            ("archive_csv_distributed", _archive_dist),
+            ("archive_csv_single_100k", _archive_single),
+        ):
+            fn()
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+            spread[name] = round(max(runs) - min(runs), 3)
     except Exception as exc:  # noqa: BLE001
         errors["archive_csv"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
