@@ -386,22 +386,45 @@ def ngram_jaccard_pairs(
             keep.select("shingle").hint("shuffle_merge"), "shingle"
         )
     cand = ngram_candidate_pairs(docs, threshold, words, df_cap)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # verification via per-doc sorted arrays of 60-bit shingle hashes +
+    # array_intersect, NOT by exploding candidates back onto the
+    # posting lists: the explode shape materializes |cand| x
+    # shingles-per-doc rows through two joins and a groupBy (measured
+    # 16M rows / 25s at sf0.1), while this shape ships each candidate
+    # once with two fixed-length long arrays and intersects JVM-side
+    # (hash-set build, O(na+nb) per pair). Hash-set Jaccard equals
+    # string-set Jaccard absent 60-bit collisions (~n^2/2^61 — and a
+    # collision would surface as an oracle mismatch, not silently).
+    # Array payload per doc is shingles-per-doc * 8 bytes; with df_cap
+    # bounding useful shingles this stays KB-sized at any corpus scale.
+    hsets = (
+        sh.select("doc_id", hash64(F.col("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("hset"))
+    )
     # candidate count scales with near-dup density, not corpus size —
     # unestimable statically, so pin the verification joins to shuffle
     # plans too (see the hint rationale in ngram_candidate_pairs)
-    inter = (
+    j = (
         cand.hint("shuffle_merge")
-        .join(sa.hint("shuffle_merge"), "doc_a")
-        .join(sb.hint("shuffle_merge"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    j = inter.withColumn(
-        "jaccard",
-        F.col("inter").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        .join(
+            hsets.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("ha")).hint(
+                "shuffle_merge"
+            ),
+            "doc_a",
+        )
+        .join(
+            hsets.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hb")).hint(
+                "shuffle_merge"
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ha", "hb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
     )
     return j.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", F.col("jaccard").cast("double").alias("jaccard")
