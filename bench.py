@@ -49,6 +49,10 @@ HEADLINE = [
     "text_bm25_topk",
     "text_quality_filter",
     "graph_triangle_count",
+    # round 4, second batch: exact-verified n-gram Jaccard (the
+    # heaviest dedup tier) and distributed global row numbering
+    "dedup_ngram_jaccard",
+    "transform_global_row_ids",
 ]
 
 
