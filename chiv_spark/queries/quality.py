@@ -229,3 +229,108 @@ def text_inverted_index(spark, sf_dir):
     ).select(
         F.col("w").alias("token"), "doc_freq", "total_tf", "postings_head"
     )
+
+
+@query(
+    "quality_constraint_report",
+    """
+    WITH checks AS (
+      SELECT 'orders.pk_unique' AS check_name,
+             CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                  AS BIGINT) AS n_violations,
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+      UNION ALL
+      SELECT 'orders.custkey_not_null',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 'orders.totalprice_positive',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 'orders.custkey_refs_customer',
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.orderkey_refs_orders',
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.discount_in_range',
+             CAST((SELECT COUNT(*) FROM lineitem
+                   WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT))
+    SELECT check_name, n_violations, n_rows,
+           CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM checks
+    """,
+    doc="Deequ/dbt-style data-quality constraint report: primary-key "
+    "uniqueness, null rate, value range, and referential-integrity "
+    "orphan checks (anti joins), each a single-pass aggregate emitting "
+    "(check, violations, rows, status). All checks over one table "
+    "share a scan; orphan checks are key-shuffled anti joins that AQE "
+    "converts to broadcast when the dimension side fits — nothing "
+    "row-multiplying at any scale",
+)
+def quality_constraint_report(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+
+    def report(name, violations, total):
+        return violations.crossJoin(total).select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+
+    n_orders = o.agg(F.count(F.lit(1)).alias("n"))
+    n_li = li.agg(F.count(F.lit(1)).alias("n"))
+    checks = [
+        report(
+            "orders.pk_unique",
+            o.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")),
+            n_orders,
+        ),
+        report(
+            "orders.custkey_not_null",
+            o.agg(F.count_if(F.col("o_custkey").isNull()).alias("v")),
+            n_orders,
+        ),
+        report(
+            "orders.totalprice_positive",
+            o.agg(F.count_if(F.col("o_totalprice") <= 0).alias("v")),
+            n_orders,
+        ),
+        report(
+            "orders.custkey_refs_customer",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+            n_orders,
+        ),
+        report(
+            "lineitem.orderkey_refs_orders",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+            n_li,
+        ),
+        report(
+            "lineitem.discount_in_range",
+            li.agg(
+                F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("v")
+            ),
+            n_li,
+        ),
+    ]
+    out = checks[0]
+    for extra in checks[1:]:
+        out = out.unionByName(extra)
+    return out.withColumn(
+        "status", F.when(F.col("n_violations") == 0, "pass").otherwise("fail")
+    )
