@@ -55,6 +55,14 @@ def _latest_per_key(df: DataFrame, keys: list[str], seq_cols: list[str]) -> Data
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def read_touched_buckets(spark: SparkSession, target_dir: str, touched: list[int]) -> DataFrame:
+    """Read back only the bucket partitions a batch touches. ``kb`` is
+    a physical partition column, so the IN-filter prunes directories
+    at planning time (asserted in tests/test_streaming_cdc.py) — the
+    merge reads O(touched buckets), not O(table)."""
+    return spark.read.parquet(target_dir).filter(F.col(_KB).isin(touched))
+
+
 def apply_changes_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -78,7 +86,7 @@ def apply_changes_batch(
     touched = [r[_KB] for r in fresh.select(_KB).distinct().collect()]
 
     try:
-        existing = spark.read.parquet(target_dir).filter(F.col(_KB).isin(touched))
+        existing = read_touched_buckets(spark, target_dir, touched)
         merged_input = existing.unionByName(fresh)
     except Exception:  # first batch: no target yet
         merged_input = fresh

@@ -119,3 +119,41 @@ class TestStreamingCdcApply:
         assert state1 == _rows(
             _expected(changes.unionByName(one_up)).drop(*[])
         )
+
+    def test_checkpoint_resume_is_exactly_once(self, spark, sf_dir, tmp_path):
+        changes = _changes(spark, sf_dir)
+        changes_dir = str(tmp_path / "changes3")
+        target = str(tmp_path / "target3")
+        ckpt = str(tmp_path / "ckpt3")
+        changes.filter(F.col("event_id") % 2 == 0).write.parquet(f"{changes_dir}/a")
+
+        def run():
+            return apply_changes_stream(
+                spark, f"{changes_dir}/*", changes.schema, target, ckpt,
+                KEYS, SEQ, op_col="op", n_buckets=8,
+            )
+
+        first = _rows(run().drop("kb"))
+        # re-running against the SAME checkpoint with no new files must
+        # be a no-op (offsets already committed -> zero new batches)
+        second = _rows(run().drop("kb"))
+        assert first == second
+        # a new change file is picked up incrementally from the
+        # committed offsets and merged on top
+        changes.filter(F.col("event_id") % 2 == 1).write.parquet(f"{changes_dir}/b")
+        third = _rows(run().drop("kb"))
+        assert third == _rows(_expected(changes))
+
+    def test_merge_read_prunes_to_touched_buckets(self, spark, sf_dir, tmp_path):
+        from chiv_spark.plans import physical_plan
+        from chiv_spark.streaming.cdc import read_touched_buckets
+
+        changes = _changes(spark, sf_dir)
+        target = str(tmp_path / "target4")
+        apply_changes_batch(spark, changes, target, KEYS, SEQ, op_col="op", n_buckets=8)
+        plan = physical_plan(read_touched_buckets(spark, target, [1, 3]))
+        # the bucket IN-filter must land in PartitionFilters (directory
+        # pruning), not as a post-scan data filter
+        assert "PartitionFilters" in plan
+        seg = plan[plan.index("PartitionFilters"):].split("]", 1)[0]
+        assert "kb" in seg and ("1" in seg and "3" in seg)
