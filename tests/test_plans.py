@@ -219,3 +219,39 @@ class TestRound4PlanShapes:
         assert ops.get("BroadcastHashJoin", 0) == 1
         assert ops.get("SortMergeJoin", 0) == 0
         assert ops.get("CartesianProduct", 0) == 0
+
+
+class TestRound4SecondBatchPlanShapes:
+    # partial+final aggregate with exactly ONE exchange: the map side
+    # pre-collapses, so exchange volume = groups, not rows
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "timeseries_ewma",
+            "timeseries_multi_rollup",
+            "agg_correlation",
+            "scalar_variant_funcs",
+        ],
+    )
+    def test_single_exchange_aggregates(self, spark, name):
+        ops = op_counts(REGISTRY[name].fn(spark, SF))
+        assert ops.get("Exchange", 0) == 1
+        assert ops.get("CartesianProduct", 0) == 0
+        aggs = ops.get("HashAggregate", 0) + ops.get("ObjectHashAggregate", 0)
+        assert aggs == 2  # partial + final
+
+    def test_winsorize_broadcasts_cutoffs(self, spark):
+        # percentile cutoffs are groups-sized and must ship by
+        # broadcast; the corpus side never shuffles for the join
+        ops = op_counts(REGISTRY["mlprep_winsorize"].fn(spark, SF))
+        assert ops.get("BroadcastHashJoin", 0) == 1
+        assert ops.get("SortMergeJoin", 0) == 0
+        assert ops.get("Exchange", 0) <= 2  # the two aggregation exchanges
+
+    def test_constraint_report_joins_stay_bounded(self, spark):
+        # referential checks are anti joins (broadcastable); the only
+        # nested-loop joins are the 1-row aggregate crossJoins gluing
+        # each check's (violations, total) scalars together
+        ops = op_counts(REGISTRY["quality_constraint_report"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        assert ops.get("BroadcastHashJoin", 0) >= 2  # the two anti joins
