@@ -452,3 +452,115 @@ def mlprep_winsorize(spark, sf_dir):
         F.count_if(F.col("n_chars") > F.col("hi")).cast("long").alias("n_clipped_high"),
         det_round(F.sum(clipped), 2).alias("sum_winsorized"),
     )
+
+
+@query(
+    "embedding_mean_pool",
+    """
+    WITH ex AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding::DOUBLE[], 1) AS BIGINT) AS d,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings)
+    SELECT label, d,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           FLOOR(CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+             AS mean_value
+    FROM ex GROUP BY label, d
+    """,
+    doc="mean-pooled centroid embedding per label (the chunk->document "
+    "pooling step of an embedding pipeline, and the k-means M-step "
+    "shape): posexplode is a narrow x-dim map, then ONE exchange of "
+    "labels x dim groups with map-side partials. Element sums ride "
+    "integer micro-units (exact, order-free — the money_sum rationale "
+    "applied to unit-scale floats), one IEEE division at the end",
+)
+def embedding_mean_pool(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    micro = F.round(F.col("x").cast("double") * 1_000_000.0).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            det_round(
+                F.sum(micro).cast("double") / F.count(F.lit(1)) / 1_000_000.0, 6
+            ).alias("mean_value"),
+        )
+    )
+
+
+@query(
+    "embedding_centroid_assign",
+    """
+    WITH ex AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding::DOUBLE[], 1) AS BIGINT) AS d,
+             CAST(ROUND(unnest(embedding::DOUBLE[]) * 1000000.0) AS BIGINT) AS xm
+      FROM embeddings),
+    cent AS (
+      SELECT label AS clabel, d,
+             CAST(ROUND(
+               CAST(SUM(xm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+      FROM ex GROUP BY label, d),
+    dists AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             SUM((e.xm - c.cm) * (e.xm - c.cm)) AS d2
+      FROM ex e JOIN cent c USING (d)
+      GROUP BY e.vec_id, e.label, c.clabel),
+    best AS (
+      SELECT vec_id, label, clabel,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, clabel) AS rn
+      FROM dists)
+    SELECT label AS true_label, clabel AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM best WHERE rn = 1
+    GROUP BY label, clabel
+    """,
+    doc="k-means E-step / cluster-purity confusion: assign every vector "
+    "to its nearest per-label centroid and count (true, assigned) "
+    "pairs. Centroids and vectors ride exact integer micro-units so "
+    "squared L2 distances are integer arithmetic — the argmin is "
+    "bit-deterministic in both engines (ties break by centroid label). "
+    "Scale shape: the k x dim centroid table is broadcast (k "
+    "centroids at ANY corpus size), distances are a narrow zip_with "
+    "fold per (vector, centroid), argmin is a min_by groupBy on "
+    "vec_id — linear in vectors x k, nothing corpus-quadratic",
+)
+def embedding_centroid_assign(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
+    )
+    vecs = emb.select("vec_id", "label", micro.alias("vm"))
+    cent = (
+        vecs.select("label", F.posexplode("vm").alias("pos", "xm"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.sum("xm").cast("double") / F.count(F.lit(1))).cast("long").alias("cm")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cm"))), lambda s: s["cm"]
+            ).alias("cvec")
+        )
+        .withColumnRenamed("label", "clabel")
+    )
+    dist2 = F.aggregate(
+        F.zip_with("vm", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", dist2.alias("d2")
+    )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.min(F.struct("d2", "clabel")).alias("best")
+    )
+    return best.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("best.clabel").alias("assigned_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
