@@ -564,3 +564,111 @@ def embedding_centroid_assign(spark, sf_dir):
         F.col("label").alias("true_label"),
         F.col("best.clabel").alias("assigned_label"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+
+
+#: shared CTE text for the integer-micro embedding expansion + initial
+#: per-label centroids (the k-means seeding used by the iterated query)
+_KMEANS_EX_CTES = """
+    ex AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding::DOUBLE[], 1) AS BIGINT) AS d,
+             CAST(ROUND(unnest(embedding::DOUBLE[]) * 1000000.0) AS BIGINT) AS xm
+      FROM embeddings),
+    cent0 AS (
+      SELECT label AS c, d,
+             CAST(ROUND(CAST(SUM(xm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+      FROM ex GROUP BY label, d),
+    d1 AS (
+      SELECT e.vec_id, c.c, SUM((e.xm - c.cm) * (e.xm - c.cm)) AS d2
+      FROM ex e JOIN cent0 c USING (d) GROUP BY e.vec_id, c.c),
+    best1 AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+      FROM d1),
+    assign1 AS (SELECT vec_id, c FROM best1 WHERE rn = 1),
+    cent1 AS (
+      SELECT a.c, e.d,
+             CAST(ROUND(CAST(SUM(e.xm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+      FROM ex e JOIN assign1 a USING (vec_id) GROUP BY a.c, e.d),
+    d2_ AS (
+      SELECT e.vec_id, c.c, SUM((e.xm - c.cm) * (e.xm - c.cm)) AS d2
+      FROM ex e JOIN cent1 c USING (d) GROUP BY e.vec_id, c.c),
+    best2 AS (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+      FROM d2_),
+    assign2 AS (SELECT vec_id, c FROM best2 WHERE rn = 1)
+"""
+
+
+@query(
+    "embedding_kmeans_2iter",
+    f"""
+    WITH {_KMEANS_EX_CTES.strip()}
+    SELECT a2.c AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (WHERE a1.c <> a2.c) AS BIGINT) AS n_moved_in
+    FROM assign2 a2 JOIN assign1 a1 USING (vec_id)
+    GROUP BY a2.c
+    """,
+    doc="two full Lloyd iterations of k-means (seeded from per-label "
+    "means): E-step -> M-step -> E-step, reporting cluster sizes and "
+    "how many vectors changed cluster in the second assignment. Every "
+    "step rides exact integer micro-units (sums exact, centroid "
+    "means rounded to micros identically in both engines), so an "
+    "ITERATIVE algorithm still passes the bit-exact oracle gate — no "
+    "rows-only escape hatch needed. Scale shape per iteration: "
+    "broadcast k x dim centroids, narrow integer fold per (vector, "
+    "centroid), vec-keyed argmin groupBy; linear in vectors x k per "
+    "round",
+)
+def embedding_kmeans_2iter(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
+    )
+    vecs = emb.select("vec_id", "label", micro.alias("vm"))
+
+    def centroids(assigned):
+        # assigned: (vec_id, c); mean per (c, dim) in exact micros
+        return (
+            vecs.join(assigned, "vec_id")
+            .select("c", F.posexplode("vm").alias("pos", "xm"))
+            .groupBy("c", "pos")
+            .agg(
+                F.round(F.sum("xm").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cm")
+            )
+            .groupBy("c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cm"))), lambda s: s["cm"]
+                ).alias("cvec")
+            )
+        )
+
+    def assign(cent):
+        d2 = F.aggregate(
+            F.zip_with("vm", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = vecs.crossJoin(F.broadcast(cent)).select("vec_id", "c", d2.alias("d2"))
+        return scored.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "c")).alias("best")
+        ).select("vec_id", F.col("best.c").alias("c"))
+
+    cent0 = centroids(vecs.select("vec_id", F.col("label").alias("c")))
+    a1 = assign(cent0)
+    cent1 = centroids(a1)
+    a2 = assign(cent1)
+    return (
+        a2.withColumnRenamed("c", "c2")
+        .join(a1.withColumnRenamed("c", "c1"), "vec_id")
+        .groupBy(F.col("c2").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.count_if(F.col("c1") != F.col("c2")).cast("long").alias("n_moved_in"),
+        )
+    )
