@@ -365,3 +365,59 @@ def timeseries_ewma(spark, sf_dir):
         F.size(vals).cast("long").alias("n_events"),
         det_round(fold).alias("ewma_value"),
     )
+
+
+@query(
+    "cdc_point_in_time_join",
+    f"""
+    WITH dim AS (
+      SELECT user_id,
+             CAST(value AS DOUBLE) AS profile_value,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events
+      WHERE event_type = 'signup' AND user_id < {_CDC_USERS}),
+    facts AS (
+      SELECT event_id, user_id, ts, CAST(value AS DOUBLE) AS amount
+      FROM events
+      WHERE event_type = 'purchase' AND user_id < {_CDC_USERS})
+    SELECT f.event_id, f.user_id, f.amount,
+           d.profile_value,
+           (d.valid_to IS NULL) AS joined_current_version
+    FROM facts f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+    doc="point-in-time (temporal) join: each purchase fact looks up the "
+    "SCD2 dimension version valid at its timestamp — the classic "
+    "warehouse pattern composing cdc_scd2_intervals' interval "
+    "construction with a BETWEEN join. The equi key (user_id) carries "
+    "the join; the validity predicate is a residual filter, so the "
+    "plan is one key shuffle with per-user version lists bounded by "
+    "change frequency — no interval cross product at any scale",
+)
+def cdc_point_in_time_join(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < _CDC_USERS)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("d_user"),
+        F.col("value").cast("double").alias("profile_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").cast("double").alias("amount")
+    )
+    cond = (
+        (facts.user_id == dim.d_user)
+        & (facts.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (facts.ts < dim.valid_to))
+    )
+    return facts.join(dim, cond).select(
+        "event_id",
+        "user_id",
+        "amount",
+        "profile_value",
+        dim.valid_to.isNull().alias("joined_current_version"),
+    )

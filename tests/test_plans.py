@@ -255,3 +255,25 @@ class TestRound4SecondBatchPlanShapes:
         ops = op_counts(REGISTRY["quality_constraint_report"].fn(spark, SF))
         assert ops.get("CartesianProduct", 0) == 0
         assert ops.get("BroadcastHashJoin", 0) >= 2  # the two anti joins
+
+    def test_point_in_time_join_extracts_equi_key(self, spark):
+        # the validity-interval predicate must ride as a residual on a
+        # user_id-keyed join — a nested-loop plan would mean the equi
+        # key was not extracted and every fact scans every version
+        ops = op_counts(REGISTRY["cdc_point_in_time_join"].fn(spark, SF))
+        assert ops.get("BroadcastNestedLoopJoin", 0) == 0
+        assert ops.get("CartesianProduct", 0) == 0
+        joins = ops.get("SortMergeJoin", 0) + ops.get("BroadcastHashJoin", 0) + ops.get(
+            "ShuffledHashJoin", 0
+        )
+        assert joins >= 1
+
+    def test_kmeans_broadcasts_centroids_only(self, spark):
+        # the only nested-loop joins are the vector x k-centroid
+        # broadcast crossJoins (k rows at any corpus size); nothing
+        # corpus-against-corpus
+        ops = op_counts(REGISTRY["embedding_kmeans_2iter"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        # 3, not 2: the first E-step's subtree appears twice in the
+        # lazy lineage (once as a1, once inside cent1 -> a2)
+        assert 2 <= ops.get("BroadcastNestedLoopJoin", 0) <= 3
