@@ -322,3 +322,86 @@ def dedup_canonical_docs(spark, sf_dir):
         F.lit(1).cast("long").alias("cluster_size"),
     )
     return kept.unionByName(singles)
+
+
+@query(
+    "stats_ab_ztest",
+    """
+    WITH labeled AS (
+      SELECT event_type,
+             user_id % 2 AS grp,
+             CAST(ROUND(value * 1000000.0) AS BIGINT) AS xm
+      FROM events),
+    moments AS (
+      SELECT event_type, grp,
+             COUNT(*) AS n,
+             SUM(CAST(xm AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(xm AS DECIMAL(38,0)) * xm) AS s2
+      FROM labeled GROUP BY event_type, grp),
+    sides AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             CAST(a.s1 AS DOUBLE) / a.n / 1000000.0 AS mean_a,
+             CAST(b.s1 AS DOUBLE) / b.n / 1000000.0 AS mean_b,
+             (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n)
+               / (a.n - 1) / 1000000000000.0 AS var_a,
+             (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n)
+               / (b.n - 1) / 1000000000000.0 AS var_b
+      FROM moments a JOIN moments b
+        ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1)
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           (FLOOR((mean_a - mean_b) * 1000000.0 + 0.5) / 1000000.0) AS mean_diff,
+           (FLOOR((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)
+                  * 1000000.0 + 0.5) / 1000000.0) AS z_score
+    FROM sides
+    """,
+    doc="two-sample z-test per event type (A/B split by user parity): "
+    "means and sample variances from EXACT integer-micro first/second "
+    "moments (DECIMAL(38) sums — the squared micros overflow BIGINT), "
+    "one IEEE formula at the end. Single-pass two-moment aggregation "
+    "per (type, arm), groups-sized exchange; the arm self-join is "
+    "groups x 2 rows. Order-free by construction — sample variance "
+    "from floats would hash-diverge between engines",
+)
+def stats_ab_ztest(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    xm = F.round(F.col("value").cast("double") * 1_000_000.0).cast("long")
+    dec = xm.cast("decimal(38,0)")
+    m = (
+        ev.select("event_type", (F.col("user_id") % 2).alias("grp"), xm.alias("xm"))
+        .groupBy("event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("xm").cast("decimal(38,0)")).alias("s1"),
+            F.sum(F.col("xm").cast("decimal(38,0)") * F.col("xm")).alias("s2"),
+        )
+    )
+    a = m.filter(F.col("grp") == 0).select(
+        "event_type", F.col("n").alias("n_a"), F.col("s1").alias("s1_a"), F.col("s2").alias("s2_a")
+    )
+    b = m.filter(F.col("grp") == 1).select(
+        "event_type", F.col("n").alias("n_b"), F.col("s1").alias("s1_b"), F.col("s2").alias("s2_b")
+    )
+    j = a.join(b, "event_type")
+
+    def mean(s1, n):
+        return F.col(s1).cast("double") / F.col(n) / 1_000_000.0
+
+    def var(s2, s1, n):
+        return (
+            (F.col(s2).cast("double") - F.col(s1).cast("double") * F.col(s1).cast("double") / F.col(n))
+            / (F.col(n) - 1)
+            / 1_000_000_000_000.0
+        )
+
+    mean_a, mean_b = mean("s1_a", "n_a"), mean("s1_b", "n_b")
+    var_a, var_b = var("s2_a", "s1_a", "n_a"), var("s2_b", "s1_b", "n_b")
+    se = F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return j.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        det_round(mean_a - mean_b, 6).alias("mean_diff"),
+        det_round((mean_a - mean_b) / se, 6).alias("z_score"),
+    )
