@@ -421,3 +421,43 @@ def cdc_point_in_time_join(spark, sf_dir):
         "profile_value",
         dim.valid_to.isNull().alias("joined_current_version"),
     )
+
+
+@query(
+    "window_running_distinct",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flagged
+    """,
+    doc="cumulative DISTINCT count over an expanding window (distinct "
+    "event types each user has seen up to each event) via the "
+    "first-occurrence trick: flag each (user, type)'s first row with "
+    "one per-key window, then a running SUM of flags — neither engine "
+    "needs DISTINCT-in-window, and both shuffles key on user_id "
+    "(bounded per-user state, unique (ts, event_id) ordering keeps "
+    "ranks deterministic)",
+)
+def window_running_distinct(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )
