@@ -701,3 +701,48 @@ def agg_correlation(spark, sf_dir):
         det_round(F.covar_samp(q, p), 2).alias("covar_qty_price"),
         det_round(F.regr_slope(p, q), 4).alias("price_per_qty_slope"),
     )
+
+
+@query(
+    "join_null_safe_eq",
+    """
+    WITH l AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_key
+      FROM orders WHERE o_orderkey % 7 = 0),
+    r AS (
+      SELECT NULLIF(o_orderstatus, 'O') AS status_key,
+             COUNT(*) AS n_side
+      FROM orders WHERE o_orderkey % 11 = 0
+      GROUP BY NULLIF(o_orderstatus, 'O'))
+    SELECT l.status_key, CAST(COUNT(*) AS BIGINT) AS n_left,
+           CAST(MAX(r.n_side) AS BIGINT) AS n_right
+    FROM l JOIN r ON l.status_key IS NOT DISTINCT FROM r.status_key
+    GROUP BY l.status_key
+    """,
+    doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "keys MATCH each other instead of dropping out — the semantics "
+    "that separate it from a plain equi join. Catalyst plans "
+    "eqNullSafe as a hash-join key (Coalesce+isnull wrapping), so it "
+    "shuffles like any equi join; the NULL bucket is a single hot key "
+    "at scale — the salting playbook (operators/skew.py) applies when "
+    "the null fraction is large",
+)
+def join_null_safe_eq(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_key")
+    left = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey", key)
+    right = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .select(key)
+        .groupBy("status_key")
+        .agg(F.count(F.lit(1)).alias("n_side"))
+        .withColumnRenamed("status_key", "r_key")
+    )
+    return (
+        left.join(right, left.status_key.eqNullSafe(right.r_key))
+        .groupBy("status_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_left"),
+            F.max("n_side").cast("long").alias("n_right"),
+        )
+    )
