@@ -460,3 +460,59 @@ def events_value_zscore(spark, sf_dir):
         .filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", det_round(z, 6).alias("z"))
     )
+
+
+@query(
+    "streaming_cdc_apply",
+    # seq-carried merge priority makes the result independent of how
+    # the change log is chopped into microbatches, so the streamed
+    # apply equals this single-pass batch MERGE (tombstones dropped
+    # from the live view)
+    """
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(value AS DOUBLE) AS value,
+             CASE WHEN value < 2.0 THEN 'D' ELSE 'U' END AS op
+      FROM events),
+    latest AS (
+      SELECT user_id, event_type, ts, event_id, value, op,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM changes)
+    SELECT user_id, event_type, ts, event_id, value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="streaming CDC apply, end to end in the registry: the events "
+    "log becomes a change stream (smallest values as delete "
+    "tombstones), chopped into two parquet files and applied via "
+    "foreachBatch MERGE into a key-hash-bucketed parquet target with "
+    "dynamic partition overwrite (streaming/cdc.py); the returned "
+    "live view must equal the single-pass batch MERGE",
+)
+def streaming_cdc_apply(spark, sf_dir):
+    from chiv_spark.streaming.cdc import apply_changes_stream
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", F.col("value").cast("double").alias("value")
+    )
+    changes = ev.withColumn(
+        "op", F.when(F.col("value") < 2.0, "D").otherwise("U")
+    )
+    work = tempfile.mkdtemp(prefix="chiv-cdc-")
+    for i in range(2):
+        changes.filter(F.col("event_id") % 2 == i).write.mode("overwrite").parquet(
+            f"{work}/changes/part{i}"
+        )
+    live = apply_changes_stream(
+        spark,
+        f"{work}/changes/part*",
+        changes.schema,
+        f"{work}/target",
+        f"{work}/ckpt",
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+        op_col="op",
+        n_buckets=8,
+        max_files_per_trigger=1,
+    )
+    return live.select("user_id", "event_type", "ts", "event_id", "value")
