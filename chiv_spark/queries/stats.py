@@ -227,7 +227,14 @@ def dedup_clusters(spark, sf_dir):
     # and unlike localCheckpoint, persist() can be released cleanly
     # once the result is materialized below.
     edges = edges.persist()
-    edges.count()
+    n_edges = edges.count()
+    # right-size the cached partitioning (the graphrag.py lesson: a
+    # cache pins pre-AQE partition counts, and every loop round would
+    # re-spray that many tasks over the usually-small pair list)
+    edges_cached = edges
+    edges = edges_cached.coalesce(
+        max(1, min(edges_cached.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
+    )
     # min-label propagation to fixpoint. Near-dup components are
     # cliques or near-cliques (every member pairs with most others),
     # so the diameter — and the round count — is 1-3; plain edge
@@ -268,7 +275,7 @@ def dedup_clusters(spark, sf_dir):
     ).localCheckpoint(eager=True)
     if prev is not None:
         prev.unpersist()
-    edges.unpersist()
+    edges_cached.unpersist()
     return result
 
 
