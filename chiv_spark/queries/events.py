@@ -4,6 +4,7 @@ real streaming run (no SQL oracle — rows-only check)."""
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -503,16 +504,25 @@ def streaming_cdc_apply(spark, sf_dir):
         changes.filter(F.col("event_id") % 2 == i).write.mode("overwrite").parquet(
             f"{work}/changes/part{i}"
         )
-    live = apply_changes_stream(
-        spark,
-        f"{work}/changes/part*",
-        changes.schema,
-        f"{work}/target",
-        f"{work}/ckpt",
-        ["user_id", "event_type"],
-        ["ts", "event_id"],
-        op_col="op",
-        n_buckets=8,
-        max_files_per_trigger=1,
-    )
-    return live.select("user_id", "event_type", "ts", "event_id", "value")
+    try:
+        live = apply_changes_stream(
+            spark,
+            f"{work}/changes/part*",
+            changes.schema,
+            f"{work}/target",
+            f"{work}/ckpt",
+            ["user_id", "event_type"],
+            ["ts", "event_id"],
+            op_col="op",
+            n_buckets=8,
+            max_files_per_trigger=1,
+        )
+        # pin the live view so the data-scale temp tree (change copy +
+        # merged target + checkpoint) can be deleted before returning —
+        # the sibling streaming queries leak only small checkpoint dirs,
+        # this one would leak the whole table per invocation
+        return live.select(
+            "user_id", "event_type", "ts", "event_id", "value"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from chiv_spark.functions.detmath import det_round, duckdb_det_round
+from chiv_spark.plans.partitions import right_size
 from chiv_spark.queries.base import query, t
 
 # --------------------------------------------------------------------------
@@ -150,11 +151,10 @@ def graph_triangle_count(spark, sf_dir):
     # per task, floor 1. At 100 TB-scale edge lists this keeps the full
     # partitioning; locally it collapses the task spray. coalesce is
     # narrow — no extra shuffle either way.
-    target = max(1, min(e_cached.rdd.getNumPartitions(), n_edges_val // 2_000_000 + 1))
     # materialize the single result row while the edge cache is alive,
     # then release it (same lifecycle as dedup_clusters) — the caller's
     # later collect reads the pinned row, not the lineage
-    result = _triangle_result(e_cached.coalesce(target), n_edges_val).localCheckpoint(
+    result = _triangle_result(right_size(e_cached, n_edges_val), n_edges_val).localCheckpoint(
         eager=True
     )
     e_cached.unpersist()
@@ -321,8 +321,7 @@ def graph_pagerank_3iter(spark, sf_dir):
     n_e0 = e0_cached.count()
     # same partition right-sizing as graph_triangle_count: the cache
     # pins pre-AQE partition counts and the loop's joins re-spray them
-    tgt = max(1, min(e0_cached.rdd.getNumPartitions(), n_e0 // 1_000_000 + 1))
-    e0 = e0_cached.coalesce(tgt)
+    e0 = right_size(e0_cached, n_e0)
     edges = e0.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         e0.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
@@ -330,8 +329,7 @@ def graph_pagerank_3iter(spark, sf_dir):
     # fold the degree onto the edge list ONCE — it is loop-invariant,
     # and joining it per round would cost an exchange per iteration
     ewd_cached = edges.join(deg, "a").persist()
-    n_ewd = ewd_cached.count()
-    ewd = ewd_cached.coalesce(max(1, min(ewd_cached.rdd.getNumPartitions(), n_ewd // 1_000_000 + 1)))
+    ewd = right_size(ewd_cached, ewd_cached.count())
     deg = ewd.select(F.col("a"), "dg").distinct()
 
     r = deg.select(F.col("a").alias("node"), F.lit(_PR_INIT).cast("long").alias("r"))

@@ -637,7 +637,9 @@ def udtf_sentence_split(spark, sf_dir):
             if text is None:
                 return
             for raw in text.split(". "):
-                s = raw.strip()
+                # strip SPACES only — the DuckDB oracle's trim() does
+                # not touch tabs/newlines, so neither may we
+                s = raw.strip(" ")
                 if s:
                     yield s, len(s.split())
 

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from chiv_spark.functions.detmath import det_round
 from chiv_spark.operators import dedup
+from chiv_spark.plans.partitions import right_size
 from chiv_spark.queries.base import query, t
 
 
@@ -228,13 +229,11 @@ def dedup_clusters(spark, sf_dir):
     # once the result is materialized below.
     edges = edges.persist()
     n_edges = edges.count()
-    # right-size the cached partitioning (the graphrag.py lesson: a
-    # cache pins pre-AQE partition counts, and every loop round would
+    # right-size the cached partitioning (plans/partitions.py: a cache
+    # pins pre-AQE partition counts, and every loop round would
     # re-spray that many tasks over the usually-small pair list)
     edges_cached = edges
-    edges = edges_cached.coalesce(
-        max(1, min(edges_cached.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
-    )
+    edges = right_size(edges_cached, n_edges)
     # min-label propagation to fixpoint. Near-dup components are
     # cliques or near-cliques (every member pairs with most others),
     # so the diameter — and the round count — is 1-3; plain edge
@@ -374,7 +373,6 @@ def dedup_canonical_docs(spark, sf_dir):
 def stats_ab_ztest(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     xm = F.round(F.col("value").cast("double") * 1_000_000.0).cast("long")
-    dec = xm.cast("decimal(38,0)")
     m = (
         ev.select("event_type", (F.col("user_id") % 2).alias("grp"), xm.alias("xm"))
         .groupBy("event_type", "grp")

@@ -85,10 +85,17 @@ def apply_changes_batch(
     # ≤ n_buckets ints — bounded regardless of batch or table size
     touched = [r[_KB] for r in fresh.select(_KB).distinct().collect()]
 
-    try:
-        existing = read_touched_buckets(spark, target_dir, touched)
-        merged_input = existing.unionByName(fresh)
-    except Exception:  # first batch: no target yet
+    # explicit existence probe, NOT try/except around the read: a
+    # transient FS error or corrupt footer on a non-first batch must
+    # PROPAGATE — swallowing it would treat the batch as the first one
+    # and the dynamic overwrite below would wipe every touched bucket's
+    # prior keys. Hadoop FS API so hdfs:// and s3a:// targets probe the
+    # same way as local paths.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(target_dir)  # noqa: SLF001
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if fs.exists(jpath):
+        merged_input = read_touched_buckets(spark, target_dir, touched).unionByName(fresh)
+    else:  # first batch: no target yet
         merged_input = fresh
     # tombstones are RETAINED in the stored state (only read_table
     # filters them out): dropping a winning delete would let an
@@ -97,8 +104,15 @@ def apply_changes_batch(
     # GC-able by a periodic compaction pass.
     merged = _latest_per_key(merged_input, keys, seq_cols)
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy(_KB).parquet(target_dir)
+    # writer-scoped dynamic overwrite — setting the session conf here
+    # would silently flip every later partitioned overwrite in the
+    # session from static to dynamic semantics
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(_KB)
+        .parquet(target_dir)
+    )
 
 
 def apply_changes_stream(
