@@ -526,3 +526,43 @@ def streaming_cdc_apply(spark, sf_dir):
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "events_sliding_window",
+    """
+    WITH starts AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS value,
+             unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS window_start
+      FROM events)
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+    doc="sliding (hopping) window: 2-hour windows every 1 hour via "
+    "F.window(ts, '2 hours', '1 hour') — each event lands in exactly "
+    "two windows, completing the window-type triad with the tumbling "
+    "and native session entries. Catalyst expands the window "
+    "assignment as a 2-row generator before the hash aggregate "
+    "(map-side partials; exchange carries windows x types groups, "
+    "2x the tumbling count, never 2x the events)",
+)
+def events_sliding_window(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
