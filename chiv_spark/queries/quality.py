@@ -334,3 +334,70 @@ def quality_constraint_report(spark, sf_dir):
     return out.withColumn(
         "status", F.when(F.col("n_violations") == 0, "pass").otherwise("fail")
     )
+
+
+@query(
+    "text_bigram_pmi",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+    n_tok AS (SELECT SUM(c) AS n FROM uni),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c_ab
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 10)
+    SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
+           (FLOOR(ln(CAST(n.n AS DOUBLE) * b.c_ab
+                     / (CAST(u1.c AS DOUBLE) * u2.c)) * 1000000.0 + 0.5)
+            / 1000000.0) AS pmi
+    FROM big b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN n_tok n
+    """,
+    doc="collocation mining: pointwise mutual information of adjacent "
+    "word bigrams, PMI = ln(N * c(a,b) / (c(a) * c(b))). All counts "
+    "are exact integers, the single ln per output row is "
+    "deterministic (no float accumulation), det-rounded 6dp. Scale "
+    "shape: bigram expansion is a narrow per-doc transform, both "
+    "count tables are vocabulary-sized, the unigram joins are "
+    "vocab-keyed equi joins AQE can broadcast, the total-token scalar "
+    "rides a 1-row cross join — never corpus x corpus",
+)
+def text_bigram_pmi(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(tk) - 1), i -> struct(tk[i - 1] AS w1, tk[i] AS w2))")
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 10)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        F.col("n").cast("double") * F.col("c_ab") / (F.col("c1").cast("double") * F.col("c2"))
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
+            det_round(pmi, 6).alias("pmi"),
+        )
+    )
