@@ -672,3 +672,33 @@ def embedding_kmeans_2iter(spark, sf_dir):
             F.count_if(F.col("c1") != F.col("c2")).cast("long").alias("n_moved_in"),
         )
     )
+
+
+@query(
+    "sample_fixed_k_per_group",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY {_H}, doc_id) AS rn
+      FROM documents)
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rn <= 20
+    """,
+    doc="balanced sampling: exactly k=20 docs per language, chosen by "
+    "stable-hash order (deterministic reservoir — a doc's selection "
+    "depends only on ids in its group, not on RNG or partitioning). "
+    "Complements rate-based sample_stratified when a downstream eval "
+    "needs EQUAL group sizes. One lang-partitioned window; per-group "
+    "state is the k-row head, never the corpus",
+)
+def sample_fixed_k_per_group(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    )

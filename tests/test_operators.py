@@ -230,3 +230,28 @@ class TestGlobalRowIds:
 
         with pytest.raises(ValueError):
             assign_global_row_ids(spark.range(3), [])
+
+
+class TestRightSizePartitions:
+    def test_small_cached_df_collapses(self, spark):
+        from chiv_spark.plans.partitions import right_size
+
+        df = spark.range(0, 1000).repartition(16).persist()
+        n = df.count()
+        try:
+            assert right_size(df, n).rdd.getNumPartitions() == 1
+        finally:
+            df.unpersist()
+
+    def test_large_count_keeps_partitions(self, spark):
+        from chiv_spark.plans.partitions import right_size
+
+        df = spark.range(0, 100).repartition(8).persist()
+        df.count()
+        try:
+            # pretend the cache holds 10M rows: 10M/2M + 1 = 6 targets,
+            # capped at the existing 8
+            assert right_size(df, 10_000_000).rdd.getNumPartitions() == 6
+            assert right_size(df, 10**9).rdd.getNumPartitions() == 8
+        finally:
+            df.unpersist()
