@@ -746,3 +746,28 @@ def join_null_safe_eq(spark, sf_dir):
             F.max("n_side").cast("long").alias("n_right"),
         )
     )
+
+
+@query(
+    "agg_boolean_funcs",
+    """
+    SELECT event_type,
+           CAST(bool_and(value > 0) AS BOOLEAN) AS all_positive,
+           CAST(bool_or(value > 95) AS BOOLEAN) AS any_above_95,
+           CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_above_50,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="boolean aggregate family: every/bool_and, any/bool_or, and "
+    "count_if — short-circuitable predicates with map-side partials, "
+    "one groups-sized exchange",
+)
+def agg_boolean_funcs(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.every(F.col("value") > 0).alias("all_positive"),
+        F.some(F.col("value") > 95).alias("any_above_95"),
+        F.count_if(F.col("value") > 50).cast("long").alias("n_above_50"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
