@@ -277,3 +277,27 @@ class TestRound4SecondBatchPlanShapes:
         # 3, not 2: the first E-step's subtree appears twice in the
         # lazy lineage (once as a1, once inside cent1 -> a2)
         assert 2 <= ops.get("BroadcastNestedLoopJoin", 0) <= 3
+
+    @pytest.mark.parametrize("name", ["events_sliding_window", "agg_boolean_funcs"])
+    def test_closing_batch_single_exchange_aggs(self, spark, name):
+        ops = op_counts(REGISTRY[name].fn(spark, SF))
+        assert ops.get("Exchange", 0) == 1
+        assert ops.get("HashAggregate", 0) == 2  # partial + final
+
+    def test_fixed_k_sampler_no_global_sort(self, spark):
+        # the per-group head must sort within lang partitions, never
+        # globally (one exchange; Sort nodes are partition-local)
+        df = REGISTRY["sample_fixed_k_per_group"].fn(spark, SF)
+        ops = op_counts(df)
+        assert ops.get("Exchange", 0) == 1
+        from chiv_spark.plans import physical_plan
+
+        assert "SinglePartition" not in physical_plan(df)
+
+    def test_bigram_pmi_vocab_joins_broadcast(self, spark):
+        # unigram-count joins are vocab-keyed and broadcastable; the
+        # only nested-loop join is the 1-row total-token cross join
+        ops = op_counts(REGISTRY["text_bigram_pmi"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        assert ops.get("BroadcastHashJoin", 0) >= 2
+        assert ops.get("BroadcastNestedLoopJoin", 0) <= 1
