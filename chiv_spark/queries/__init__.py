@@ -14,6 +14,7 @@ from chiv_spark.queries.base import REGISTRY, QuerySpec
 # importing the modules populates REGISTRY
 from chiv_spark.queries import (  # noqa: E402,F401
     advanced,
+    curation,
     events,
     fuzzy,
     graphrag,

@@ -1,0 +1,479 @@
+"""Corpus-curation tier 2: the web-scale cleaning passes that sit
+between raw crawl and the quality/dedup stages of quality.py —
+URL handling, Gopher repetition signals, semantic dedup, BPE seeding,
+and a corpus-composition independence test.
+
+- ``scalar_url_funcs``: parse_url component extraction (host / path /
+  query / named param / fragment). URLs are seeded deterministically
+  from doc_id (the synthetic corpus has none), so both engines see
+  identical inputs and the parser itself is what's under test.
+- ``dedup_url_canonical``: URL canonicalization (case-fold
+  scheme+host, strip fragment, drop utm_* tracking params, trim the
+  trailing slash) followed by exact dedup on the canonical form —
+  the standard crawl-frontier dedup pass. Hash-groupBy on the
+  canonical key: linear, one shuffle, same scale shape as
+  dedup_exact (operators/dedup.py:70).
+- ``text_gopher_repetition``: Gopher's repetition signals (Rae et
+  al. 2021 §A1.1) at the word-3-gram level: fraction of 3-gram
+  occurrences that are repeats and fraction of document characters
+  covered by the single most-common 3-gram. Complements
+  text_quality_filter (quality.py:42), which covers the unigram
+  signals.
+- ``dedup_semdedup``: SemDeDup (Abbas et al. 2023): exact pairwise
+  cosine *within* an embedding cluster only, never across the
+  corpus. Cluster size is the scale dial: with k chosen ~N/1000 the
+  per-cluster pairwise work is constant-bounded and the total is
+  linear in N. Here the pre-assigned ``label`` plays the role of the
+  k-means cluster id (the k-means step itself is covered by
+  embedding_kmeans_2iter, mlprep.py).
+- ``text_bpe_first_merges``: the first BPE merge round — corpus-wide
+  adjacent character-pair counts inside words, top-20. The pair
+  space is alphabet² so the count table is tiny at any corpus size;
+  the only shuffle is vocabulary-sized.
+- ``stats_chi2_lang_source``: chi-square cell table for corpus
+  composition (lang × source): observed, expected under
+  independence, per-cell contribution. Emitted per-cell (langs ×
+  sources rows) so no cross-cell float accumulation exists anywhere
+  — each expected/contribution is a single IEEE expression on exact
+  integer counts, det-rounded.
+
+Float determinism throughout follows the integer-micro pattern of
+mlprep.py: embeddings quantized to round(x*1e6)::long, all
+accumulation in exact integer arithmetic, and only a final
+sqrt/divide (one IEEE op chain per output value, no
+order-sensitivity) before det_round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chiv_spark.functions.detmath import det_round, duckdb_det_round
+from chiv_spark.queries.base import query, t
+
+# --------------------------------------------------------------------------
+# scalar_url_funcs
+
+#: deterministic URL seeded from doc_id/lang — exercises every component
+_URL_SQL = (
+    "'https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/' || lang"
+    " || '/doc/' || CAST(doc_id AS VARCHAR)"
+    " || '?ref=r' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '&utm_source=s' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '#sec' || CAST(doc_id % 4 AS VARCHAR)"
+)
+
+
+@query(
+    "scalar_url_funcs",
+    f"""
+    WITH seeded AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref_param,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM seeded
+    """,
+    doc="URL component extraction: Spark's JVM-side parse_url vs the "
+    "oracle's regexp decomposition — host/path/query/named-param/"
+    "fragment; narrow column expressions, zero shuffles",
+)
+def scalar_url_funcs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://cdn"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_source=s"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 4).cast("string"),
+    )
+    seeded = docs.select("doc_id", url.alias("url"))
+    return seeded.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_url_canonical
+
+#: four crawl variants of the same logical page, seeded by doc_id % 4:
+#: plain / upper-cased scheme+host / trailing slash / utm-tracking query
+_VARIANT_SQL = """
+      CASE doc_id % 4
+        WHEN 0 THEN 'https://www.example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+        WHEN 1 THEN 'HTTPS://WWW.Example.COM/page/' || CAST(doc_id // 4 AS VARCHAR)
+        WHEN 2 THEN 'https://www.example.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '/'
+        ELSE 'https://www.example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+             || '?utm_source=feed&id=' || CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=x'
+      END
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    f"""
+    WITH seeded AS (SELECT doc_id, {_VARIANT_SQL} AS url FROM documents),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]+)', 1))
+             || regexp_replace(
+                  regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '')
+             || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+      FROM (
+        SELECT doc_id, url,
+               -- DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+               COALESCE(array_to_string(
+                 list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                             x -> NOT starts_with(x, 'utm_') AND x <> ''),
+                 '&'), '') AS q
+        FROM seeded))
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+    doc="URL canonicalization (case-fold scheme+host, strip fragment & "
+    "utm_* params, trim trailing slash) + exact dedup keeping the "
+    "first-crawled doc; hash-groupBy on the canonical key, one shuffle",
+)
+def dedup_url_canonical(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    base = (F.col("doc_id") / 4).cast("long").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://www.example.com/page/"), base))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("HTTPS://WWW.Example.COM/page/"), base))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://www.example.com/page/"), base, F.lit("/")))
+        .otherwise(
+            F.concat(
+                F.lit("https://www.example.com/page/"), base,
+                F.lit("?utm_source=feed&id="),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit("&utm_campaign=x"),
+            )
+        )
+    )
+    seeded = docs.select("doc_id", url.alias("url"))
+    q = F.array_join(
+        F.filter(
+            F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+            lambda x: (~x.startswith("utm_")) & (x != ""),
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        F.lower(F.regexp_extract("url", r"^([a-zA-Z]+://[^/?#]+)", 1)),
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), "/$", ""
+        ),
+        F.when(q == "", "").otherwise(F.concat(F.lit("?"), q)),
+    )
+    return (
+        seeded.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("kept_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_gopher_repetition
+
+
+@query(
+    "text_gopher_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS n_chars_doc, string_split(text, ' ') AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id, n_chars_doc,
+             tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+      FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)),
+    per AS (
+      SELECT doc_id, n_chars_doc, g, COUNT(*) AS tf
+      FROM grams GROUP BY doc_id, n_chars_doc, g),
+    ranked AS (
+      SELECT doc_id, n_chars_doc, g, tf,
+             SUM(tf) OVER (PARTITION BY doc_id) AS n_grams,
+             SUM(CASE WHEN tf > 1 THEN tf ELSE 0 END)
+               OVER (PARTITION BY doc_id) AS dup_occ,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, g DESC) AS rn
+      FROM per)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           {duckdb_det_round('dup_occ / CAST(n_grams AS DOUBLE)')} AS dup_gram_frac,
+           {duckdb_det_round('(length(g) * tf) / CAST(n_chars_doc AS DOUBLE)')}
+             AS top_gram_char_frac,
+           (dup_occ / CAST(n_grams AS DOUBLE) <= 0.18) AS keep
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Gopher repetition signals at the word-3-gram level: repeated-"
+    "3-gram occurrence fraction + character share of the most common "
+    "3-gram (ties broken by gram text), with a keep verdict; per-doc "
+    "explode + hash-agg + doc-partitioned window, all linear",
+)
+def text_gopher_repetition(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_doc"),
+        F.split("text", " ").alias("tk"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "n_chars_doc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 2),"
+                " i -> concat(tk[i - 1], ' ', tk[i], ' ', tk[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    per = grams.groupBy("doc_id", "n_chars_doc", "g").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    w = Window.partitionBy("doc_id")
+    ranked = per.select(
+        "doc_id",
+        "n_chars_doc",
+        "g",
+        "tf",
+        F.sum("tf").over(w).alias("n_grams"),
+        F.sum(F.when(F.col("tf") > 1, F.col("tf")).otherwise(0)).over(w).alias("dup_occ"),
+        F.row_number()
+        .over(w.orderBy(F.col("tf").desc(), F.col("g").desc()))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    dup_frac = F.col("dup_occ") / F.col("n_grams").cast("double")
+    top_frac = (F.length("g") * F.col("tf")) / F.col("n_chars_doc").cast("double")
+    return ranked.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        det_round(dup_frac).alias("dup_gram_frac"),
+        det_round(top_frac).alias("top_gram_char_frac"),
+        (dup_frac <= 0.18).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_semdedup
+
+#: cosine threshold above which the later (higher-id) vector is dropped.
+#: Real deployments run ~0.95-0.99 against trained embeddings; the
+#: synthetic corpus has no planted semantic duplicates, so the dial sits
+#: where this data has signal — the algorithm under test is identical.
+_SEMDEDUP_TAU = 0.35
+
+
+@query(
+    "dedup_semdedup",
+    f"""
+    WITH ex AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding::DOUBLE[], 1) AS BIGINT) AS d,
+             CAST(ROUND(unnest(embedding::DOUBLE[]) * 1000000.0) AS BIGINT) AS xm
+      FROM embeddings),
+    n2 AS (SELECT vec_id, SUM(xm * xm) AS nn FROM ex GROUP BY vec_id),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.xm * b.xm) AS dot
+      FROM ex a JOIN ex b ON a.label = b.label AND a.d = b.d
+                         AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    dup AS (
+      SELECT DISTINCT vb
+      FROM pairs p JOIN n2 na ON p.va = na.vec_id
+                   JOIN n2 nb ON p.vb = nb.vec_id
+      WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+            >= {_SEMDEDUP_TAU})
+    SELECT e.vec_id, e.label, (d.vb IS NOT NULL) AS is_dup
+    FROM (SELECT DISTINCT vec_id, label FROM ex) e
+    LEFT JOIN dup d ON e.vec_id = d.vb
+    """,
+    doc="SemDeDup (Abbas et al. 2023): exact pairwise cosine WITHIN an "
+    "embedding cluster only (label = cluster id; the k-means step is "
+    "embedding_kmeans_2iter); a vector is a duplicate when an "
+    "earlier-id cluster-mate has cosine >= tau. Integer-micro dots "
+    "and norms, one sqrt/divide per pair. Scale: cluster size is the "
+    "dial (k ~ N/1000 keeps per-cluster pairwise constant-bounded, "
+    "total linear); the join is label-partitioned, never corpus-wide",
+)
+def dedup_semdedup(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
+    )
+    vecs = emb.select("vec_id", "label", micro.alias("vm"))
+    norms = vecs.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("vm", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nn"),
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("vm").alias("ma")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("vm").alias("mb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ma", "mb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, (a.la == b.lb) & (a.va < b.vb))
+        .select("va", "vb", dot.alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("nn").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nn").alias("nb2"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    dup = (
+        pairs.join(na, "va")
+        .join(nb, "vb")
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select("vb")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        vecs.select("vec_id", "label")
+        .join(dup, vecs.vec_id == dup.vb, "left")
+        .select(
+            "vec_id", "label", F.coalesce(F.col("hit"), F.lit(False)).alias("is_dup")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_bpe_first_merges
+
+_BPE_TOPK = 20
+
+
+@query(
+    "text_bpe_first_merges",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair
+      FROM words, unnest(range(1, length(w))) AS u(i)
+      WHERE length(w) >= 2),
+    counted AS (
+      SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+    SELECT CAST(rn AS BIGINT) AS merge_rank, pair, CAST(n AS BIGINT) AS pair_count
+    FROM (SELECT pair, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rn
+          FROM counted)
+    WHERE rn <= {_BPE_TOPK}
+    """,
+    doc="first BPE merge round: corpus-wide adjacent character-pair "
+    "counts inside words, top-20 by (count desc, pair asc). The pair "
+    "space is alphabet-squared, so the count table (and the final "
+    "single-partition ranking window) is constant-sized at any corpus "
+    "scale; the map-side combine does the heavy lifting",
+)
+def text_bpe_first_merges(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counted.select(
+        "pair",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("pair")))
+        .alias("rn"),
+    ).filter(F.col("rn") <= _BPE_TOPK)
+    return ranked.select(
+        F.col("rn").cast("long").alias("merge_rank"),
+        "pair",
+        F.col("n").cast("long").alias("pair_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stats_chi2_lang_source
+
+
+@query(
+    "stats_chi2_lang_source",
+    f"""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM documents GROUP BY lang, source),
+    tot AS (
+      SELECT lang, source, observed,
+             SUM(observed) OVER (PARTITION BY lang) AS row_total,
+             SUM(observed) OVER (PARTITION BY source) AS col_total,
+             SUM(observed) OVER () AS n
+      FROM obs)
+    SELECT lang, source, observed,
+           {duckdb_det_round('(row_total * col_total) / CAST(n AS DOUBLE)')} AS expected,
+           {duckdb_det_round(
+               'POW(observed - (row_total * col_total) / CAST(n AS DOUBLE), 2)'
+               ' / ((row_total * col_total) / CAST(n AS DOUBLE))')} AS chi2_contrib
+    FROM tot
+    """,
+    doc="chi-square independence cell table for corpus composition "
+    "(lang x source): observed count, expected under independence, "
+    "per-cell contribution. Emitted per cell so no cross-cell float "
+    "accumulation exists — each value is one IEEE expression over "
+    "exact integer marginals (the cell table is |langs|*|sources| "
+    "rows at any corpus size; the empty-frame window runs on it, "
+    "not on the corpus)",
+)
+def stats_chi2_lang_source(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    tot = obs.select(
+        "lang",
+        "source",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("lang")).alias("row_total"),
+        F.sum("observed").over(Window.partitionBy("source")).alias("col_total"),
+        F.sum("observed").over(Window.partitionBy()).alias("n"),
+    )
+    expected = (F.col("row_total") * F.col("col_total")) / F.col("n").cast("double")
+    contrib = F.pow(F.col("observed") - expected, 2) / expected
+    return tot.select(
+        "lang",
+        "source",
+        "observed",
+        det_round(expected).alias("expected"),
+        det_round(contrib).alias("chi2_contrib"),
+    )

@@ -1,0 +1,172 @@
+"""Invariant tests for the curation tier (queries/curation.py).
+
+The oracle harness proves value-equality vs DuckDB; these pin the
+semantic contracts equality alone wouldn't catch changing: URL
+round-trips, canonical-form hygiene, repetition-fraction bounds,
+SemDeDup's keep-first guarantee, BPE ranking shape, and chi-square
+marginal closure.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from chiv_spark.plans import op_counts
+from chiv_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_url_components_reassemble_to_the_seeded_url(spark):
+    out = REGISTRY["scalar_url_funcs"].fn(spark, SF)
+    rebuilt = out.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), "host", "path", F.lit("?"), "query",
+            F.lit("#"), "fragment",
+        ).alias("url"),
+        "ref_param",
+    )
+    bad = rebuilt.filter(
+        ~F.col("url").rlike(r"^https://cdn[0-4]\.example\.com/[a-z]+/doc/\d+\?ref=r\d&utm_source=s\d#sec\d$")
+    ).count()
+    assert bad == 0
+    # the named-param extraction matches the seed formula
+    wrong = rebuilt.filter(
+        F.col("ref_param") != F.concat(F.lit("r"), (F.col("doc_id") % 7).cast("string"))
+    ).count()
+    assert wrong == 0
+
+
+def test_url_canonical_merges_variants_and_is_clean(spark):
+    out = REGISTRY["dedup_url_canonical"].fn(spark, SF).cache()
+    try:
+        # 500 docs -> 125 merged triples (plain/case/slash) + 125 id-param
+        # singles that legitimately survive canonicalization
+        assert out.count() == 250
+        merged = out.filter(F.col("n_variants") == 3)
+        assert merged.count() == 125
+        # keep-first: every merged group keeps its plain (doc_id%4==0) crawl
+        assert merged.filter(F.col("kept_doc_id") % 4 != 0).count() == 0
+        # canonical hygiene: lowercase scheme+host, no trailing slash, no utm
+        dirty = out.filter(
+            F.col("canonical_url").rlike("[A-Z]")
+            | F.col("canonical_url").endswith("/")
+            | F.col("canonical_url").contains("utm_")
+            | F.col("canonical_url").isNull()
+        ).count()
+        assert dirty == 0
+    finally:
+        out.unpersist()
+
+
+def test_gopher_repetition_fractions_and_gram_count(spark):
+    out = REGISTRY["text_gopher_repetition"].fn(spark, SF).cache()
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", (F.size(F.split("text", " ")) - 2).alias("expect_grams")
+        )
+        mismatch = (
+            out.join(docs, "doc_id")
+            .filter(F.col("n_grams") != F.col("expect_grams"))
+            .count()
+        )
+        assert mismatch == 0
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["dup_gram_frac"] <= 1.0
+            assert 0.0 < r["top_gram_char_frac"] <= 1.0
+            assert r["keep"] == (r["dup_gram_frac"] <= 0.18)
+        # the word-soup corpus must actually contain repeated 3-grams
+        # somewhere, otherwise the signal is vacuous
+        assert any(r["dup_gram_frac"] > 0 for r in rows)
+    finally:
+        out.unpersist()
+
+
+def test_semdedup_keep_first_and_threshold(spark):
+    out = REGISTRY["dedup_semdedup"].fn(spark, SF).cache()
+    try:
+        assert out.count() == 500
+        dups = out.filter("is_dup")
+        assert dups.count() > 0
+        # the earliest vector of every cluster can have no earlier
+        # cluster-mate, so it is never a duplicate
+        first = out.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+        assert out.join(first, ["label", "vec_id"]).filter("is_dup").count() == 0
+        # spot-verify the cosine threshold on one flagged duplicate:
+        # some earlier same-label vector must clear tau
+        row = dups.orderBy("vec_id").first()
+        emb = {
+            r["vec_id"]: (r["label"], [round(x * 1e6) for x in r["embedding"]])
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+        }
+        lab, vm = emb[row["vec_id"]]
+        nb = math.sqrt(sum(x * x for x in vm))
+        best = max(
+            sum(a * b for a, b in zip(w, vm)) / (math.sqrt(sum(a * a for a in w)) * nb)
+            for vid, (l2, w) in emb.items()
+            if l2 == lab and vid < row["vec_id"]
+        )
+        assert best >= 0.35
+    finally:
+        out.unpersist()
+
+
+def test_bpe_first_merges_ranking_shape(spark):
+    rows = REGISTRY["text_bpe_first_merges"].fn(spark, SF).orderBy("merge_rank").collect()
+    assert [r["merge_rank"] for r in rows] == list(range(1, 21))
+    assert all(len(r["pair"]) == 2 for r in rows)
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] > 0
+
+
+def test_chi2_cells_close_over_marginals(spark):
+    out = REGISTRY["stats_chi2_lang_source"].fn(spark, SF).cache()
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        n = docs.count()
+        got = out.agg(F.sum("observed")).first()[0]
+        assert got == n
+        # per-lang observed sums equal the raw marginals
+        raw = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+        cell = {r["lang"]: r["s"] for r in out.groupBy("lang").agg(F.sum("observed").alias("s")).collect()}
+        assert raw == cell
+        bad = out.filter((F.col("expected") <= 0) | (F.col("chi2_contrib") < 0)).count()
+        assert bad == 0
+    finally:
+        out.unpersist()
+
+
+class TestCurationPlans:
+    def test_url_queries_have_no_joins_or_extra_shuffles(self, spark):
+        # scalar_url_funcs is a pure projection: no exchange at all
+        ops = op_counts(REGISTRY["scalar_url_funcs"].fn(spark, SF))
+        assert not any("Join" in k for k in ops)
+        assert ops.get("Exchange", 0) == 0
+        # canonical dedup is one hash-agg: a single exchange, no join
+        ops = op_counts(REGISTRY["dedup_url_canonical"].fn(spark, SF))
+        assert not any("Join" in k for k in ops)
+        assert ops.get("Exchange", 0) <= 1
+
+    def test_semdedup_joins_are_equi_not_cartesian(self, spark):
+        # the pairwise stage must ride the label equi-key, never a
+        # cross join — that is the whole SemDeDup scale contract
+        ops = op_counts(REGISTRY["dedup_semdedup"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        assert ops.get("BroadcastNestedLoopJoin", 0) == 0
+
+    def test_bpe_global_window_sees_only_the_pair_table(self, spark):
+        # the rank-window input is the alphabet^2 count table, so the
+        # single-partition window is constant-sized at any corpus scale;
+        # the plan must show the aggregation BEFORE the window
+        df = REGISTRY["text_bpe_first_merges"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan
+        agg_pos = plan.rfind("HashAggregate")
+        win_pos = plan.find("Window")
+        assert agg_pos > win_pos  # deeper in the tree = earlier in execution
