@@ -23,6 +23,7 @@ from chiv_spark.queries import (  # noqa: E402,F401
     parity,
     quality,
     relational,
+    scoring,
     stats,
     timeseries,
     tpch,
