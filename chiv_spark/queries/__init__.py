@@ -19,6 +19,7 @@ from chiv_spark.queries import (  # noqa: E402,F401
     fuzzy,
     graphrag,
     llm,
+    mining,
     mlprep,
     parity,
     quality,

@@ -1,0 +1,284 @@
+"""Sequence- and distribution-mining tier: activity streaks
+(gaps-and-islands), higher statistical moments, bigram-LM perplexity
+scoring, and the bit-manipulation scalar family.
+
+- ``events_activity_streaks``: the canonical gaps-and-islands
+  pattern — runs of *consecutive* active days per user via the
+  day-minus-row_number group key. One distinct + one user-partitioned
+  window + one hash-agg; everything is keyed by user, nothing global.
+- ``agg_skew_kurtosis``: population skewness and excess kurtosis per
+  event type from EXACT integer power sums. Values are 2-decimal
+  doubles, so centi-quantization (round(x*100)::long) is lossless and
+  xm^4 <= 1.2e18 stays inside BIGINT per row; the four power sums
+  accumulate in DECIMAL(38,0) (order-free), and skew/kurt are
+  scale-free ratios of central moments, so no unit conversion ever
+  touches the floats until one IEEE chain per group.
+- ``text_lm_perplexity``: CCNet-style language-model quality scoring
+  — every document scored under an add-one-smoothed bigram LM trained
+  on the corpus itself. Count tables are vocabulary- and
+  vocabulary²-keyed equi joins; the per-document negative-log-likelihood
+  is folded in *position order* over a bounded per-doc list (the
+  timeseries_ewma HOF contract), so the float sum is bit-identical in
+  both engines despite being an accumulation.
+- ``scalar_bitwise_funcs``: AND/OR/XOR/NOT, shifts, popcount — pure
+  column expressions, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chiv_spark.functions.detmath import det_round, duckdb_det_round
+from chiv_spark.queries.base import query, t
+
+# --------------------------------------------------------------------------
+# events_activity_streaks
+
+
+@query(
+    "events_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    keyed AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '2000-01-01', day)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days)
+    SELECT user_id,
+           MIN(day) AS streak_start,
+           MAX(day) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM keyed GROUP BY user_id, grp
+    """,
+    doc="gaps-and-islands: runs of consecutive active days per user via "
+    "the day-minus-row_number island key; distinct + user-partitioned "
+    "window + hash-agg — all shuffles keyed by user, nothing global",
+)
+def events_activity_streaks(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    keyed = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("2000-01-01").cast("date"))
+            - F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+        ).alias("grp"),
+    )
+    return keyed.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+    ).drop("grp")
+
+
+# --------------------------------------------------------------------------
+# agg_skew_kurtosis
+
+
+@query(
+    "agg_skew_kurtosis",
+    f"""
+    WITH q AS (
+      SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS xm
+      FROM events),
+    mom AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(xm AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(xm * xm AS DECIMAL(38,0))) AS s2,
+             SUM(CAST(xm * xm * xm AS DECIMAL(38,0))) AS s3,
+             SUM(CAST(xm * xm * xm * xm AS DECIMAL(38,0))) AS s4
+      FROM q GROUP BY event_type),
+    c AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM mom)
+    SELECT event_type, n,
+           {duckdb_det_round('mu / 100.0')} AS mean,
+           {duckdb_det_round('sqrt(r2 - mu * mu) / 100.0')} AS stddev_pop,
+           {duckdb_det_round(
+               '(r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu)'
+               ' / POW(r2 - mu * mu, 1.5)')} AS skewness,
+           {duckdb_det_round(
+               '(r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu)'
+               ' / POW(r2 - mu * mu, 2.0) - 3.0')} AS kurtosis_excess
+    FROM c
+    """,
+    doc="population skewness / excess kurtosis per event type from exact "
+    "centi-quantized power sums (DECIMAL(38) transit, order-free); "
+    "central-moment ratios are scale-free so one IEEE chain per group "
+    "produces the result — float-sum variance formulas would "
+    "hash-diverge between engines",
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    xm = F.round(F.col("value").cast("double") * 100.0).cast("long")
+    q = e.select("event_type", xm.alias("xm"))
+    mom = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xm").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("xm") * F.col("xm")).cast("decimal(38,0)")).alias("s2"),
+        F.sum((F.col("xm") * F.col("xm") * F.col("xm")).cast("decimal(38,0)")).alias("s3"),
+        F.sum(
+            (F.col("xm") * F.col("xm") * F.col("xm") * F.col("xm")).cast("decimal(38,0)")
+        ).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mu * mu
+    m3 = r3 - F.lit(3.0) * mu * r2 + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        r4
+        - F.lit(4.0) * mu * r3
+        + F.lit(6.0) * mu * mu * r2
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return mom.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        det_round(mu / 100.0).alias("mean"),
+        det_round(F.sqrt(m2) / 100.0).alias("stddev_pop"),
+        det_round(m3 / F.pow(m2, 1.5)).alias("skewness"),
+        det_round(m4 / F.pow(m2, 2.0) - 3.0).alias("kurtosis_excess"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_lm_perplexity
+
+
+@query(
+    "text_lm_perplexity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsize FROM uni),
+    big AS (
+      SELECT doc_id, i AS pos, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, unnest(range(1, len(tk))) AS u(i)),
+    bigc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM big GROUP BY w1, w2),
+    terms AS (
+      SELECT b.doc_id, b.pos,
+             ln(CAST(u.c1 + v.vsize AS DOUBLE) / CAST(bc.c12 + 1 AS DOUBLE)) AS nll
+      FROM big b
+      JOIN bigc bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+      JOIN uni u ON b.w1 = u.w
+      CROSS JOIN v),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(nll ORDER BY pos)),
+                         (acc, x) -> acc + x) AS total_nll
+      FROM terms GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           {duckdb_det_round('total_nll / n_bigrams')} AS avg_nll,
+           {duckdb_det_round('exp(total_nll / n_bigrams)')} AS perplexity
+    FROM per_doc
+    """,
+    doc="CCNet-style LM quality scoring: per-doc perplexity under an "
+    "add-one-smoothed bigram LM trained on the corpus itself. Count "
+    "sides are vocab/vocab² equi joins (AQE-broadcastable); each "
+    "ln-term is a ratio of exact integers; the per-doc accumulation "
+    "folds in position order over a bounded list (the ewma HOF "
+    "contract) so the float sum is engine-identical",
+)
+def text_lm_perplexity(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("long").alias("vsize"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> struct(i AS pos, tk[i - 1] AS w1, tk[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.pos", "b.w1", "b.w2")
+    bigc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    terms = (
+        big.join(bigc, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .join(F.broadcast(v))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.col("c1") + F.col("vsize")).cast("double")
+                / (F.col("c12") + 1).cast("double")
+            ).alias("nll"),
+        )
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "nll"))), lambda s: s["nll"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("total_nll"),
+    )
+    avg = F.col("total_nll") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        det_round(avg).alias("avg_nll"),
+        det_round(F.exp(avg)).alias("perplexity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar_bitwise_funcs
+
+
+@query(
+    "scalar_bitwise_funcs",
+    """
+    WITH seeded AS (
+      SELECT event_id, user_id * 2654435761 AS b FROM events)
+    SELECT event_id,
+           event_id & b AS bit_and,
+           event_id | b AS bit_or,
+           xor(event_id, b) AS bit_xor,
+           ~event_id AS bit_not,
+           (event_id % 1024) << 3 AS shifted_left,
+           event_id >> 2 AS shifted_right,
+           CAST(bit_count(event_id) AS BIGINT) AS popcount
+    FROM seeded
+    """,
+    doc="bit-manipulation scalar family: AND/OR/XOR/NOT, shifts, "
+    "popcount — pure column expressions, zero shuffles",
+)
+def scalar_bitwise_funcs(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    seeded = e.select("event_id", (F.col("user_id") * F.lit(2654435761)).alias("b"))
+    return seeded.select(
+        "event_id",
+        F.expr("event_id & b").alias("bit_and"),
+        F.expr("event_id | b").alias("bit_or"),
+        F.expr("event_id ^ b").alias("bit_xor"),
+        F.expr("~event_id").alias("bit_not"),
+        F.shiftleft(F.col("event_id") % 1024, 3).cast("long").alias("shifted_left"),
+        F.shiftright("event_id", 2).cast("long").alias("shifted_right"),
+        F.bit_count("event_id").cast("long").alias("popcount"),
+    )

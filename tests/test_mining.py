@@ -1,0 +1,118 @@
+"""Invariant tests for the mining tier (queries/mining.py): streak
+contiguity, moment sanity vs numpy, perplexity bounds, and bitwise
+identities.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from chiv_spark.plans import op_counts
+from chiv_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaks_are_contiguous_and_partition_active_days(spark):
+    out = REGISTRY["events_activity_streaks"].fn(spark, SF).cache()
+    try:
+        rows = out.collect()
+        assert rows
+        # each streak's day span equals its length
+        for r in rows:
+            assert (r["streak_end"] - r["streak_start"]).days + 1 == r["streak_days"]
+        # streaks of one user never overlap or touch (else they'd merge)
+        by_user: dict[int, list] = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for streaks in by_user.values():
+            streaks.sort(key=lambda r: r["streak_start"])
+            for a, b in zip(streaks, streaks[1:]):
+                assert (b["streak_start"] - a["streak_end"]).days >= 2
+        # total streak days == number of distinct active (user, day) pairs
+        total = sum(r["streak_days"] for r in rows)
+        active = (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .select("user_id", F.col("ts").cast("date").alias("d"))
+            .distinct()
+            .count()
+        )
+        assert total == active
+    finally:
+        out.unpersist()
+
+
+def test_skew_kurtosis_matches_numpy_reference(spark):
+    import numpy as np
+
+    got = {r["event_type"]: r for r in REGISTRY["agg_skew_kurtosis"].fn(spark, SF).collect()}
+    raw = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in raw:
+        series.setdefault(r["event_type"], []).append(float(r["value"]))
+    assert set(got) == set(series)
+    for et, xs in series.items():
+        a = np.array(xs)
+        mu, m2 = a.mean(), ((a - a.mean()) ** 2).mean()
+        m3 = ((a - mu) ** 3).mean()
+        m4 = ((a - mu) ** 4).mean()
+        r = got[et]
+        assert abs(r["mean"] - mu) < 1e-4
+        assert abs(r["stddev_pop"] - math.sqrt(m2)) < 1e-4
+        assert abs(r["skewness"] - m3 / m2**1.5) < 1e-4
+        assert abs(r["kurtosis_excess"] - (m4 / m2**2 - 3)) < 1e-4
+
+
+def test_perplexity_bounds_and_seen_bigram_floor(spark):
+    out = REGISTRY["text_lm_perplexity"].fn(spark, SF).cache()
+    try:
+        assert out.count() == 500
+        rows = out.collect()
+        for r in rows:
+            # add-one smoothing keeps every bigram probability in (0, 1):
+            # c12 <= c1 and V >= 1, so nll > 0 and ppl > 1
+            assert r["avg_nll"] > 0
+            assert r["perplexity"] > 1.0
+            assert abs(r["perplexity"] - math.exp(r["avg_nll"])) < 1e-3
+        # scores must discriminate (not a constant column)
+        assert len({r["perplexity"] for r in rows}) > 10
+    finally:
+        out.unpersist()
+
+
+def test_bitwise_identities(spark):
+    rows = REGISTRY["scalar_bitwise_funcs"].fn(spark, SF).limit(200).collect()
+    assert rows
+    for r in rows:
+        a = r["event_id"]
+        assert r["bit_and"] | r["bit_xor"] == r["bit_or"]
+        assert r["bit_and"] & r["bit_xor"] == 0
+        assert r["bit_not"] == ~a
+        assert r["shifted_left"] == (a % 1024) << 3
+        assert r["shifted_right"] == a >> 2
+        assert r["popcount"] == bin(a).count("1")
+
+
+class TestMiningPlans:
+    def test_bitwise_is_shuffle_free(self, spark):
+        ops = op_counts(REGISTRY["scalar_bitwise_funcs"].fn(spark, SF))
+        assert ops.get("Exchange", 0) == 0
+
+    def test_streaks_windows_are_user_partitioned(self, spark):
+        df = REGISTRY["events_activity_streaks"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line:
+                assert "SinglePartition" not in line
+
+    def test_perplexity_joins_are_equi(self, spark):
+        ops = op_counts(REGISTRY["text_lm_perplexity"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        # the only nested-loop is the 1-row vocab-size broadcast
+        assert ops.get("BroadcastNestedLoopJoin", 0) <= 1
