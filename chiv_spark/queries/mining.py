@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chiv_spark.functions.detmath import det_round, duckdb_det_round
+from chiv_spark.functions.hashing import duckdb_hash64, hash64
 from chiv_spark.queries.base import query, t
 
 # --------------------------------------------------------------------------
@@ -244,6 +245,177 @@ def text_lm_perplexity(spark, sf_dir):
         "n_bigrams",
         det_round(avg).alias("avg_nll"),
         det_round(F.exp(avg)).alias("perplexity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# window_rolling_median
+
+_MED_WIN = 7  # current row + 6 preceding
+
+
+@query(
+    "window_rolling_median",
+    f"""
+    SELECT event_id, user_id,
+           CAST(value AS DOUBLE) AS value,
+           (FLOOR(median(CAST(value AS DOUBLE)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN {_MED_WIN - 1} PRECEDING AND CURRENT ROW)
+            * 1000000.0 + 0.5) / 1000000.0) AS rolling_median
+    FROM events
+    """,
+    doc="exact rolling median over the trailing 7-row frame per user — "
+    "the robust-smoothing window SQL offers no built-in for in Spark: "
+    "collect the bounded frame, sort, take the midpoint (one IEEE "
+    "mean for even frames). Frame size is a constant, so per-row work "
+    "and memory are O(win log win) regardless of corpus size; the "
+    "only shuffle is the user-partitioned window",
+)
+def window_rolling_median(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_MED_WIN - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(F.col("value").cast("double")).over(w))
+    n = F.size(arr)
+    half = (n / 2).cast("int")
+    mid = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (F.element_at(arr, half) + F.element_at(arr, half + 1)) / 2.0
+    med = F.when(n % 2 == 1, mid).otherwise(even)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        det_round(med).alias("rolling_median"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sample_negative_pairs
+
+_NEG_K = 3
+
+
+@query(
+    "sample_negative_pairs",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    slots AS (SELECT unnest(range({_NEG_K})) AS slot),
+    cand AS (
+      SELECT d.doc_id AS anchor_id, s.slot,
+             {duckdb_hash64(
+                 "('neg:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(s.slot AS VARCHAR))"
+             )} % n.n_docs AS neg_id
+      FROM documents d CROSS JOIN slots s CROSS JOIN n)
+    SELECT c.anchor_id, CAST(c.slot AS BIGINT) AS slot, c.neg_id
+    FROM cand c JOIN documents d2 ON c.neg_id = d2.doc_id
+    WHERE c.neg_id <> c.anchor_id
+    """,
+    doc="deterministic negative sampling for contrastive training: each "
+    "anchor doc draws K pseudo-random negatives via the stable hash "
+    "family (fate is a pure function of (anchor, slot) — reproducible "
+    "across runs/partitionings). The candidate join validates ids "
+    "against the corpus (dense-id testdata makes it a no-op; on "
+    "sparse ids it degrades to fewer negatives rather than danglers); "
+    "self-pairs are filtered. Linear in corpus x K, one equi join",
+)
+def sample_negative_pairs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    slots = spark.range(_NEG_K).select(F.col("id").cast("long").alias("slot"))
+    cand = (
+        docs.select(F.col("doc_id").alias("anchor_id"))
+        .crossJoin(F.broadcast(slots))
+        .join(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "slot",
+            (
+                hash64(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("slot").cast("string"),
+                    )
+                )
+                % F.col("n_docs")
+            ).alias("neg_id"),
+        )
+    )
+    valid = docs.select(F.col("doc_id").alias("neg_id"))
+    return (
+        cand.join(valid, "neg_id")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "slot", "neg_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_entropy_per_user
+
+
+@query(
+    "agg_entropy_per_user",
+    f"""
+    WITH per AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type),
+    tot AS (
+      SELECT user_id, event_type, c,
+             SUM(c) OVER (PARTITION BY user_id) AS n
+      FROM per),
+    folded AS (
+      SELECT user_id,
+             CAST(MAX(n) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                      ORDER BY event_type)),
+               (acc, x) -> acc + x) AS h
+      FROM tot GROUP BY user_id)
+    SELECT user_id, n_events, n_types,
+           {duckdb_det_round('h')} AS entropy,
+           CASE WHEN n_types = 1 THEN 0.0
+                ELSE {duckdb_det_round('h / ln(CAST(n_types AS DOUBLE))')}
+           END AS entropy_norm
+    FROM folded
+    """,
+    doc="Shannon entropy of each user's event-type mix (+ normalized "
+    "to [0,1] by ln of the observed type count): per-cell -p ln p "
+    "terms from exact integer ratios, folded in event_type order over "
+    "a bounded list (at most |event types| cells per user) so the "
+    "accumulation is engine-identical; cells-sized exchanges only",
+)
+def agg_entropy_per_user(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    lists = per.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sort_array(F.collect_list(F.struct("event_type", "c"))).alias("cells"),
+    )
+    nd = F.col("n_events").cast("double")
+    h = F.aggregate(
+        F.transform(
+            F.col("cells"),
+            lambda s: -(s["c"].cast("double") / nd) * F.log(s["c"].cast("double") / nd),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return lists.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        det_round(h).alias("entropy"),
+        F.when(F.col("n_types") == 1, F.lit(0.0))
+        .otherwise(det_round(h / F.log(F.col("n_types").cast("double"))))
+        .alias("entropy_norm"),
     )
 
 

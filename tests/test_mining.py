@@ -116,3 +116,55 @@ class TestMiningPlans:
         assert ops.get("CartesianProduct", 0) == 0
         # the only nested-loop is the 1-row vocab-size broadcast
         assert ops.get("BroadcastNestedLoopJoin", 0) <= 1
+
+
+def test_rolling_median_reference_fold(spark):
+    out = REGISTRY["window_rolling_median"].fn(spark, SF)
+    got = {r["event_id"]: r["rolling_median"] for r in out.collect()}
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], float(r["value"])))
+    import statistics
+
+    for rows in series.values():
+        rows.sort()
+        for i, (_, eid, _) in enumerate(rows):
+            frame = [v for _, _, v in rows[max(0, i - 6) : i + 1]]
+            assert abs(got[eid] - statistics.median(frame)) < 1e-6, eid
+
+
+def test_negative_pairs_are_valid_reproducible_non_self(spark):
+    a = REGISTRY["sample_negative_pairs"].fn(spark, SF)
+    rows = a.collect()
+    assert rows
+    ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").collect()
+    }
+    for r in rows:
+        assert r["neg_id"] in ids
+        assert r["neg_id"] != r["anchor_id"]
+        assert 0 <= r["slot"] < 3
+    # deterministic: a second run yields the identical multiset
+    again = sorted(map(tuple, REGISTRY["sample_negative_pairs"].fn(spark, SF).collect()))
+    assert sorted(map(tuple, rows)) == again
+    # near-complete coverage: at most K slots can self-collide away
+    assert len(rows) >= 3 * len(ids) - len(ids)
+
+
+def test_entropy_bounds_and_uniform_limit(spark):
+    import math
+
+    rows = REGISTRY["agg_entropy_per_user"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy"] <= math.log(r["n_types"]) + 1e-9
+        assert 0.0 <= r["entropy_norm"] <= 1.0 + 1e-9
+        # entropy_norm == 1 iff the user's mix is exactly uniform;
+        # either way the two columns must be consistent
+        if r["n_types"] > 1:
+            assert abs(r["entropy_norm"] - r["entropy"] / math.log(r["n_types"])) < 1e-5
