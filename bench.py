@@ -53,6 +53,11 @@ HEADLINE = [
     # heaviest dedup tier) and distributed global row numbering
     "dedup_ngram_jaccard",
     "transform_global_row_ids",
+    # round 4, closing batch: cluster-bounded semantic dedup and
+    # corpus-trained bigram-LM perplexity scoring (the two heaviest
+    # late-round curation additions)
+    "dedup_semdedup",
+    "text_lm_perplexity",
 ]
 
 

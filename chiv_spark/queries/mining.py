@@ -86,12 +86,14 @@ def events_activity_streaks(spark, sf_dir):
       SELECT event_type, CAST(ROUND(value * 100.0) AS BIGINT) AS xm
       FROM events),
     mom AS (
+      -- xm^3/xm^4 leave BIGINT once |x| nears 550 (56021^4 > 2^63),
+      -- so the 3rd/4th powers ride HUGEINT (Spark side: DECIMAL(38))
       SELECT event_type,
              COUNT(*) AS n,
-             SUM(CAST(xm AS DECIMAL(38,0))) AS s1,
-             SUM(CAST(xm * xm AS DECIMAL(38,0))) AS s2,
-             SUM(CAST(xm * xm * xm AS DECIMAL(38,0))) AS s3,
-             SUM(CAST(xm * xm * xm * xm AS DECIMAL(38,0))) AS s4
+             SUM(CAST(xm AS HUGEINT)) AS s1,
+             SUM(CAST(xm * xm AS HUGEINT)) AS s2,
+             SUM(CAST(xm AS HUGEINT) * xm * xm) AS s3,
+             SUM(CAST(xm AS HUGEINT) * xm * xm * xm) AS s4
       FROM q GROUP BY event_type),
     c AS (
       SELECT event_type, CAST(n AS BIGINT) AS n,
@@ -121,14 +123,15 @@ def agg_skew_kurtosis(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     xm = F.round(F.col("value").cast("double") * 100.0).cast("long")
     q = e.select("event_type", xm.alias("xm"))
+    # 3rd/4th powers exceed BIGINT once |x| nears 550 (56021^4 > 2^63):
+    # promote to DECIMAL(38,0) BEFORE the cubing/quarting multiply
+    xd = F.col("xm").cast("decimal(38,0)")
     mom = q.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("xm").cast("decimal(38,0)")).alias("s1"),
+        F.sum(xd).alias("s1"),
         F.sum((F.col("xm") * F.col("xm")).cast("decimal(38,0)")).alias("s2"),
-        F.sum((F.col("xm") * F.col("xm") * F.col("xm")).cast("decimal(38,0)")).alias("s3"),
-        F.sum(
-            (F.col("xm") * F.col("xm") * F.col("xm") * F.col("xm")).cast("decimal(38,0)")
-        ).alias("s4"),
+        F.sum(xd * F.col("xm") * F.col("xm")).alias("s3"),
+        F.sum(xd * F.col("xm") * F.col("xm") * F.col("xm")).alias("s4"),
     )
     n = F.col("n")
     mu = F.col("s1").cast("double") / n
