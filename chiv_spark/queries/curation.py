@@ -239,7 +239,12 @@ def text_gopher_repetition(spark, sf_dir):
         "doc_id",
         F.length("text").alias("n_chars_doc"),
         F.split("text", " ").alias("tk"),
-    )
+    ).filter(F.size("tk") >= 3)
+    # the size guard above is load-bearing, not cosmetic: for docs with
+    # <3 tokens, sequence(1, size(tk)-2) would be a DESCENDING sequence
+    # (e.g. sequence(1, 0) = [1, 0]) whose out-of-range indexes raise
+    # under Spark 4 ANSI mode, while the DuckDB oracle's range() returns
+    # empty — the filter makes both sides drop short docs identically.
     grams = toks.select(
         "doc_id",
         "n_chars_doc",
@@ -468,7 +473,15 @@ def stats_chi2_lang_source(spark, sf_dir):
         F.sum("observed").over(Window.partitionBy("source")).alias("col_total"),
         F.sum("observed").over(Window.partitionBy()).alias("n"),
     )
-    expected = (F.col("row_total") * F.col("col_total")) / F.col("n").cast("double")
+    # cast before the multiply: row_total * col_total in BIGINT is an
+    # ANSI overflow error once marginal products pass 2^63 (N ~ 3e9
+    # docs); the DuckDB oracle rides HUGEINT window sums, so promote to
+    # double here to match its never-overflows behavior (exact for
+    # products < 2^53, and the det_round comparison boundary is far
+    # coarser than that)
+    expected = (
+        F.col("row_total").cast("double") * F.col("col_total")
+    ) / F.col("n").cast("double")
     contrib = F.pow(F.col("observed") - expected, 2) / expected
     return tot.select(
         "lang",

@@ -209,7 +209,11 @@ def text_lm_perplexity(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
     )
     v = uni.agg(F.count(F.lit(1)).cast("long").alias("vsize"))
-    big = toks.select(
+    # size guard only on the bigram branch (uni keeps 1-token docs):
+    # sequence(1, size(tk)-1) DESCENDS for a 1-token doc ([1, 0]) and
+    # tk[1] is an ANSI out-of-range error in Spark 4, where the
+    # oracle's range() yields no rows — filter so both sides agree
+    big = toks.filter(F.size("tk") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -430,7 +434,7 @@ def agg_entropy_per_user(spark, sf_dir):
     "scalar_bitwise_funcs",
     """
     WITH seeded AS (
-      SELECT event_id, user_id * 2654435761 AS b FROM events)
+      SELECT event_id, (user_id % 2147483647) * 2654435761 AS b FROM events)
     SELECT event_id,
            event_id & b AS bit_and,
            event_id | b AS bit_or,
@@ -446,7 +450,14 @@ def agg_entropy_per_user(spark, sf_dir):
 )
 def scalar_bitwise_funcs(spark, sf_dir):
     e = t(spark, sf_dir, "events")
-    seeded = e.select("event_id", (F.col("user_id") * F.lit(2654435761)).alias("b"))
+    # mask before the Knuth-multiply: user_id * 2654435761 overflows
+    # BIGINT (ANSI runtime error) once user_id passes ~3.5e9; the mod
+    # bounds the product at ~5.7e18 < 2^63 at any id scale, and is an
+    # identity for every id below 2^31 (so test-scale values are
+    # unchanged). Mirrored verbatim in the oracle SQL above.
+    seeded = e.select(
+        "event_id", ((F.col("user_id") % 2147483647) * F.lit(2654435761)).alias("b")
+    )
     return seeded.select(
         "event_id",
         F.expr("event_id & b").alias("bit_and"),

@@ -282,7 +282,10 @@ def quality_constraint_report(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
 
     def report(name, violations, total):
-        return violations.crossJoin(total).select(
+        # both sides are 1-row aggregates; the explicit broadcast keeps
+        # the scalar attach a BroadcastNestedLoopJoin even with AQE off
+        # (consistent with the same pattern at text_bigram_pmi)
+        return violations.crossJoin(F.broadcast(total)).select(
             F.lit(name).alias("check_name"),
             F.col("v").cast("long").alias("n_violations"),
             F.col("n").cast("long").alias("n_rows"),
@@ -377,7 +380,11 @@ def text_bigram_pmi(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     n_tok = uni.agg(F.sum("c").alias("n"))
-    bigrams = toks.select(
+    # size guard only on the bigram branch (uni must keep 1-token docs'
+    # counts): sequence(1, size(tk)-1) DESCENDS for size=1 ([1, 0]) and
+    # its out-of-range index raises under Spark 4 ANSI mode, where the
+    # oracle's range() is empty — the filter aligns both to "no bigrams"
+    bigrams = toks.filter(F.size("tk") >= 2).select(
         F.explode(
             F.expr("transform(sequence(1, size(tk) - 1), i -> struct(tk[i - 1] AS w1, tk[i] AS w2))")
         ).alias("bg")

@@ -170,3 +170,44 @@ class TestCurationPlans:
         agg_pos = plan.rfind("HashAggregate")
         win_pos = plan.find("Window")
         assert agg_pos > win_pos  # deeper in the tree = earlier in execution
+
+
+class TestShortDocGuards:
+    """r4 ADVICE regression: docs with <3 (gopher) or <2 (bigram)
+    tokens made sequence(1, size-k) DESCEND, producing out-of-range
+    array indexes — a runtime error under Spark 4 ANSI mode — while
+    the DuckDB oracles' range() returned no rows. The guards must make
+    Spark drop short docs instead of crashing, matching the oracles."""
+
+    @staticmethod
+    def _mini_sf(spark, tmp_path):
+        sf = str(tmp_path / "sf")
+        spark.createDataFrame(
+            [
+                (1, "one", "en", "web", 3),
+                (2, "two words", "en", "web", 9),
+                (3, "three word doc", "en", "web", 14),
+                (4, "a b c d e f g h i j", "en", "web", 19),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+        return sf
+
+    def test_gopher_repetition_drops_sub3_token_docs(self, spark, tmp_path):
+        sf = self._mini_sf(spark, tmp_path)
+        rows = REGISTRY["text_gopher_repetition"].fn(spark, sf).collect()
+        assert sorted(r["doc_id"] for r in rows) == [3, 4]
+
+    def test_bigram_pmi_survives_one_token_docs(self, spark, tmp_path):
+        sf = self._mini_sf(spark, tmp_path)
+        # no bigram reaches the >=10 count floor here; the point is the
+        # plan executes (no ANSI index error) and returns a frame
+        assert REGISTRY["text_bigram_pmi"].fn(spark, sf).count() == 0
+
+    def test_lm_perplexity_drops_one_token_docs_keeps_unigram_counts(
+        self, spark, tmp_path
+    ):
+        sf = self._mini_sf(spark, tmp_path)
+        rows = REGISTRY["text_lm_perplexity"].fn(spark, sf).collect()
+        ids = sorted(r["doc_id"] for r in rows)
+        assert ids == [2, 3, 4]  # doc 1 (one token) has no bigrams

@@ -255,6 +255,10 @@ class TestRound4SecondBatchPlanShapes:
         ops = op_counts(REGISTRY["quality_constraint_report"].fn(spark, SF))
         assert ops.get("CartesianProduct", 0) == 0
         assert ops.get("BroadcastHashJoin", 0) >= 2  # the two anti joins
+        # every (violations x total) scalar glue is an explicitly
+        # broadcast nested loop — the total side must never shuffle
+        # (r4 verdict item: hint it like text_bigram_pmi does)
+        assert ops.get("BroadcastNestedLoopJoin", 0) >= 4
 
     def test_point_in_time_join_extracts_equi_key(self, spark):
         # the validity-interval predicate must ride as a residual on a
