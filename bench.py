@@ -3,12 +3,16 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "spread": {name: max-min, ...}, "sf": ...}.
 
-Fixed protocol (round-2 verdict item #10 — this box has ±30% run-to-
-run noise, so cross-round comparisons need a stable recipe):
-one warmup execution per query (pays plan + codegen compile), then
-best-of-3 timed runs; ``spread`` records max-min over the timed runs
-so a BENCH_r{N} vs BENCH_r{N-1} delta can be read against the
-measured variance instead of guessed noise.
+Fixed protocol (round-2 verdict item #10, tightened per the round-4
+verdict's heavy-tail item): one warmup execution per query (pays plan
++ codegen compile), then best-of-3 timed runs — escalated to
+best-of-5 when the 3-run best exceeds 2s (the heavy tail had 0.5-0.8s
+best-of-3 spreads in r4, up to 25% of wall). The reported value is
+the MIN, so ``spread`` records the runner-up gap (2nd-best minus
+best): that is the empirical uncertainty of the reported statistic —
+max-min over N runs only grows with N and measured the slowest
+outlier, not the stability of the number being compared across
+rounds.
 
 Each query materializes fully via the noop sink (forces end-to-end
 execution incl. all expressions, without sink I/O or driver-collect
@@ -90,8 +94,17 @@ def main() -> None:
                 df = REGISTRY[name].fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
-            timings[name] = round(min(runs), 3)
-            spread[name] = round(max(runs) - min(runs), 3)
+            # heavy tail: >2s queries get two extra reps (best-of-5) so
+            # the reported min and its runner-up gap stabilize
+            if min(runs) > 2.0:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    df = REGISTRY[name].fn(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+            ordered = sorted(runs)
+            timings[name] = round(ordered[0], 3)
+            spread[name] = round(ordered[1] - ordered[0], 3)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -109,8 +122,9 @@ def main() -> None:
         li = read_table(spark, sf_dir, "lineitem")
         a = Archiver(spark)
         # real-disk writes are the noisiest entries on this box: one
-        # untimed warmup then best-of-2, same protocol rationale as the
-        # query loop (the r4 bench drift was entirely archive IO)
+        # untimed warmup then best-of-3 with the runner-up-gap spread,
+        # same protocol rationale as the query loop (the r4 bench
+        # drift was entirely archive IO)
         def _archive_dist():
             a.archive_df(li, bucket, key="lineitem_dist.csv", distributed=True)
 
@@ -123,12 +137,13 @@ def main() -> None:
         ):
             fn()
             runs = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 fn()
                 runs.append(time.perf_counter() - t0)
-            timings[name] = round(min(runs), 3)
-            spread[name] = round(max(runs) - min(runs), 3)
+            ordered = sorted(runs)
+            timings[name] = round(ordered[0], 3)
+            spread[name] = round(ordered[1] - ordered[0], 3)
     except Exception as exc:  # noqa: BLE001
         errors["archive_csv"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
@@ -141,7 +156,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spread,
-        "protocol": "warmup+best-of-3",
+        "protocol": "warmup+best-of-3 (best-of-5 when >2s); spread=runnerup-gap",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -1,9 +1,13 @@
-"""TPC-H Q7/Q8/Q9/Q15/Q17/Q18/Q22-shaped queries — the remaining
-benchmark patterns expressible on the reduced testdata schema
-(no partsupp, no commit/receipt dates, no c_phone; Q2/Q11/Q12/Q16/
-Q20/Q21 need those columns and are structurally out of reach).
-Q9 drops the ps_supplycost term and Q22 replaces the phone-prefix
-country code with c_nationkey — both noted per-query.
+"""TPC-H Q7/Q8/Q9/Q12/Q15/Q16/Q17/Q18/Q22-shaped queries — the
+remaining benchmark patterns expressible on the reduced testdata
+schema (no partsupp, no commit/receipt dates, no c_phone;
+Q2/Q11/Q20/Q21 need those columns and are structurally out of reach).
+Q9 drops the ps_supplycost term, Q22 replaces the phone-prefix
+country code with c_nationkey, Q12 substitutes l_linestatus for the
+missing l_shipmode and an order-to-ship lateness window for the
+missing commit/receipt dates, and Q16 derives the part-supplier
+relation from DISTINCT lineitem pairs in place of partsupp — all
+noted per-query.
 
 Plan notes (the 100 TB story):
 - nation/region broadcast everywhere (25 / 5 rows at any SF).
@@ -363,4 +367,83 @@ def q22_dormant_customers(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("numcust"),
             money_sum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 (adapted: the schema has no l_shipmode or "
+    "commit/receipt dates — SURVEY §2.13 — so the mode dimension is "
+    "l_linestatus and 'received late' becomes 'shipped more than 60 "
+    "days after ordering'): late-shipment line counts split by order "
+    "priority class. The year predicate is pushed to the lineitem "
+    "scan; the lateness predicate rides the orderkey join as a "
+    "residual; one hash-agg over a 2-value key",
+)
+def q12_shipmode_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_variety",
+    """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 (adapted: no partsupp table — SURVEY §2.13 — so the "
+    "part-supplier relation is the DISTINCT (l_partkey, l_suppkey) "
+    "pairs actually observed in lineitem, and the complaint-supplier "
+    "exclusion becomes the low-acctbal set): supplier variety per "
+    "(brand, type, size). The pair-distinct is the one big shuffle "
+    "(map-side partial dedup); part is filtered BEFORE its join so "
+    "AQE broadcasts it; the exclusion is a broadcast anti join",
+)
+def q16_supplier_part_variety(spark, sf_dir):
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+    )
+    bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(bad_supp, ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
