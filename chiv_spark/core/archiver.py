@@ -305,6 +305,15 @@ class Archiver:
                 # in partition order — same bytes, ~#cores× the
                 # throughput of the driver row loop. Driver memory
                 # stays one chunk (toLocalIterator).
+                # The encoder closure imports chiv_spark ON the
+                # workers, whose import path does not include the repo
+                # root unless the driver happened to run from it — ship
+                # the package first (same guard the distributed sinks
+                # have; without it any driver launched from another cwd
+                # dies here with ModuleNotFoundError).
+                from chiv_spark.pyship import ensure_shipped
+
+                ensure_shipped(df.sparkSession)
                 chunks = iter(
                     df.rdd.mapPartitions(
                         _csv_partition_encoder([f.dataType for f in schema.fields], null)

@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 import io
 import json
+import os
 
 import pytest
 
@@ -253,3 +254,40 @@ class TestDistributedCallableFormatter:
             a.archive_df(
                 pg_df, str(tmp_path), key="x", format=my_formatter, distributed=True
             )
+
+
+class TestForeignCwdWorkers:
+    """r5 regression: the CSV fast path runs chiv_spark code on the
+    executors; a driver launched from OUTSIDE the repo root (any real
+    deployment) must still work because pyship ships the package.
+    Before the fix, only the distributed sinks shipped — the
+    single-object fast path died with ModuleNotFoundError on the
+    workers whenever the driver's cwd was not /root/repo."""
+
+    def test_single_object_csv_archive_from_foreign_cwd(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from chiv_spark import Archiver, get_spark
+spark = get_spark("foreign-cwd", master="local[2]", shuffle_partitions=2)
+df = spark.range(5).selectExpr("id", "concat('row,', id) AS s").coalesce(1)
+key = Archiver(spark).archive_df(df, r"{tmp_path}", format="csv", key="out.csv")
+print("KEY=" + key)
+spark.stop()
+"""
+        proc = subprocess.run(
+            [_sys.executable, "-c", script],
+            cwd=str(tmp_path),  # NOT the repo root
+            capture_output=True,
+            text=True,
+            timeout=240,
+            env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "KEY=out.csv" in proc.stdout
+        body = (tmp_path / "out.csv").read_text()
+        assert body.splitlines()[0] == "id,s"
+        assert '"row,4"' in body  # quoting ran executor-side
