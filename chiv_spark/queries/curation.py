@@ -490,3 +490,79 @@ def stats_chi2_lang_source(spark, sf_dir):
         det_round(expected).alias("expected"),
         det_round(contrib).alias("chi2_contrib"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_repeated_ngrams
+
+
+@query(
+    "dedup_repeated_ngrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    wins AS (
+      SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS w
+      FROM toks, UNNEST(range(1, greatest(len(tk) - 6, 1))) AS r(i)),
+    dfreq AS (
+      SELECT w, COUNT(DISTINCT doc_id) AS df FROM wins GROUP BY w)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_occ,
+           {duckdb_det_round(
+               'SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)')}
+           AS dup_window_frac,
+           (SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE))
+           <= 0.30 AS keep
+    FROM wins JOIN dfreq USING (w)
+    GROUP BY doc_id
+    """,
+    doc="Sub-document exact dedup at the 8-token-window level (Lee et "
+    "al. 2022 'Deduplicating Training Data Makes Language Models "
+    "Better', the ExactSubstr criterion at fixed granularity, and the "
+    "RefinedWeb line-dedup analog for a corpus without line breaks): "
+    "a window is globally duplicated when it occurs in >=2 distinct "
+    "docs; each doc reports the fraction of its window occurrences "
+    "that are duplicated, with a keep verdict. Scale shape: windows "
+    "are a narrow explode (~1 row per token), the doc-frequency table "
+    "is one hash agg with a distinct-count, and the flag-back is a "
+    "window-keyed equi join — everything linear in corpus tokens, no "
+    "pairwise anything. The window text itself is the join key; at "
+    "100 TB swap it for xxhash64(w) to shrink shuffle bytes (same "
+    "plan shape, 8 bytes/key)",
+)
+def dedup_repeated_ngrams(spark, sf_dir, k: int = 8):
+    docs = t(spark, sf_dir, "documents")
+    # size guard: sequence(1, size-k+1) DESCENDS for docs shorter than
+    # k tokens (ANSI index error), where the oracle's range() is empty
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= k
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {k - 1}),"
+                f" i -> array_join(slice(tk, i, {k}), ' '))"
+            )
+        ).alias("w"),
+    )
+    dfreq = wins.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    frac = F.col("dup_occ") / F.col("n_windows").cast("double")
+    return (
+        wins.join(dfreq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_occ"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "dup_occ",
+            det_round(frac).alias("dup_window_frac"),
+            (frac <= 0.30).alias("keep"),
+        )
+    )

@@ -305,3 +305,31 @@ class TestRound4SecondBatchPlanShapes:
         assert ops.get("CartesianProduct", 0) == 0
         assert ops.get("BroadcastHashJoin", 0) >= 2
         assert ops.get("BroadcastNestedLoopJoin", 0) <= 1
+
+
+class TestRound5Additions:
+    def test_repeated_ngrams_no_cartesian_one_equi_join(self, spark):
+        # window-keyed equi join + two hash aggs; nothing pairwise
+        ops = op_counts(REGISTRY["dedup_repeated_ngrams"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        assert ops.get("BroadcastNestedLoopJoin", 0) == 0
+
+    def test_interval_bucketed_join_is_hash_not_nested_loop(self, spark):
+        # the whole point: the oracle's range predicate would be a
+        # nested loop; the binned formulation must be a hash join on
+        # the hour bucket, with the only BNLJ being the 1-row
+        # threshold-scalar broadcast
+        ops = op_counts(REGISTRY["join_interval_bucketed"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        assert ops.get("BroadcastNestedLoopJoin", 0) == 1  # scalar glue only
+        hash_joins = (
+            ops.get("BroadcastHashJoin", 0)
+            + ops.get("SortMergeJoin", 0)
+            + ops.get("ShuffledHashJoin", 0)
+        )
+        assert hash_joins >= 1  # the bucket equi join
+
+    def test_q16_part_filter_pushes_to_scan(self, spark):
+        from chiv_spark.plans import pushed_filters
+        pf = " ".join(pushed_filters(REGISTRY["q16_supplier_part_variety"].fn(spark, SF)))
+        assert "p_size" in pf or "p_brand" in pf

@@ -1,0 +1,97 @@
+"""Empirical scaling-curve fitter (round-4 verdict item 4).
+
+For each of the heaviest pipelines, measure wall time (one untimed
+warmup, then best-of-3, same protocol as bench.py) at three scales
+spanning two decades, and fit the scaling exponent b in
+wall = a * N^b over the top decade step (the bottom step is
+overhead-dominated at this box's ~0.3s fixed job cost, so the
+headline exponent is the one between the two largest scales, where
+wall >> overhead; the full three-point fit is printed alongside).
+
+Scales:
+- document/embedding pipelines: sf0.01 -> sf0.1 -> 10x adversarial
+  replica of sf0.1 (probe_scale.build_replicas: every doc + 9
+  near-dup variants, multiplying shingle DFs and true-pair counts —
+  a harder shape than organic growth)
+- relational pipelines (triangle count): sf0.001 -> sf0.01 -> sf0.1
+
+Prints one line per (query, scale) plus a final markdown table for
+SCALING.md.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chiv_spark.queries import REGISTRY
+from chiv_spark.session import get_spark
+from tools.probe_scale import PROBE_DIR, build_replicas
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+SF1 = "/root/testdata/sf0.1"
+
+# query -> (scale dirs low->high, table whose row count is N)
+PLAN: dict[str, tuple[list[str], str]] = {
+    "dedup_minhash_lsh": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_ngram_jaccard": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_semdedup": ([SF01, SF1, PROBE_DIR], "embeddings"),
+    "embedding_neardup": ([SF01, SF1, PROBE_DIR], "embeddings"),
+    "graph_triangle_count": ([SF001, SF01, SF1], "lineitem"),
+}
+
+
+def wall(spark, name: str, d: str) -> float:
+    fn = REGISTRY[name].fn
+    fn(spark, d).write.format("noop").mode("overwrite").save()  # warmup
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
+def fit(ns: list[int], ts: list[float]) -> float:
+    """Least-squares slope of log t vs log N."""
+    lx = [math.log(n) for n in ns]
+    ly = [math.log(t) for t in ts]
+    mx, my = sum(lx) / len(lx), sum(ly) / len(ly)
+    num = sum((x - mx) * (y - my) for x, y in zip(lx, ly))
+    den = sum((x - mx) ** 2 for x in lx)
+    return num / den
+
+
+def main() -> None:
+    names = [a for a in sys.argv[1:] if a in PLAN] or list(PLAN)
+    spark = get_spark("fit-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    if any(PROBE_DIR in PLAN[n][0] for n in names):
+        build_replicas(spark, SF1, PROBE_DIR)
+    rows = []
+    for name in names:
+        dirs, table = PLAN[name]
+        ns, ts = [], []
+        for d in dirs:
+            n = spark.read.parquet(f"{d.rstrip('/')}/{table}.parquet").count()
+            t = wall(spark, name, d)
+            ns.append(n)
+            ts.append(t)
+            print(f"{name} @ {os.path.basename(d.rstrip('/'))}: N={n} wall={t:.2f}s", flush=True)
+        top = math.log(ts[2] / ts[1]) / math.log(ns[2] / ns[1])
+        rows.append((name, table, ns, ts, top, fit(ns, ts)))
+    print("\n| pipeline | N column | walls (s, low→high) | top-decade exponent | 3-pt fit |")
+    print("|---|---|---|---|---|")
+    for name, table, ns, ts, top, full in rows:
+        walls = " / ".join(f"{t:.2f}" for t in ts)
+        print(f"| `{name}` | {table} ({ns[0]:,}→{ns[2]:,}) | {walls} | {top:.2f} | {full:.2f} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

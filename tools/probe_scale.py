@@ -47,9 +47,10 @@ def build_replicas(spark, sf_dir: str, probe_dir: str) -> None:
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{probe_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    extra = [c for c in emb.columns if c != "vec_id"]  # embedding, label, ...
     er = None
     for i in range(10):
-        r = emb.select((F.col("vec_id") + i * 1_000_000).alias("vec_id"), "embedding")
+        r = emb.select((F.col("vec_id") + i * 1_000_000).alias("vec_id"), *extra)
         er = r if er is None else er.unionByName(r)
     er.write.mode("overwrite").parquet(f"{probe_dir}/embeddings.parquet")
 
