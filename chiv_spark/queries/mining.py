@@ -22,6 +22,11 @@ scoring, and the bit-manipulation scalar family.
   both engines despite being an accumulation.
 - ``scalar_bitwise_funcs``: AND/OR/XOR/NOT, shifts, popcount — pure
   column expressions, zero shuffles.
+- ``text_heavy_hitters``: exact corpus heavy hitters via the 2-pass
+  sketch pattern — per-partition Misra-Gries candidate summaries
+  (mergeable, certified superset), then exact counts of candidates
+  only. The output is exact; the sketch only bounds the candidate
+  set.
 """
 
 from __future__ import annotations
@@ -467,4 +472,90 @@ def scalar_bitwise_funcs(spark, sf_dir):
         F.shiftleft(F.col("event_id") % 1024, 3).cast("long").alias("shifted_left"),
         F.shiftright("event_id", 2).cast("long").alias("shifted_right"),
         F.bit_count("event_id").cast("long").alias("popcount"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_heavy_hitters — 2-pass exact heavy hitters (Misra-Gries candidates)
+
+_MG_WIDTH = 64
+
+
+def _mg_summaries(width: int):
+    """Per-partition Misra-Gries summary as an Arrow-batched
+    mapInPandas: at most ``width`` (token, retained_count) rows per
+    partition. Guarantee (Misra & Gries 1982): each decrement event
+    consumes width+1 token occurrences, so per-partition
+    undercounting is < n_p/width; summing over partitions, any token
+    with true corpus frequency > n/width retains a positive count in
+    at least one partition summary — the union of summaries is a
+    certified superset of the heavy hitters. The closure is
+    self-contained (stdlib+pandas only), so it needs no package
+    shipping."""
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for tok in text.split(" "):
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < width:
+                        counters[tok] = 1
+                    else:
+                        dead = []
+                        for k in counters:
+                            counters[k] -= 1
+                            if counters[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del counters[k]
+        yield pd.DataFrame({"w": list(counters.keys())})
+
+    return mg
+
+
+@query(
+    "text_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    cnt AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w)
+    SELECT w, CAST(freq AS BIGINT) AS freq
+    FROM cnt, tot WHERE freq > n / {_MG_WIDTH}.0
+    """,
+    doc="EXACT corpus heavy hitters (tokens with frequency > n/64) "
+    "via the scalable two-pass pattern: pass 1 builds per-partition "
+    "Misra-Gries summaries (<=64 rows per partition, a mergeable "
+    "sketch whose union is a certified superset of the heavy "
+    "hitters — soundness argument in _mg_summaries), pass 2 exact-"
+    "counts ONLY the candidates (broadcast semi join) and applies "
+    "the threshold. At 100 TB the full token groupBy the oracle "
+    "runs would shuffle the corpus vocabulary; this plan shuffles "
+    "width x partitions candidate rows plus one filtered count — "
+    "and the final output is exact, not approximate, because the "
+    "threshold filter runs on true counts. The tiny-vocab testdata "
+    "never triggers decrements (candidates == vocab); the sketch "
+    "mechanics under vocab >> width are pinned by an adversarial "
+    "pytest (tests/test_mining.py)",
+)
+def text_heavy_hitters(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    cand = (
+        docs.select("text")
+        .mapInPandas(_mg_summaries(_MG_WIDTH), "w string")
+        .distinct()
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .join(F.broadcast(total))
+        .filter(F.col("freq") > F.col("n") / float(_MG_WIDTH))
+        .select("w", "freq")
     )

@@ -702,3 +702,42 @@ def sample_fixed_k_per_group(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+@query(
+    "mlprep_quantile_bins",
+    """
+    WITH cuts AS (
+      SELECT lang,
+             quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9]) AS cuts
+      FROM documents GROUP BY lang)
+    SELECT doc_id, d.lang, n_chars,
+           CAST(1 + len(list_filter(cuts, c -> d.n_chars > c)) AS BIGINT)
+             AS decile
+    FROM documents d JOIN cuts USING (lang)
+    """,
+    doc="per-language decile binning of doc lengths (feature "
+    "bucketization for length-balanced sampling / curriculum "
+    "ordering): exact interpolated decile cutoffs per group "
+    "(groups-sized exchange), broadcast back, bin index = 1 + count "
+    "of cutoffs below the value via an array HOF — the corpus never "
+    "sorts and never shuffles, unlike the ntile() formulation which "
+    "needs a full per-group global sort at 100 TB. Spark "
+    "percentile == DuckDB quantile_cont (agg_percentile_exact pins "
+    "parity), and the bin comparison is integer-vs-that-double, so "
+    "identical cutoffs give identical bins",
+)
+def mlprep_quantile_bins(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    qs = ", ".join(str(q / 10.0) for q in range(1, 10))
+    cuts = docs.groupBy("lang").agg(
+        F.expr(f"percentile(n_chars, array({qs}))").alias("cuts")
+    )
+    d = docs.join(F.broadcast(cuts), "lang")
+    decile = F.lit(1) + F.size(
+        F.filter("cuts", lambda c: F.col("n_chars") > c)
+    )
+    return d.select(
+        "doc_id", "lang", "n_chars", decile.cast("long").alias("decile")
+    )

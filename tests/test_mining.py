@@ -168,3 +168,62 @@ def test_entropy_bounds_and_uniform_limit(spark):
         # either way the two columns must be consistent
         if r["n_types"] > 1:
             assert abs(r["entropy_norm"] - r["entropy"] / math.log(r["n_types"])) < 1e-5
+
+
+class TestHeavyHittersSketch:
+    """The registry corpus has a tiny vocabulary (every token is a
+    candidate), so the Misra-Gries mechanics need an adversarial pin:
+    vocabulary >> sketch width, heavy hitters interleaved with a long
+    tail, multiple partitions — the 2-pass result must equal the
+    exact computation, which is the certified-superset guarantee in
+    action (a single false negative in pass 1 would drop a row)."""
+
+    def test_two_pass_equals_exact_under_wide_vocab(self, spark, tmp_path):
+        import random
+
+        from chiv_spark.queries.mining import _MG_WIDTH, _mg_summaries
+        from pyspark.sql import functions as F
+
+        rng = random.Random(7)
+        # 3 heavy tokens (freq ~2000 each) + 2000 singleton-ish tail
+        # tokens spread over 400 docs and 8 partitions
+        words = []
+        for i in range(6000):
+            words.append(f"hh{i % 3}")
+        for i in range(2000):
+            words.append(f"tail{i}")
+        rng.shuffle(words)
+        docs = [
+            (i, " ".join(words[i * 20 : (i + 1) * 20]))
+            for i in range(len(words) // 20)
+        ]
+        sf = str(tmp_path / "sf")
+        spark.createDataFrame(docs, "doc_id long, text string").repartition(
+            8
+        ).write.parquet(sf + "/documents.parquet")
+
+        df = spark.read.parquet(sf + "/documents.parquet")
+        cand = df.select("text").mapInPandas(
+            _mg_summaries(_MG_WIDTH), "w string"
+        ).distinct()
+        toks = df.select(F.explode(F.split("text", " ")).alias("w"))
+        n = toks.count()
+        exact = {
+            (r["w"], r["freq"])
+            for r in toks.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") > n / float(_MG_WIDTH))
+            .collect()
+        }
+        two_pass = {
+            (r["w"], r["freq"])
+            for r in toks.join(cand, "w", "left_semi")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .filter(F.col("freq") > n / float(_MG_WIDTH))
+            .collect()
+        }
+        assert exact == two_pass
+        assert {w for w, _ in exact} == {"hh0", "hh1", "hh2"}
+        # the sketch really did prune: candidates far below the vocab
+        assert cand.count() < 2003
