@@ -26,6 +26,7 @@ _OPS = (
     "TakeOrderedAndProject",
     "Exchange",
     "Sort",
+    "Window",
     "WholeStageCodegen",
 )
 

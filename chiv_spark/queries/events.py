@@ -566,3 +566,66 @@ def events_sliding_window(spark, sf_dir):
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_attribution_last_touch
+
+
+@query(
+    "events_attribution_last_touch",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_ts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_type
+      FROM events)
+    SELECT event_id, user_id, ts AS purchase_ts, touch_ts, touch_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT)
+             - CAST(FLOOR(epoch(touch_ts)) AS BIGINT) AS secs_since_touch
+    FROM marked WHERE event_type = 'purchase'
+    """,
+    doc="last-touch marketing attribution: every purchase joined to "
+    "the user's most recent preceding click/view via an IGNORE-NULLS "
+    "running last_value — the self-as-of-join expressed as ONE "
+    "user-partitioned window pass instead of a range join "
+    "(user-keyed shuffle, linear; (user_id, ts) is unique so the "
+    "ordering is total and the result deterministic). Purchases with "
+    "no prior touch surface as NULLs, not dropped rows",
+)
+def events_attribution_last_touch(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.col("event_type").isin("click", "view")
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+        F.last(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "touch_ts",
+        "touch_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp("touch_ts")).alias(
+            "secs_since_touch"
+        ),
+    )

@@ -461,3 +461,38 @@ def window_running_distinct(spark, sf_dir):
         "event_id",
         F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
     )
+
+
+# --------------------------------------------------------------------------
+# timeseries_ohlc_bars
+
+
+@query(
+    "timeseries_ohlc_bars",
+    """
+    SELECT user_id, date_trunc('hour', ts) AS bar_hour,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """,
+    doc="OHLC resampling (the finance/telemetry bar aggregation): "
+    "open/close via min_by/max_by on the event time — ONE hash "
+    "aggregate with map-side partials, no per-bar window sort "
+    "((user_id, ts) is unique, so min_by/max_by are deterministic; "
+    "high/low/count are plain aggregates; values pass through "
+    "untouched so no float accumulation exists)",
+)
+def timeseries_ohlc_bars(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bar_hour")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -333,3 +333,31 @@ class TestRound5Additions:
         from chiv_spark.plans import pushed_filters
         pf = " ".join(pushed_filters(REGISTRY["q16_supplier_part_variety"].fn(spark, SF)))
         assert "p_size" in pf or "p_brand" in pf
+
+    def test_heavy_hitters_candidates_broadcast_semi(self, spark):
+        # pass 2 must semi-join the token stream against the tiny
+        # candidate set by broadcast — a shuffled semi join would
+        # defeat the sketch's purpose
+        ops = op_counts(REGISTRY["text_heavy_hitters"].fn(spark, SF))
+        assert ops.get("BroadcastHashJoin", 0) >= 1
+        assert ops.get("CartesianProduct", 0) == 0
+
+    def test_quantile_bins_corpus_never_sorts(self, spark):
+        # binning must ride broadcast cutoffs + HOF: no Sort operator
+        # over the corpus, no window exchange beyond the groups-sized
+        # percentile aggregation
+        plan_ops = op_counts(REGISTRY["mlprep_quantile_bins"].fn(spark, SF))
+        assert plan_ops.get("Window", 0) == 0
+        assert plan_ops.get("BroadcastHashJoin", 0) >= 1
+
+    def test_attribution_single_user_keyed_window(self, spark):
+        # one user-partitioned window pass, no self join of any kind
+        ops = op_counts(REGISTRY["events_attribution_last_touch"].fn(spark, SF))
+        assert ops.get("Window", 0) == 1
+        assert sum(v for k, v in ops.items() if "Join" in k) == 0
+
+    def test_ohlc_bars_single_aggregate_no_window(self, spark):
+        ops = op_counts(REGISTRY["timeseries_ohlc_bars"].fn(spark, SF))
+        assert ops.get("Window", 0) == 0
+        assert ops.get("HashAggregate", 0) == 2  # partial + final
+        assert ops.get("Exchange", 0) == 1
