@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from chiv_spark.functions.detmath import det_round
+from chiv_spark.functions.detmath import det_round, duckdb_det_round
 from chiv_spark.functions.hashing import hash64
 from chiv_spark.functions.vectors import l2_norm_fixed
 from chiv_spark.queries.base import query, t
@@ -740,4 +740,64 @@ def mlprep_quantile_bins(spark, sf_dir):
     )
     return d.select(
         "doc_id", "lang", "n_chars", decile.cast("long").alias("decile")
+    )
+
+
+@query(
+    "agg_sample_scaleup",
+    f"""
+    WITH est AS (
+      SELECT lang,
+             CAST(COUNT(*) * 20 AS BIGINT) AS est_docs,
+             CAST(SUM(n_chars) * 20 AS BIGINT) AS est_chars
+      FROM documents WHERE {_H} % 100 < 5
+      GROUP BY lang),
+    exact AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS true_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS true_chars
+      FROM documents GROUP BY lang)
+    SELECT lang, est_docs, true_docs, est_chars, true_chars,
+           {duckdb_det_round(
+               'abs(est_chars - true_chars) / CAST(true_chars AS DOUBLE)')}
+           AS chars_rel_err
+    FROM exact LEFT JOIN est USING (lang)
+    """,
+    doc="approximate query processing via deterministic sample "
+    "scale-up: per-language doc/char totals estimated from the 5% "
+    "stable-hash sample (x20 Horvitz-Thompson scale-up), joined "
+    "against the exact totals with the realized relative error. At "
+    "100 TB the estimate path scans 5% of the data (the hash "
+    "predicate evaluates per row but the aggregate is 1/20th the "
+    "shuffle and the pattern composes with a pre-materialized sample "
+    "table for true IO savings); sampling is RNG-free hash fate, so "
+    "both engines — and any two cluster runs — agree bit-exactly. "
+    "LEFT join keeps languages the sample missed (NULL estimates "
+    "surface coverage gaps instead of silently dropping strata)",
+)
+def agg_sample_scaleup(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    est = (
+        docs.filter(h % 100 < 5)
+        .groupBy("lang")
+        .agg(
+            (F.count(F.lit(1)) * 20).cast("long").alias("est_docs"),
+            (F.sum("n_chars") * 20).cast("long").alias("est_chars"),
+        )
+    )
+    exact = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("true_docs"),
+        F.sum("n_chars").cast("long").alias("true_chars"),
+    )
+    rel = F.abs(F.col("est_chars") - F.col("true_chars")) / F.col(
+        "true_chars"
+    ).cast("double")
+    return exact.join(est, "lang", "left").select(
+        "lang",
+        "est_docs",
+        "true_docs",
+        "est_chars",
+        "true_chars",
+        det_round(rel).alias("chars_rel_err"),
     )
