@@ -62,6 +62,13 @@ HEADLINE = [
     # late-round curation additions)
     "dedup_semdedup",
     "text_lm_perplexity",
+    # round 5 additions: sub-document repeated-window dedup (the
+    # token-explode heavy tier), 2-pass Misra-Gries exact heavy
+    # hitters (mapInPandas sketch + broadcast-semi verify), and the
+    # bin-bucketed interval overlap join
+    "dedup_repeated_ngrams",
+    "text_heavy_hitters",
+    "join_interval_bucketed",
 ]
 
 
