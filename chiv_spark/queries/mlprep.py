@@ -801,3 +801,55 @@ def agg_sample_scaleup(spark, sf_dir):
         "true_chars",
         det_round(rel).alias("chars_rel_err"),
     )
+
+
+@query(
+    "embedding_gram_matrix",
+    f"""
+    WITH base AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+    e1 AS (
+      SELECT emb, i AS d1,
+             CAST(ROUND(emb[i] * 1000000.0) AS BIGINT) AS x1
+      FROM base, UNNEST(range(1, 65)) AS r(i)),
+    e2 AS (
+      SELECT d1, x1, j AS d2,
+             CAST(ROUND(emb[j] * 1000000.0) AS BIGINT) AS x2
+      FROM e1, UNNEST(range(1, 65)) AS r2(j))
+    SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+           {duckdb_det_round(
+               'CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) / 1e12')}
+           AS gram
+    FROM e2 GROUP BY d1, d2
+    """,
+    doc="corpus Gram matrix X^T X over the embedding column — the "
+    "covariance/PCA building block. Double sequence-explode to "
+    "(d1, d2, x1*x2) is a NARROW map (no self-join: the second "
+    "explode rides the same row), then ONE 4096-key hash agg with "
+    "map-side partials — shuffle bytes are dim^2 x partitions "
+    "regardless of corpus size. Element products ride integer-micro "
+    "-> DECIMAL(38) sums (exact, order-free; micro^2 x 1e12 rows "
+    "would overflow BIGINT), one IEEE division at the end. At 100 TB "
+    "the same shape holds; swap the explode for a Pandas-UDF outer "
+    "product only if profiling shows the 4096x row expansion beats "
+    "Arrow batch cost",
+)
+def embedding_gram_matrix(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    e2 = emb.select(
+        F.explode(F.expr(
+            "transform(sequence(1, 64),"
+            " i -> struct(i AS d1,"
+            " CAST(ROUND(element_at(embedding, i) * 1000000.0, 0) AS BIGINT)"
+            " AS x1, embedding AS emb))"
+        )).alias("a")
+    ).select("a.d1", "a.x1", F.explode(F.expr(
+        "transform(sequence(1, 64),"
+        " j -> struct(j AS d2,"
+        " CAST(ROUND(element_at(a.emb, j) * 1000000.0, 0) AS BIGINT) AS x2))"
+    )).alias("b")).select("d1", "x1", "b.d2", "b.x2")
+    prod = (F.col("x1").cast("decimal(38,0)") * F.col("x2"))
+    return (
+        e2.groupBy(F.col("d1").cast("long").alias("d1"),
+                   F.col("d2").cast("long").alias("d2"))
+        .agg(det_round(F.sum(prod).cast("double") / F.lit(1e12)).alias("gram"))
+    )

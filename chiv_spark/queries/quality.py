@@ -408,3 +408,68 @@ def text_bigram_pmi(spark, sf_dir):
             det_round(pmi, 6).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_readability
+
+
+@query(
+    "text_readability",
+    f"""
+    WITH syl AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             list_transform(string_split(text, ' '),
+                            w -> len(regexp_extract_all(w, '[aeiouy]+')))
+               AS sylw
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(list_sum(sylw) AS BIGINT) AS n_syllables,
+           {duckdb_det_round(
+               'CAST(list_sum(list_transform(sylw,'
+               ' x -> CASE WHEN x >= 3 THEN 1 ELSE 0 END)) AS DOUBLE)'
+               ' / n_words')} AS complex_frac,
+           {duckdb_det_round(
+               '206.835'
+               ' - 1.015 * (CAST(n_words AS DOUBLE) / ((n_words + 14) // 15))'
+               ' - 84.6 * (CAST(list_sum(sylw) AS DOUBLE) / n_words)')}
+             AS flesch
+    FROM syl
+    """,
+    doc="Flesch-style readability scoring: per-word syllable counts "
+    "via vowel-group extraction (the standard heuristic), complex-"
+    "word fraction (>=3 syllable groups), and the Flesch reading-ease "
+    "formula over 15-token pseudo-sentences (the corpus has no "
+    "sentence punctuation; the fixed window keeps the words-per-"
+    "sentence term meaningful and deterministic). All per-row HOF "
+    "integer sums — zero shuffles, and each score is one IEEE chain "
+    "over exact integers so both engines agree bit-exactly",
+)
+def text_readability(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '),"
+            " w -> size(regexp_extract_all(w, '[aeiouy]+', 0)))"
+        ).alias("sylw"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    tot_syl = F.expr("aggregate(sylw, 0L, (a, x) -> a + x)")
+    n_complex = F.expr(
+        "aggregate(sylw, 0L, (a, x) -> a + CASE WHEN x >= 3 THEN 1 ELSE 0 END)"
+    )
+    sentences = F.floor((F.col("n_words") + 14) / 15)
+    wps = F.col("n_words").cast("double") / sentences
+    spw = tot_syl.cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        tot_syl.cast("long").alias("n_syllables"),
+        det_round(n_complex.cast("double") / F.col("n_words")).alias("complex_frac"),
+        det_round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch"
+        ),
+    )

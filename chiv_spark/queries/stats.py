@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from chiv_spark.functions.detmath import det_round
+from chiv_spark.functions.detmath import det_round, duckdb_det_round
 from chiv_spark.operators import dedup
 from chiv_spark.plans.partitions import right_size
 from chiv_spark.queries.base import query, t
@@ -409,4 +409,81 @@ def stats_ab_ztest(spark, sf_dir):
         F.col("n_b").cast("long").alias("n_b"),
         det_round(mean_a - mean_b, 6).alias("mean_diff"),
         det_round((mean_a - mean_b) / se, 6).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stats_ks_test — two-sample Kolmogorov-Smirnov
+
+
+@query(
+    "stats_ks_test",
+    f"""
+    WITH cnt AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY value),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_a,
+             SUM(cb) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_b,
+             SUM(ca) OVER () AS n_a,
+             SUM(cb) OVER () AS n_b
+      FROM cnt)
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           {duckdb_det_round(
+               'MAX(abs(CAST(cum_a AS DOUBLE) / n_a'
+               ' - CAST(cum_b AS DOUBLE) / n_b))')} AS d_stat
+    FROM cum
+    """,
+    doc="two-sample Kolmogorov-Smirnov D statistic comparing the "
+    "click vs purchase value distributions: per-distinct-value "
+    "conditional counts (one hash agg, map-side partials), running "
+    "ECDFs over the DISTINCT-VALUE table, D = max ECDF gap. The "
+    "global window runs on the distinct-value table, not the events "
+    "— bounded by value cardinality (quantize the value first when "
+    "it is continuous at 100 TB; the event table itself only ever "
+    "sees the one hash agg). Each candidate gap is two exact-integer "
+    "divisions and a subtraction — no float accumulation — so the "
+    "max is engine-identical",
+)
+def stats_ks_test(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cnt = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    w_run = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum = cnt.select(
+        F.sum("ca").over(w_run).alias("cum_a"),
+        F.sum("cb").over(w_run).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("n_a"),
+        F.sum("cb").over(w_all).alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a")
+        - F.col("cum_b").cast("double") / F.col("n_b")
+    )
+    return cum.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        det_round(F.max(gap)).alias("d_stat"),
     )

@@ -361,3 +361,20 @@ class TestRound5Additions:
         assert ops.get("Window", 0) == 0
         assert ops.get("HashAggregate", 0) == 2  # partial + final
         assert ops.get("Exchange", 0) == 1
+
+    def test_gram_matrix_single_exchange_no_join(self, spark):
+        # double explode is narrow; the only shuffle is the 4096-key agg
+        ops = op_counts(REGISTRY["embedding_gram_matrix"].fn(spark, SF))
+        assert ops.get("Exchange", 0) == 1
+        assert sum(v for k, v in ops.items() if "Join" in k) == 0
+
+    def test_readability_zero_shuffles(self, spark):
+        ops = op_counts(REGISTRY["text_readability"].fn(spark, SF))
+        assert ops.get("Exchange", 0) == 0
+
+    def test_ks_window_runs_on_distinct_values_not_events(self, spark):
+        # one hash agg over events, then windows over the (bounded)
+        # distinct-value table; no joins anywhere
+        ops = op_counts(REGISTRY["stats_ks_test"].fn(spark, SF))
+        assert sum(v for k, v in ops.items() if "Join" in k) == 0
+        assert ops.get("HashAggregate", 0) >= 2
