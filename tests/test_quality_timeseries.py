@@ -128,3 +128,45 @@ def test_inverted_index_postings_bounded_and_sorted(spark):
         assert len(ids) <= 8
         assert ids == sorted(ids)
         assert len(ids) == min(r["doc_freq"], 8)
+
+
+class TestRound5Contracts:
+    def test_events_user_ts_unique_the_ohlc_determinism_precondition(self, spark):
+        """timeseries_ohlc_bars' min_by/max_by determinism rests on
+        (user_id, ts) being a unique key; pin the data contract so a
+        future testdata regeneration that breaks it fails loudly here
+        instead of as a flaky oracle hash."""
+        from pyspark.sql import functions as F
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        total = e.count()
+        distinct = e.select("user_id", "ts").distinct().count()
+        assert total == distinct
+
+    def test_attribution_purchase_with_no_prior_touch_keeps_nulls(self, spark, tmp_path):
+        """A user whose first event is a purchase must surface with
+        NULL touch columns — not be dropped (the LEFT-semantics
+        contract in events_attribution_last_touch's doc)."""
+        import datetime as dt
+
+        from chiv_spark.queries import REGISTRY
+
+        sf = str(tmp_path / "sf")
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 10), 7, "purchase", 10.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 11), 7, "click", 0.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 12), 7, "purchase", 20.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(sf + "/events.parquet")
+        out = {
+            r["event_id"]: r
+            for r in REGISTRY["events_attribution_last_touch"].fn(spark, sf).collect()
+        }
+        assert set(out) == {1, 3}
+        assert out[1]["touch_ts"] is None and out[1]["secs_since_touch"] is None
+        assert out[3]["touch_type"] == "click"
+        assert out[3]["secs_since_touch"] == 3600
