@@ -629,3 +629,60 @@ def events_attribution_last_touch(spark, sf_dir):
             "secs_since_touch"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# events_cohort_ltv
+
+
+@query(
+    "events_cohort_ltv",
+    """
+    WITH cohorts AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id),
+    rev AS (
+      SELECT e.user_id, c.cohort_day,
+             -- 7-day periods since the cohort day, NOT date_diff('week', ...)
+             -- (that counts ISO week-boundary crossings — a different curve)
+             (date_diff('day', c.cohort_day,
+                        CAST(date_trunc('day', e.ts) AS DATE)) // 7) AS week_offset,
+             CAST(ROUND(e.value * 100.0) AS BIGINT) AS cents
+      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase')
+    SELECT cohort_day, CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+           (CAST(SUM(cents) AS DOUBLE) / 100.0) AS revenue
+    FROM rev GROUP BY cohort_day, week_offset
+    """,
+    doc="cohort lifetime-value curve: purchase revenue per (first-seen "
+    "cohort day, week offset) with distinct-buyer counts — the LTV "
+    "triangle behind payback-period analysis. Cohort assignment is "
+    "one user-keyed agg joined back (AQE-broadcastable at small "
+    "cohort cardinality, shuffled hash at scale — unhinted on "
+    "purpose); revenue rides integer cents (exact, order-free). "
+    "week_offset is floor(days-since-cohort / 7) in BOTH engines — "
+    "cohort-relative 7-day periods, not calendar ISO weeks",
+)
+def events_cohort_ltv(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff(F.date_trunc("day", "ts").cast("date"), F.col("cohort_day"))
+                / 7
+            ).alias("week_offset"),
+            F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        )
+    )
+    return rev.groupBy("cohort_day", F.col("week_offset").cast("long").alias("week_offset")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_buyers"),
+        (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+    )

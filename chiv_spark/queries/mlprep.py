@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from chiv_spark.functions.detmath import det_round, duckdb_det_round
-from chiv_spark.functions.hashing import hash64
+from chiv_spark.functions.hashing import duckdb_hash64, hash64
 from chiv_spark.functions.vectors import l2_norm_fixed
 from chiv_spark.queries.base import query, t
 from chiv_spark.queries.llm import EMB_DIM
@@ -853,3 +853,43 @@ def embedding_gram_matrix(spark, sf_dir):
                    F.col("d2").cast("long").alias("d2"))
         .agg(det_round(F.sum(prod).cast("double") / F.lit(1e12)).alias("gram"))
     )
+
+
+@query(
+    "mlprep_feature_crosses",
+    f"""
+    WITH bucketed AS (
+      SELECT lang, source,
+             CASE WHEN n_chars < 100 THEN 'short'
+                  WHEN n_chars < 300 THEN 'mid'
+                  ELSE 'long' END AS len_bucket
+      FROM documents),
+    crossed AS (
+      SELECT lang || 'x' || source || 'x' || len_bucket AS cross_key
+      FROM bucketed)
+    SELECT ({duckdb_hash64("'feat:' || cross_key")} % 262144) AS feature_id,
+           cross_key, CAST(COUNT(*) AS BIGINT) AS n
+    FROM crossed GROUP BY cross_key
+    """,
+    doc="hashing-trick feature crossing (the Vowpal-Wabbit/Wide&Deep "
+    "featurizer): lang x source x length-bucket crosses hashed into "
+    "a fixed 2^18 feature space. The model dimension is bounded by "
+    "the hash range regardless of categorical cardinality — the "
+    "property that makes the trick scale-safe; emitting the readable "
+    "cross alongside the id keeps collisions observable. One hash "
+    "agg over the cross (map-side partials), hash is the md5-derived "
+    "cross-engine hash64 family",
+)
+def mlprep_feature_crosses(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 100, "short")
+        .when(F.col("n_chars") < 300, "mid")
+        .otherwise("long")
+    )
+    cross = F.concat_ws("x", "lang", "source", bucket)
+    crossed = docs.select(cross.alias("cross_key"))
+    fid = hash64(F.concat(F.lit("feat:"), F.col("cross_key"))) % 262144
+    return crossed.groupBy("cross_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(fid.alias("feature_id"), "cross_key", "n")

@@ -496,3 +496,65 @@ def timeseries_ohlc_bars(spark, sf_dir):
         F.max_by("value", "ts").alias("close"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# window_drawdown
+
+
+@query(
+    "window_drawdown",
+    """
+    WITH cum AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(ROUND(value * 100.0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS equity_cents
+      FROM events),
+    peaks AS (
+      SELECT user_id, ts, event_id, equity_cents,
+             MAX(equity_cents)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak_cents
+      FROM cum)
+    SELECT event_id, user_id,
+           (CAST(equity_cents AS DOUBLE) / 100.0) AS equity,
+           (CAST(peak_cents AS DOUBLE) / 100.0) AS running_peak,
+           (CAST(peak_cents - equity_cents AS DOUBLE) / 100.0) AS drawdown
+    FROM peaks
+    """,
+    doc="running maximum drawdown per user over the cumulative value "
+    "series — the risk-analytics window pattern (running sum, "
+    "running max, gap). Two frames over ONE user-keyed sort "
+    "(Catalyst shares the window partitioning, single exchange); "
+    "the accumulation rides integer cents so the running values are "
+    "exact and order-stable ((user_id, ts) is a unique key — pinned "
+    "by a data-contract test)",
+)
+def window_drawdown(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    # nested frames over the SAME (user_id, ts) ordering: Catalyst
+    # plans both in one Window pass over one sort/exchange
+    peaks = e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("equity_cents"),
+        F.max(F.sum(cents).over(w)).over(w).alias("peak_cents"),
+    )
+    return peaks.select(
+        "event_id",
+        "user_id",
+        (F.col("equity_cents").cast("double") / 100.0).alias("equity"),
+        (F.col("peak_cents").cast("double") / 100.0).alias("running_peak"),
+        ((F.col("peak_cents") - F.col("equity_cents")).cast("double") / 100.0).alias(
+            "drawdown"
+        ),
+    )
