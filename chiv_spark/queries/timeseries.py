@@ -527,11 +527,12 @@ def timeseries_ohlc_bars(spark, sf_dir):
     """,
     doc="running maximum drawdown per user over the cumulative value "
     "series — the risk-analytics window pattern (running sum, "
-    "running max, gap). Two frames over ONE user-keyed sort "
-    "(Catalyst shares the window partitioning, single exchange); "
-    "the accumulation rides integer cents so the running values are "
-    "exact and order-stable ((user_id, ts) is a unique key — pinned "
-    "by a data-contract test)",
+    "running max, gap). The nested max-of-running-sum plans as two "
+    "Window nodes sharing ONE user-keyed sort and ONE exchange "
+    "(plan-asserted): the data moves and sorts once regardless of "
+    "frame nesting. The accumulation rides integer cents so the "
+    "running values are exact and order-stable ((user_id, ts) is a "
+    "unique key — pinned by a data-contract test)",
 )
 def window_drawdown(spark, sf_dir):
     e = t(spark, sf_dir, "events")

@@ -379,12 +379,15 @@ class TestRound5Additions:
         assert sum(v for k, v in ops.items() if "Join" in k) == 0
         assert ops.get("HashAggregate", 0) >= 2
 
-    def test_drawdown_nested_frames_share_one_window_pass(self, spark):
-        # running sum + running max over the same (user, ts) spec must
-        # plan as ONE Window node over one sort/exchange
+    def test_drawdown_nested_frames_share_one_sort_exchange(self, spark):
+        # the nested max-of-running-sum needs two Window nodes (the
+        # outer consumes the inner's output) but they must share ONE
+        # partitioning: a single exchange and a single sort — the
+        # data moves and sorts once regardless of frame nesting
         ops = op_counts(REGISTRY["window_drawdown"].fn(spark, SF))
-        assert ops.get("Window", 0) == 1
+        assert ops.get("Window", 0) == 2
         assert ops.get("Exchange", 0) == 1
+        assert ops.get("Sort", 0) == 1
 
     def test_feature_crosses_single_agg_no_joins(self, spark):
         ops = op_counts(REGISTRY["mlprep_feature_crosses"].fn(spark, SF))
