@@ -540,3 +540,73 @@ def join_interval_bucketed(spark, sf_dir):
             F.sum(ov).cast("long").alias("overlap_sec"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_asof_forward — the time-to-convert direction, with tolerance
+
+
+@query(
+    "join_asof_forward",
+    """
+    WITH hit AS (
+      SELECT c.event_id, c.user_id,
+             CAST(c.ts AS TIMESTAMP) AS click_ts,
+             p.event_id AS purchase_id,
+             CAST(p.ts AS TIMESTAMP) AS purchase_ts
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT event_id, user_id, click_ts,
+           CASE WHEN purchase_ts <= click_ts + INTERVAL 1 HOUR
+                THEN purchase_id END AS purchase_id,
+           CASE WHEN purchase_ts <= click_ts + INTERVAL 1 HOUR
+                THEN purchase_ts END AS purchase_ts,
+           CASE WHEN purchase_ts <= click_ts + INTERVAL 1 HOUR
+                THEN CAST(FLOOR(epoch(purchase_ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(click_ts)) AS BIGINT) END
+             AS secs_to_convert
+    FROM hit
+    """,
+    doc="FORWARD as-of join with tolerance (time-to-convert: each "
+    "click matched to the user's NEXT purchase within 1 hour, NULLs "
+    "past the window). Same streaming-friendly shape as join_asof "
+    "but mirrored: one user-keyed shuffle, a DESC-ordered running "
+    "last-non-null carries the nearest following purchase — no range "
+    "join. The oracle is DuckDB's native forward ASOF (c.ts <= "
+    "p.ts picks the smallest qualifying p.ts). Tie safety: "
+    "(user_id, ts) is a unique key (data-contract test), so the "
+    "window's event_id tiebreak can never disagree with ASOF "
+    "semantics",
+)
+def join_asof_forward(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    # DESC ordering makes "last non-null so far" = "nearest following"
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    enriched = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(p_id, ignorenulls=True).over(w).alias("purchase_id"),
+        F.last(p_ts, ignorenulls=True).over(w).alias("purchase_ts"),
+    )
+    within = F.col("purchase_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    return enriched.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.when(within, F.col("purchase_id")).alias("purchase_id"),
+        F.when(within, F.col("purchase_ts").cast("timestamp")).alias("purchase_ts"),
+        F.when(
+            within,
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("ts"),
+        ).alias("secs_to_convert"),
+    )

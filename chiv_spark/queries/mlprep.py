@@ -893,3 +893,35 @@ def mlprep_feature_crosses(spark, sf_dir):
     return crossed.groupBy("cross_key").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     ).select(fid.alias("feature_id"), "cross_key", "n")
+
+
+@query(
+    "mlprep_class_weights",
+    f"""
+    WITH cnt AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang),
+    tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS k FROM cnt)
+    SELECT lang, n_docs,
+           {duckdb_det_round('CAST(total AS DOUBLE) / (k * n_docs)')} AS weight
+    FROM cnt, tot
+    """,
+    doc="balanced inverse-frequency class weights per language "
+    "(sklearn's 'balanced' formula N / (K * n_l) — the loss-"
+    "reweighting table for training on a skewed language mix): one "
+    "groups-sized agg, a 1-row broadcast total, one IEEE division "
+    "per class",
+)
+def mlprep_class_weights(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = cnt.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    return cnt.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        det_round(
+            F.col("total").cast("double") / (F.col("k") * F.col("n_docs"))
+        ).alias("weight"),
+    )

@@ -559,3 +559,60 @@ def window_drawdown(spark, sf_dir):
             "drawdown"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# timeseries_seasonality_profile
+
+
+@query(
+    "timeseries_seasonality_profile",
+    f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(date_part('hour', ts) AS BIGINT) AS hod,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+      FROM events),
+    mom AS (
+      SELECT event_type, hod,
+             COUNT(*) AS n,
+             SUM(CAST(cents AS HUGEINT)) AS s1,
+             SUM(CAST(cents AS HUGEINT) * cents) AS s2
+      FROM q GROUP BY event_type, hod)
+    SELECT event_type, hod, CAST(n AS BIGINT) AS n,
+           {duckdb_det_round('CAST(s1 AS DOUBLE) / n / 100.0')} AS seasonal_mean,
+           {duckdb_det_round(
+               '(CAST(s2 AS DOUBLE) / n'
+               ' - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))'
+               ' / 10000.0')} AS residual_var
+    FROM mom
+    """,
+    doc="hour-of-day seasonality profile per event type: seasonal "
+    "mean and residual (within-hour) variance from exact centi-"
+    "quantized power sums — the decomposition table a seasonal "
+    "anomaly detector subtracts before thresholding. ONE hash agg "
+    "over a 5x24-key space (map-side partials); power sums ride "
+    "DECIMAL(38)/HUGEINT so 100 TB row counts cannot overflow, and "
+    "each output is one IEEE chain per cell",
+)
+def timeseries_seasonality_profile(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    q = e.select(
+        "event_type", F.hour("ts").cast("long").alias("hod"), cents.alias("cents")
+    )
+    xd = F.col("cents").cast("decimal(38,0)")
+    mom = q.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("s1"),
+        F.sum(xd * F.col("cents")).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mu * mu
+    return mom.select(
+        "event_type",
+        "hod",
+        F.col("n").cast("long").alias("n"),
+        det_round(mu / 100.0).alias("seasonal_mean"),
+        det_round(var / 10000.0).alias("residual_var"),
+    )
