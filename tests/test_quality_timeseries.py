@@ -170,3 +170,57 @@ class TestRound5Contracts:
         assert out[1]["touch_ts"] is None and out[1]["secs_since_touch"] is None
         assert out[3]["touch_type"] == "click"
         assert out[3]["secs_since_touch"] == 3600
+
+    def test_forward_asof_tolerance_nulls_beyond_window(self, spark, tmp_path):
+        """A purchase more than 1 hour after the click must surface as
+        NULLs (tolerance contract), and an in-window purchase must be
+        the NEAREST following one, not just any."""
+        import datetime as dt
+
+        from chiv_spark.queries import REGISTRY
+
+        sf = str(tmp_path / "sf")
+        t0 = dt.datetime(2024, 1, 1, 10)
+        rows = [
+            (1, t0, 7, "click", 0.0, "{}"),                       # converts in 30m
+            (2, t0 + dt.timedelta(minutes=30), 7, "purchase", 5.0, "{}"),
+            (3, t0 + dt.timedelta(minutes=40), 7, "purchase", 6.0, "{}"),
+            (4, t0 + dt.timedelta(hours=3), 7, "click", 0.0, "{}"),  # next purchase 2h away
+            (5, t0 + dt.timedelta(hours=5), 7, "purchase", 7.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(sf + "/events.parquet")
+        out = {
+            r["event_id"]: r
+            for r in REGISTRY["join_asof_forward"].fn(spark, sf).collect()
+        }
+        assert set(out) == {1, 4}
+        assert out[1]["purchase_id"] == 2  # nearest, not event 3
+        assert out[1]["secs_to_convert"] == 1800
+        assert out[4]["purchase_id"] is None  # beyond tolerance
+        assert out[4]["secs_to_convert"] is None
+
+    def test_class_weights_balanced_invariant(self, spark):
+        """sklearn 'balanced' property: sum over classes of
+        n_docs * weight == N (each class contributes equal effective
+        mass N/K, and there are K classes)."""
+        from chiv_spark.queries import REGISTRY
+
+        rows = REGISTRY["mlprep_class_weights"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        n = sum(r["n_docs"] for r in rows)
+        effective = sum(r["n_docs"] * r["weight"] for r in rows)
+        assert abs(effective - n) < 1e-3 * n
+
+    def test_seasonality_variance_nonnegative_and_counts_close(self, spark):
+        from chiv_spark.queries import REGISTRY
+
+        rows = REGISTRY["timeseries_seasonality_profile"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert all(r["residual_var"] >= 0 for r in rows)
+        assert sum(r["n"] for r in rows) == 1000  # every event in one cell
