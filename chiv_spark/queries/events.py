@@ -686,3 +686,118 @@ def events_cohort_ltv(spark, sf_dir):
         F.countDistinct("user_id").cast("long").alias("n_buyers"),
         (F.sum("cents").cast("double") / 100.0).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_attribution_first_touch
+
+
+@query(
+    "events_attribution_first_touch",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             first_value(CASE WHEN event_type IN ('click', 'view')
+                              THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_ts,
+             first_value(CASE WHEN event_type IN ('click', 'view')
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_type
+      FROM events)
+    SELECT event_id, user_id, ts AS purchase_ts, touch_ts, touch_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT)
+             - CAST(FLOOR(epoch(touch_ts)) AS BIGINT) AS secs_since_touch
+    FROM marked WHERE event_type = 'purchase'
+    """,
+    doc="FIRST-touch attribution — the other canonical credit model "
+    "(each purchase credited to the user's EARLIEST preceding "
+    "click/view): identical one-window-pass shape to the last-touch "
+    "variant, with first_value IGNORE NULLS instead of a running "
+    "last. Same scale story: one user-keyed shuffle, total ordering "
+    "via the unique (user_id, ts) key, NULLs for touchless purchases",
+)
+def events_attribution_first_touch(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.col("event_type").isin("click", "view")
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.first(F.when(touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+        F.first(F.when(touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "touch_ts",
+        "touch_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp("touch_ts")).alias(
+            "secs_since_touch"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_active_users_rolling
+
+
+@query(
+    "events_active_users_rolling",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    cal AS (SELECT DISTINCT day FROM ud),
+    wau_pairs AS (
+      SELECT DISTINCT c.day, u.user_id
+      FROM cal c JOIN ud u
+        ON u.day <= c.day AND u.day > c.day - 7)
+    SELECT c.day,
+           CAST((SELECT COUNT(*) FROM ud WHERE ud.day = c.day) AS BIGINT) AS dau,
+           CAST((SELECT COUNT(*) FROM wau_pairs w WHERE w.day = c.day) AS BIGINT)
+             AS wau
+    FROM cal c
+    """,
+    doc="DAU / trailing-7-day WAU per calendar day — the rolling "
+    "DISTINCT problem. A windowed COUNT(DISTINCT) over a range frame "
+    "does not exist in either engine, so the engine EXPLODES each "
+    "(user, active-day) into the 7 trailing report days it covers "
+    "and hash-distinct-counts per day: linear with a fixed x7 "
+    "factor, all shuffles keyed by day — the scale-correct "
+    "formulation (the oracle states the same semantics as a range "
+    "join + correlated counts). At a 30-day MAU the factor is x30; "
+    "beyond that, switch to sketches (agg_approx_distinct)",
+)
+def events_active_users_rolling(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6))")
+        ).alias("day"),
+    )
+    cal = ud.select("day").distinct()
+    wau = (
+        covered.join(cal, "day", "left_semi")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day")
