@@ -810,11 +810,11 @@ def agg_sample_scaleup(spark, sf_dir):
     e1 AS (
       SELECT emb, i AS d1,
              CAST(ROUND(emb[i] * 1000000.0) AS BIGINT) AS x1
-      FROM base, UNNEST(range(1, 65)) AS r(i)),
+      FROM base, UNNEST(range(1, {EMB_DIM + 1})) AS r(i)),
     e2 AS (
       SELECT d1, x1, j AS d2,
              CAST(ROUND(emb[j] * 1000000.0) AS BIGINT) AS x2
-      FROM e1, UNNEST(range(1, 65)) AS r2(j))
+      FROM e1, UNNEST(range(1, {EMB_DIM + 1})) AS r2(j))
     SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
            {duckdb_det_round(
                'CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) / 1e12')}
@@ -835,15 +835,18 @@ def agg_sample_scaleup(spark, sf_dir):
 )
 def embedding_gram_matrix(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
+    # EMB_DIM is interpolated into BOTH the Spark transform and the
+    # oracle's range() so a dimension change cannot silently leave the
+    # two sides consistent-but-wrong (r5 ADVICE)
     e2 = emb.select(
         F.explode(F.expr(
-            "transform(sequence(1, 64),"
+            f"transform(sequence(1, {EMB_DIM}),"
             " i -> struct(i AS d1,"
             " CAST(ROUND(element_at(embedding, i) * 1000000.0, 0) AS BIGINT)"
             " AS x1, embedding AS emb))"
         )).alias("a")
     ).select("a.d1", "a.x1", F.explode(F.expr(
-        "transform(sequence(1, 64),"
+        f"transform(sequence(1, {EMB_DIM}),"
         " j -> struct(j AS d2,"
         " CAST(ROUND(element_at(a.emb, j) * 1000000.0, 0) AS BIGINT) AS x2))"
     )).alias("b")).select("d1", "x1", "b.d2", "b.x2")

@@ -425,7 +425,8 @@ def stats_ab_ztest(spark, sf_dir):
                   AS BIGINT) AS ca,
              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   AS BIGINT) AS cb
-      FROM events WHERE event_type IN ('click', 'purchase')
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
       GROUP BY value),
     cum AS (
       SELECT SUM(ca) OVER (ORDER BY value
@@ -456,8 +457,13 @@ def stats_ab_ztest(spark, sf_dir):
     "max is engine-identical",
 )
 def stats_ks_test(spark, sf_dir):
+    # NULL values are excluded explicitly on BOTH sides: the running
+    # ECDF orders by value, and Spark's ascending default is NULLS
+    # FIRST while DuckDB's is NULLS LAST — with NULLs present the
+    # cumulative sums would diverge even on identical data (r5 ADVICE)
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
     )
     cnt = e.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))

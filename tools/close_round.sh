@@ -12,29 +12,48 @@
 #   4. COVERAGE.md provenance regeneration
 #   5. prints the git add/commit reminder — commit these artifacts and
 #      then STOP adding queries for the round.
+#
+# Hardened per the r5 ADVICE: the sweeps run WITHOUT `|| true` (a
+# crashed check_correctness.py fails the gate instead of producing a
+# truncated artifact that greps green), and each artifact's verdict
+# line count is asserted equal to the live registry size, so a
+# partial sweep can never be declared "all green".
 set -euo pipefail
 cd "$(dirname "$0")/.."
 N="${1:?usage: tools/close_round.sh <round-number>}"
 
+REG_COUNT=$(python -c "from chiv_spark.queries import REGISTRY; print(len(REGISTRY))")
+echo "== registry: ${REG_COUNT} queries" >&2
+
 echo "== 1/4 pytest" >&2
 python -m pytest tests/ -q
 
+sweep() {  # sweep <sf_dir> <artifact>
+  local sf_dir="$1" out="$2"
+  # stderr passes through (Spark/driver noise goes to the terminal,
+  # crashes are visible); a non-zero exit aborts the close
+  python tools/check_correctness.py "$sf_dir" > "$out"
+  local verdicts
+  verdicts=$(grep -cE '^(PASS|FAIL|ok  |ERR )' "$out" || true)
+  if [ "$verdicts" -ne "$REG_COUNT" ]; then
+    echo "!! $out has $verdicts verdict lines, registry has $REG_COUNT — truncated sweep, aborting" >&2
+    exit 1
+  fi
+  grep -cE '^PASS|^ok  ' "$out" >&2
+}
+
 echo "== 2/4 sweep sf0.01" >&2
-python tools/check_correctness.py /root/testdata/sf0.01 \
-  > "CORRECTNESS_FULL_r0${N}.txt" 2>/dev/null || true
-grep -cE '^PASS|^ok  ' "CORRECTNESS_FULL_r0${N}.txt" >&2
+sweep /root/testdata/sf0.01 "CORRECTNESS_FULL_r0${N}.txt"
 
 echo "== 3/4 sweep sf0.1" >&2
-python tools/check_correctness.py /root/testdata/sf0.1 \
-  > "CORRECTNESS_FULL_r0${N}_sf01.txt" 2>/dev/null || true
-grep -cE '^PASS|^ok  ' "CORRECTNESS_FULL_r0${N}_sf01.txt" >&2
+sweep /root/testdata/sf0.1 "CORRECTNESS_FULL_r0${N}_sf01.txt"
 
 echo "== 4/4 provenance" >&2
 python tools/gen_provenance.py
 
-if grep -qE '^FAIL' "CORRECTNESS_FULL_r0${N}.txt" "CORRECTNESS_FULL_r0${N}_sf01.txt"; then
+if grep -qE '^FAIL|^ERR ' "CORRECTNESS_FULL_r0${N}.txt" "CORRECTNESS_FULL_r0${N}_sf01.txt"; then
   echo "!! FAILURES PRESENT — fix before committing:" >&2
-  grep -E '^FAIL' "CORRECTNESS_FULL_r0${N}.txt" "CORRECTNESS_FULL_r0${N}_sf01.txt" >&2
+  grep -E '^FAIL|^ERR ' "CORRECTNESS_FULL_r0${N}.txt" "CORRECTNESS_FULL_r0${N}_sf01.txt" >&2
   exit 1
 fi
 echo "all green — commit CORRECTNESS_FULL_r0${N}*.txt + COVERAGE.md now," >&2

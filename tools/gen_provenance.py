@@ -4,6 +4,12 @@ gate verified it green, plus its standing in the committed
 full-registry sweeps. Run after the end-of-round full sweep so the
 table includes every query added during the round.
 
+Round membership is derived from the sweep artifacts themselves (the
+first CORRECTNESS_FULL_r0N*.txt a name appears in), not from
+hand-maintained per-round name sets — the r5 ADVICE found the old
+hard-coded LATE_R4/NEW_R5 sets would mislabel every future round's
+additions and invite stale provenance.
+
 Usage: python tools/gen_provenance.py  (rewrites the section in place)
 """
 
@@ -22,74 +28,58 @@ from chiv_spark.queries import REGISTRY
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HEADER = "## Per-query correctness provenance"
 
-# queries added after the r4 full sweep ran, judge-verified green in
-# the r4 session (VERDICT.md r4 'What's missing' item 1)
-LATE_R4 = {
-    "mlprep_linear_score", "events_user_rfm", "text_keyword_tfidf",
-    "timeseries_cusum", "events_activity_streaks", "agg_skew_kurtosis",
-    "text_lm_perplexity", "scalar_bitwise_funcs", "window_rolling_median",
-    "sample_negative_pairs", "agg_entropy_per_user",
-    # these six also postdate the sweep files but were driver-green in r4
-    "dedup_semdedup", "dedup_url_canonical", "scalar_url_funcs",
-    "stats_chi2_lang_source", "text_bpe_first_merges", "text_gopher_repetition",
-}
-NEW_R5 = {
-    "q12_shipmode_priority", "q16_supplier_part_variety",
-    "dedup_repeated_ngrams", "join_interval_bucketed",
-    "text_heavy_hitters", "mlprep_quantile_bins",
-}
-
 
 def green(v: dict) -> bool:
     return bool(v.get("rows_match")) and v.get("err") is None and v.get("hash_match") is not False
 
 
-def sweep_names(pattern: str) -> set[str]:
-    names: set[str] = set()
-    for f in glob.glob(os.path.join(REPO, pattern)):
+def sweep_rounds() -> dict[int, set[str]]:
+    """Names green in the committed full sweeps, keyed by round."""
+    rounds: dict[int, set[str]] = {}
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_FULL_r0*.txt")):
+        n = int(re.search(r"_r0*(\d+)", os.path.basename(f)).group(1))
+        names = rounds.setdefault(n, set())
         for line in open(f):
             if line.startswith(("PASS ", "ok   ")):
                 names.add(line.split()[1].rstrip(":"))
-    return names
+    return rounds
 
 
 def main() -> None:
-    rounds: dict[int, dict] = {}
+    driver_rounds: dict[int, dict] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
-        rounds[int(re.search(r"_r0*(\d+)", f).group(1))] = json.load(open(f))
-    r4_full = sweep_names("CORRECTNESS_FULL_r04*.txt")
-    r5_full = sweep_names("CORRECTNESS_FULL_r05*.txt")
+        driver_rounds[int(re.search(r"_r0*(\d+)", f).group(1))] = json.load(open(f))
+    sweeps = sweep_rounds()
+    latest_sweep = max(sweeps) if sweeps else None
 
     lines = [HEADER, ""]
     lines += [
-        "The driver samples 50 registry queries per round, so between driver",
+        "The driver samples ~50 registry queries per round, so between driver",
         "visits most rows rest on the committed full-registry sweeps",
         "(CORRECTNESS_FULL_r{N}*.txt, run at sf0.01 AND sf0.1). Columns: the",
         "last round the DRIVER's own gate verified the query green, and the",
-        "query's standing in the committed full sweeps. Regenerate with",
-        "`python tools/gen_provenance.py` after each end-of-round sweep.",
+        "query's standing in the committed full sweeps (first-swept round is",
+        "derived from the sweep artifacts, not hand-maintained). Regenerate",
+        "with `python tools/gen_provenance.py` after each end-of-round sweep.",
         "",
         "| query | last driver-green | full-sweep standing |",
         "|---|---|---|",
     ]
     for name in sorted(REGISTRY):
-        last = max((r for r, d in rounds.items() if name in d and green(d[name])), default=None)
+        last = max(
+            (r for r, d in driver_rounds.items() if name in d and green(d[name])),
+            default=None,
+        )
         lasts = f"r{last}" if last else "not yet sampled"
-        if name in r5_full:
-            origin = (
-                "new in r5, " if name in NEW_R5
-                else "added post-r4-sweep, " if name in LATE_R4
-                else ""
-            )
-            st = f"{origin}r5 sweep green"
-        elif name in NEW_R5:
-            st = "new in r5 (sweep pending)"
-        elif name in LATE_R4:
-            st = "added post-r4-sweep (judge-verified r4; r5 sweep pending)"
-        elif name in r4_full:
-            st = "r4 sweep green"
+        swept_in = sorted(r for r, names in sweeps.items() if name in names)
+        if not swept_in:
+            st = "new (sweep pending)"
+        elif swept_in[-1] == latest_sweep:
+            first = swept_in[0]
+            since = f"first swept r{first}, " if first != latest_sweep else "new in r%d, " % first
+            st = f"{since}r{latest_sweep} sweep green"
         else:
-            st = "no sweep record"
+            st = f"r{swept_in[-1]} sweep green (ABSENT from the r{latest_sweep} sweep — investigate)"
         lines.append(f"| `{name}` | {lasts} | {st} |")
 
     cov_path = os.path.join(REPO, "COVERAGE.md")
