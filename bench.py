@@ -117,11 +117,69 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # skew profile (r5 verdict task 5): the uniform-SF numbers above
+    # can't see hot-key regressions, so one headline entry runs the
+    # skew-resilient attribution on a generated hot-key table — one
+    # bot user emitting 100k events (1500x the sf0.1 per-user mean)
+    # plus the sf0.1-shaped tail. Generation is untimed; both the
+    # skew-safe and the plain single-partition-window variants are
+    # timed so the gap (and any regression in it) is visible
+    # round-over-round.
+    import shutil
+    import tempfile
+
+    skew_dir = tempfile.mkdtemp(prefix="chiv-bench-skew-")
+    try:
+        from pyspark.sql import functions as F
+
+        base_ts = "TIMESTAMP '2024-03-01 00:00:00'"
+        hot = spark.range(100_000).select(
+            F.lit(1).alias("user_id"),
+            F.expr(f"{base_ts} + make_interval(0,0,0,0,0,0, id*13)").alias("ts"),
+            (F.col("id") + 1_000_000).alias("event_id"),
+            F.expr("element_at(array('view','click','purchase','view','click'), CAST(id % 5 AS INT) + 1)").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        tail = spark.range(30_000).select(
+            (F.col("id") % 1500 + 2).alias("user_id"),
+            F.expr(f"{base_ts} + make_interval(0,0,0,0,0,0, id*37)").alias("ts"),
+            (F.col("id") + 5_000_000).alias("event_id"),
+            F.expr("element_at(array('view','click','purchase','view','click'), CAST(id % 5 AS INT) + 1)").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        hot.unionByName(tail).write.mode("overwrite").parquet(f"{skew_dir}/events.parquet")
+        for bench_name, qname in (
+            ("attribution_last_touch_skewed", "events_attribution_last_touch_scalable"),
+            ("attribution_last_touch_skewed_plain", "events_attribution_last_touch"),
+        ):
+            try:
+                fn = REGISTRY[qname].fn
+                fn(spark, skew_dir).write.format("noop").mode("overwrite").save()
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, skew_dir).write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+                if min(runs) > 2.0 or sorted(runs)[1] - min(runs) > 0.10 * min(runs):
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        fn(spark, skew_dir).write.format("noop").mode("overwrite").save()
+                        runs.append(time.perf_counter() - t0)
+                ordered = sorted(runs)
+                timings[bench_name] = round(ordered[0], 3)
+                spread[bench_name] = round(ordered[1] - ordered[0], 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[bench_name] = f"{type(exc).__name__}: {exc}"[:300]
+    except Exception as exc:  # noqa: BLE001
+        errors["skew_bench"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        shutil.rmtree(skew_dir, ignore_errors=True)
+
     # archive throughput — the reference's core operation (extract →
     # format → load, chiv.go:121-143): single-object streaming parity
     # path and the distributed scale path, lineitem → CSV
-    import shutil
-    import tempfile
 
     from chiv_spark.core.archiver import Archiver
     from chiv_spark.sources.catalog import read_table

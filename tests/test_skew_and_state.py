@@ -88,3 +88,72 @@ class TestScalableSessionizer:
         plain = {tuple(r) for r in REGISTRY["events_sessionize"].fn(spark, sf_dir).collect()}
         scal = {tuple(r) for r in REGISTRY["events_sessionize_scalable"].fn(spark, sf_dir).collect()}
         assert plain == scal
+
+
+def _hot_user_events(spark, tmp_path, hot_events=5000, tail_users=50):
+    """Skewed generator (r5 verdict task 1): one bot user emitting
+    1000x a tail user's volume. Deterministic (no RNG): event types
+    cycle so purchases interleave with touches; the hot user spans
+    several day buckets and the tail users include carry-across-bucket
+    and never-touched shapes."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 0, 0)
+    types = ["view", "click", "purchase", "view", "click"]
+    rows = [
+        # hot user: one event/minute -> ~3.5 days of continuous noise
+        (1, base + dt.timedelta(minutes=i), 1_000_000 + i, types[i % 5], 1.0, "{}")
+        for i in range(hot_events)
+    ]
+    for u in range(2, 2 + tail_users):
+        rows += [
+            # touch on day 1, purchase on day 3: exercises the
+            # carry-in path (no touch inside the purchase's bucket)
+            (u, base + dt.timedelta(minutes=u), 10_000 * u + 1, "click", 1.0, "{}"),
+            (u, base + dt.timedelta(days=2, minutes=u), 10_000 * u + 2, "purchase", 5.0, "{}"),
+            # purchase with NO prior touch ever (NULL attribution)
+            (u + 1000, base + dt.timedelta(minutes=u), 10_000 * u + 3, "purchase", 2.0, "{}"),
+        ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+class TestScalableAttribution:
+    def test_hot_user_equals_plain(self, spark, tmp_path):
+        """1000x hot-key generator: the skew-resilient variant must be
+        row-identical to the plain window formulation, including the
+        carry-across-bucket and never-touched tail shapes."""
+        from chiv_spark.queries import REGISTRY
+
+        sfd = _hot_user_events(spark, tmp_path)
+        plain = {
+            tuple(r)
+            for r in REGISTRY["events_attribution_last_touch"].fn(spark, sfd).collect()
+        }
+        scal = {
+            tuple(r)
+            for r in REGISTRY["events_attribution_last_touch_scalable"].fn(spark, sfd).collect()
+        }
+        assert plain == scal
+        # the generator actually produced the three shapes it claims
+        assert sum(1 for r in plain if r[3] is None) > 0, "NULL-attribution rows missing"
+        assert len(plain) > 1000
+
+    def test_event_window_partitions_by_bucket(self, spark, sf_dir):
+        """The event-scale window must partition by (user_id, bucket),
+        never by user_id alone — the whole point of the variant. Only
+        the second (per-bucket carry) window may key on bare user_id."""
+        from chiv_spark.queries import REGISTRY
+
+        df = REGISTRY["events_attribution_last_touch_scalable"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        import re
+
+        windows = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert windows, f"no window nodes in plan:\n{plan}"
+        event_scale = [w for w in windows if "bucket" in w]
+        assert event_scale, f"no (user_id, bucket)-partitioned window found:\n{windows}"
