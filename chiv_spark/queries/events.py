@@ -857,7 +857,9 @@ def events_attribution_first_touch(spark, sf_dir):
     "factor, all shuffles keyed by day — the scale-correct "
     "formulation (the oracle states the same semantics as a range "
     "join + correlated counts). At a 30-day MAU the factor is x30; "
-    "beyond that, switch to sketches (agg_approx_distinct)",
+    "beyond that, switch to sketches — implemented as "
+    "events_active_users_mau_approx (per-day HLL partials, x30 on "
+    "sketch rows instead of user-day rows)",
 )
 def events_active_users_rolling(spark, sf_dir):
     e = t(spark, sf_dir, "events")
@@ -879,3 +881,82 @@ def events_active_users_rolling(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("wau"))
     )
     return dau.join(wau, "day")
+
+
+# --------------------------------------------------------------------------
+# events_active_users_mau_approx
+
+
+@query(
+    "events_active_users_mau_approx",
+    # the oracle computes the EXACT trailing-30-day MAU and asserts
+    # the engine's sketch estimate landed within the published bound —
+    # the same gating pattern as agg_sample_scaleup (exact values
+    # hash-compared, the approximation claim reduced to a boolean
+    # both engines must agree on)
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    cal AS (SELECT DISTINCT day FROM ud),
+    mau_pairs AS (
+      SELECT DISTINCT c.day, u.user_id
+      FROM cal c JOIN ud u
+        ON u.day <= c.day AND u.day > c.day - 30)
+    SELECT c.day,
+           CAST((SELECT COUNT(*) FROM mau_pairs m WHERE m.day = c.day)
+                AS BIGINT) AS mau_exact,
+           TRUE AS err_within_5pct
+    FROM cal c
+    """,
+    doc="trailing-30-day MAU at SKETCH cost — the companion the "
+    "rolling-DAU/WAU doc (events_active_users_rolling) promises at "
+    "x30 explode factors. The scale path sketches each day's users "
+    "into one HLL partial (lgK=14, ~0.8% RSE, one 16KB binary per "
+    "day) and explodes SKETCHES — not user-day rows — across the 30 "
+    "report days they cover, merging with hll_union_agg: the x30 "
+    "factor applies to #days rows instead of #user-days, so a 1000x "
+    "data scale-up grows the merge stage not at all. The exact MAU "
+    "rides alongside (the x30 user-day explode) purely to gate the "
+    "estimate: the emitted row carries the exact count plus a "
+    "realized-error-within-5% flag the DuckDB oracle asserts as "
+    "TRUE — at production scale drop the exact branch and keep the "
+    "sketch pipeline",
+)
+def events_active_users_mau_approx(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    cal = ud.select("day").distinct()
+    # sketch path: one HLL partial per day (duplicates within a day
+    # are free — HLL is a set sketch), exploded over the 30 report
+    # days it covers, merged per report day
+    day_sk = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).groupBy("day").agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    mau_approx = (
+        day_sk.select(
+            F.explode(F.expr("sequence(day, date_add(day, 29))")).alias("day"), "sk"
+        )
+        .join(cal, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("mau_approx"))
+    )
+    # exact path (gating only): the x30 user-day explode
+    mau_exact = (
+        ud.select(
+            "user_id",
+            F.explode(F.expr("sequence(day, date_add(day, 29))")).alias("day"),
+        )
+        .join(cal, "day", "left_semi")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("mau_exact"))
+    )
+    rel_err = F.abs(
+        F.col("mau_approx").cast("double") - F.col("mau_exact")
+    ) / F.col("mau_exact").cast("double")
+    return mau_exact.join(mau_approx, "day").select(
+        "day", "mau_exact", (rel_err <= 0.05).alias("err_within_5pct")
+    )

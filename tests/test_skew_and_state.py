@@ -143,6 +143,51 @@ class TestScalableAttribution:
         assert sum(1 for r in plain if r[3] is None) > 0, "NULL-attribution rows missing"
         assert len(plain) > 1000
 
+    def test_mau_sketch_error_bounded(self, spark, sf_dir, tmp_path):
+        """HLL-sketch MAU (r5 verdict task 2): the realized relative
+        error vs the in-query exact count must stay inside the
+        published 5% bound — checked on the testdata AND on a
+        10k-distinct-user synthetic day where HLL actually estimates
+        (small sets sit in the sketch's near-exact regime)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from chiv_spark.queries import REGISTRY
+
+        fn = REGISTRY["events_active_users_mau_approx"].fn
+        rows = fn(spark, sf_dir).collect()
+        assert rows and all(r["err_within_5pct"] for r in rows)
+        assert all(r["mau_exact"] > 0 for r in rows)
+
+        # synthetic: 10k users active on day 1, 4k on day 20 (2k
+        # overlap) -> trailing-30d MAU on day 20 = 12k distinct
+        base = dt.datetime(2024, 5, 1, 12, 0)
+        big = spark.range(10_000).select(
+            F.col("id").alias("user_id"),
+            F.lit(base).alias("ts"),
+            F.col("id").alias("event_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        later = spark.range(8_000, 12_000).select(
+            F.col("id").alias("user_id"),
+            F.lit(base + dt.timedelta(days=19)).alias("ts"),
+            (F.col("id") + 50_000).alias("event_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        big.unionByName(later).write.mode("overwrite").parquet(
+            str(tmp_path / "events.parquet")
+        )
+        out = {r["day"]: r for r in fn(spark, str(tmp_path)).collect()}
+        assert len(out) == 2
+        assert all(r["err_within_5pct"] for r in out.values())
+        day20 = out[(base + dt.timedelta(days=19)).date()]
+        assert day20["mau_exact"] == 12_000
+
     def test_event_window_partitions_by_bucket(self, spark, sf_dir):
         """The event-scale window must partition by (user_id, bucket),
         never by user_id alone — the whole point of the variant. Only
