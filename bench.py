@@ -198,9 +198,20 @@ def main() -> None:
         def _archive_single():
             a.archive_df(li.limit(100_000), bucket, key="lineitem_single.csv")
 
+        # r6: JSON/YAML single-object sinks got the executor-side fast
+        # path; benched at the same 100k rows as the CSV entry so the
+        # speedup vs the r5 driver row loop is visible
+        def _archive_json_single():
+            a.archive_df(li.limit(100_000), bucket, key="lineitem_single.json", format="json")
+
+        def _archive_yaml_single():
+            a.archive_df(li.limit(100_000), bucket, key="lineitem_single.yaml", format="yaml")
+
         for name, fn in (
             ("archive_csv_distributed", _archive_dist),
             ("archive_csv_single_100k", _archive_single),
+            ("archive_json_single_100k", _archive_json_single),
+            ("archive_yaml_single_100k", _archive_yaml_single),
         ):
             fn()
             runs = []

@@ -81,6 +81,80 @@ def _csv_partition_encoder(dtypes: list[T.DataType], null: str | None):
     return enc
 
 
+# marker prefix for per-row encode failures inside executor closures:
+# the driver sees them as opaque Py4J errors, so the fast-path loop
+# greps for this to re-raise with the reference's "formatting row"
+# stage instead of "scanning rows" (chiv.go:189-198 distinguishes the
+# two; tests/test_errors.py pins the stage names)
+_ROW_ERR = "chiv-format-row"
+
+
+def _json_partition_encoder(columns: list[str], placeholders: list[object], null: str | None):
+    """Executor-side JSON row encoding for the single-object fast
+    path: each chunk is up to ~10k comma-joined compact objects (keys
+    sorted, same json_escape/json_value renderings as JsonFormatter);
+    the driver writes ``[``/``]`` framing and a single ``,`` between
+    consecutive chunks, so the bytes match the per-row path exactly
+    (golden-file tests pin this)."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def enc(rows):
+        from chiv_spark.core.archiver import _ROW_ERR, _substitute
+        from chiv_spark.formats.encode import json_escape, json_value
+
+        names = [json_escape(columns[i]) for i in order]
+        buf: list[str] = []
+        for row in rows:
+            try:
+                rec = row if null is None else _substitute(row, placeholders, null)
+                buf.append(
+                    "{" + ",".join(
+                        f"{names[k]}:{json_value(rec[i])}" for k, i in enumerate(order)
+                    ) + "}"
+                )
+            except Exception as e:  # noqa: BLE001 — marked for stage re-wrap
+                raise RuntimeError(f"{_ROW_ERR}: {e}") from e
+            if len(buf) >= 10000:
+                yield ",".join(buf).encode("utf-8")
+                buf = []
+        if buf:
+            yield ",".join(buf).encode("utf-8")
+
+    return enc
+
+
+def _yaml_partition_encoder(columns: list[str], placeholders: list[object], null: str | None):
+    """Executor-side YAML row encoding: one ``- key: value`` block map
+    per row via the same _yaml_scalar renderings as YamlFormatter;
+    rows are self-delimiting so the driver concatenates chunks with no
+    framing."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def enc(rows):
+        from chiv_spark.core.archiver import _ROW_ERR, _substitute
+        from chiv_spark.formats.yaml_format import _yaml_scalar
+
+        buf: list[str] = []
+        for row in rows:
+            try:
+                rec = row if null is None else _substitute(row, placeholders, null)
+                buf.append(
+                    "".join(
+                        f"{'- ' if k == 0 else '  '}{columns[i]}: {_yaml_scalar(rec[i])}\n"
+                        for k, i in enumerate(order)
+                    )
+                )
+            except Exception as e:  # noqa: BLE001 — marked for stage re-wrap
+                raise RuntimeError(f"{_ROW_ERR}: {e}") from e
+            if len(buf) >= 10000:
+                yield "".join(buf).encode("utf-8")
+                buf = []
+        if buf:
+            yield "".join(buf).encode("utf-8")
+
+    return enc
+
+
 def _resolve_format(fmt: object) -> FormatterFunc:
     if callable(fmt):
         return fmt  # custom FormatterFunc — the WithFormat extension point
@@ -298,13 +372,25 @@ class Archiver:
             sink = _UploadGuard(sink_raw)
             formatter: Formatter = fmt_func(sink, df.columns)
             _staged(formatter.open, "downloading: opening formatter")
+            # Built-in-format fast paths: rows are stateless encodings,
+            # so formatting runs ON THE EXECUTORS (mapPartitions → byte
+            # chunks) and the driver only concatenates chunks in
+            # partition order, inserting the format's inter-chunk
+            # separator (JSON's ``,``) — same bytes as the per-row
+            # formatter, ~#cores× the throughput. Driver memory stays
+            # one chunk (toLocalIterator). The open()/close() framing
+            # (CSV header, JSON brackets) still runs on the driver via
+            # the formatter itself.
             if fmt_func is FORMATS.get("csv"):
-                # CSV fast path: rows are stateless one-line encodings,
-                # so formatting runs ON THE EXECUTORS (mapPartitions →
-                # byte chunks) and the driver only concatenates chunks
-                # in partition order — same bytes, ~#cores× the
-                # throughput of the driver row loop. Driver memory
-                # stays one chunk (toLocalIterator).
+                fast = ("", _csv_partition_encoder([f.dataType for f in schema.fields], null))
+            elif fmt_func is FORMATS.get("json"):
+                fast = (",", _json_partition_encoder(df.columns, placeholders, null))
+            elif fmt_func is FORMATS.get("yaml"):
+                fast = ("", _yaml_partition_encoder(df.columns, placeholders, null))
+            else:
+                fast = None
+            if fast is not None:
+                sep, encoder = fast
                 # The encoder closure imports chiv_spark ON the
                 # workers, whose import path does not include the repo
                 # root unless the driver happened to run from it — ship
@@ -315,20 +401,28 @@ class Archiver:
 
                 ensure_shipped(df.sparkSession)
                 chunks = iter(
-                    df.rdd.mapPartitions(
-                        _csv_partition_encoder([f.dataType for f in schema.fields], null)
-                    ).toLocalIterator(prefetchPartitions=True)
+                    df.rdd.mapPartitions(encoder).toLocalIterator(prefetchPartitions=True)
                 )
+                sep_bytes = sep.encode("utf-8")
+                first = True
                 while True:
                     try:
                         chunk = next(chunks, _END)
                     except ArchiveError:
                         raise
                     except Exception as e:  # noqa: BLE001
+                        # executor-side per-row failures carry the
+                        # _ROW_ERR marker: surface them with the
+                        # reference's formatting stage, not scanning
+                        if _ROW_ERR in str(e):
+                            raise ArchiveError("downloading: formatting row", e) from e
                         raise ArchiveError("downloading: scanning rows", e) from e
                     if chunk is _END:
                         break
+                    if sep_bytes and not first:
+                        sink.write(sep_bytes)
                     sink.write(chunk)
+                    first = False
             else:
                 # toLocalIterator: upstream computes distributed; the
                 # driver holds at most one partition — the io.Pipe

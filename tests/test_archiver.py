@@ -291,3 +291,59 @@ spark.stop()
         body = (tmp_path / "out.csv").read_text()
         assert body.splitlines()[0] == "id,s"
         assert '"row,4"' in body  # quoting ran executor-side
+
+
+class TestExecutorSideJsonYaml:
+    """r6: JSON/YAML single-object sinks format on the executors (the
+    CSV fast-path pattern); the driver only writes framing and
+    concatenates chunks. Bytes must be IDENTICAL to the per-row
+    formatter across multiple partitions and chunk boundaries."""
+
+    @pytest.fixture(scope="class")
+    def wide_df(self, spark):
+        from pyspark.sql import functions as F
+
+        # >10k rows forces multiple chunks per partition; 8 partitions
+        # force inter-chunk separators at partition boundaries; the
+        # columns cover quoting, unicode, floats, NULL booleans, ts
+        return spark.range(25_000, numPartitions=8).select(
+            F.col("id").alias("id"),
+            F.concat(F.lit('na"me, é '), F.col("id").cast("string")).alias("s"),
+            (F.col("id") * 1.5).alias("v"),
+            F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") % 2 == 0).alias("b"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id)"
+            ).alias("ts"),
+        )
+
+    @pytest.mark.parametrize("fmt,null", [("json", None), ("yaml", None), ("json", "0"), ("yaml", "0")])
+    def test_bytes_match_per_row_formatter(self, spark, wide_df, tmp_path, fmt, null):
+        import io
+
+        from chiv_spark.core.archiver import _substitute, _try_parse_placeholder
+        from chiv_spark.formats.json_format import JsonFormatter
+        from chiv_spark.formats.yaml_format import YamlFormatter
+
+        key = Archiver(spark).archive_df(
+            wide_df, str(tmp_path), format=fmt, key=f"fast.{fmt}", null=null
+        )
+        fast = (tmp_path / key).read_bytes()
+
+        buf = io.BytesIO()
+        cls = JsonFormatter if fmt == "json" else YamlFormatter
+        f = cls(buf, wide_df.columns)
+        f.open()
+        ph = (
+            [_try_parse_placeholder(null, fld.dataType) for fld in wide_df.schema.fields]
+            if null is not None
+            else None
+        )
+        for row in wide_df.toLocalIterator():
+            f.format_row(row if null is None else _substitute(row, ph, null))
+        f.close()
+        assert fast == buf.getvalue()
+
+    def test_empty_df_json_brackets(self, spark, tmp_path):
+        df = spark.createDataFrame([], "id long, s string")
+        key = Archiver(spark).archive_df(df, str(tmp_path), format="json", key="empty.json")
+        assert (tmp_path / key).read_bytes() == b"[]"
