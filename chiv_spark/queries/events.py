@@ -767,6 +767,53 @@ def events_cohort_ltv(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# streaming_attribution_last_touch
+
+
+@query(
+    "streaming_attribution_last_touch",
+    # single availableNow batch: every user's full history arrives in
+    # one stateful group, so the streamed result equals the batch
+    # window formulation exactly — the oracle is the last-touch
+    # attribution restated in epoch-microseconds (the streaming
+    # operator's state/emit unit, sidestepping tz round-trips)
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_ts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch_type
+      FROM events)
+    SELECT event_id, user_id,
+           epoch_us(ts) AS purchase_us,
+           epoch_us(touch_ts) AS touch_us,
+           touch_type
+    FROM marked WHERE event_type = 'purchase'
+    """,
+    doc="STREAMING last-touch attribution — the attribution family's "
+    "canonical streaming-state form (r5 verdict task 6): per-user "
+    "state is just the most recent preceding touch (two fields, "
+    "O(1) per user vs the batch variant's full-history shuffle); "
+    "purchases emit their attribution row the moment they are "
+    "processed. Real readStream -> applyInPandasWithState -> "
+    "writeStream run under the availableNow batch-twin protocol, "
+    "oracle-paired with the batch window formulation",
+)
+def streaming_attribution_last_touch(spark, sf_dir):
+    from chiv_spark.streaming.attribution import run_streaming_attribution
+
+    ckpt = tempfile.mkdtemp(prefix="chiv-attr-ckpt-")
+    return run_streaming_attribution(spark, sf_dir, ckpt)
+
+
+# --------------------------------------------------------------------------
 # events_attribution_first_touch
 
 

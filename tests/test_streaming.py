@@ -96,3 +96,60 @@ class TestStreamingArchive:
         stream = _event_stream(spark, sf_dir)
         with pytest.raises(ValueError, match="batch_id"):
             archive_stream(stream, str(tmp_path / "b"), str(tmp_path / "c"), key_template="fixed.csv")
+
+
+class TestStreamingAttribution:
+    def test_state_carries_touch_across_batches(self):
+        """Unit-drive the stateful tracker through two microbatches:
+        a touch in batch 1 must attribute a purchase in batch 2 via
+        the state store (the path availableNow's single batch never
+        exercises)."""
+        import pandas as pd
+
+        from chiv_spark.streaming.attribution import _attribute
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+        st = FakeState()
+        b1 = pd.DataFrame({"ts_us": [100], "event_id": [1], "event_type": ["click"]})
+        assert list(_attribute((7,), iter([b1]), st)) == []  # touch only: no emit
+        assert st.get == (100, "click")
+        b2 = pd.DataFrame({"ts_us": [200], "event_id": [2], "event_type": ["purchase"]})
+        out = pd.concat(list(_attribute((7,), iter([b2]), st)))
+        assert out.iloc[0].tolist() == [2, 7, 200, 100, "click"]
+
+    def test_matches_batch_attribution(self, spark, sf_dir, tmp_path):
+        from chiv_spark.queries import REGISTRY
+        from chiv_spark.streaming.attribution import run_streaming_attribution
+
+        streamed = {
+            tuple(r)
+            for r in run_streaming_attribution(
+                spark, sf_dir, str(tmp_path / "ckpt-attr")
+            ).collect()
+        }
+        batch = {
+            (
+                r["event_id"],
+                r["user_id"],
+                int(r["purchase_ts"].timestamp() * 1_000_000),
+                None if r["touch_ts"] is None else int(r["touch_ts"].timestamp() * 1_000_000),
+                r["touch_type"],
+            )
+            for r in REGISTRY["events_attribution_last_touch"].fn(spark, sf_dir).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) > 0
