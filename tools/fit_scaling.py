@@ -43,6 +43,9 @@ PLAN: dict[str, tuple[list[str], str]] = {
     "dedup_semdedup": ([SF01, SF1, PROBE_DIR], "embeddings"),
     "embedding_neardup": ([SF01, SF1, PROBE_DIR], "embeddings"),
     "graph_triangle_count": ([SF001, SF01, SF1], "lineitem"),
+    # round 6: the two r5 heavy additions with no fitted exponent yet
+    "dedup_repeated_ngrams": ([SF01, SF1, PROBE_DIR], "documents"),
+    "join_interval_bucketed": ([SF001, SF01, SF1], "events"),
 }
 
 
