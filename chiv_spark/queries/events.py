@@ -1007,3 +1007,71 @@ def events_active_users_mau_approx(spark, sf_dir):
     return mau_exact.join(mau_approx, "day").select(
         "day", "mau_exact", (rel_err <= 0.05).alias("err_within_5pct")
     )
+
+
+# --------------------------------------------------------------------------
+# events_type_overlap_approx
+
+
+@query(
+    "events_type_overlap_approx",
+    # exact audience sizes hash-compared; the sketch-intersection
+    # claim reduces to a bounded-error boolean (agg_sample_scaleup
+    # gating pattern)
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    u AS (SELECT user_id FROM c UNION SELECT user_id FROM p)
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM c JOIN p USING (user_id)) AS BIGINT)
+             AS n_both_exact,
+           TRUE AS err_within_bound
+    """,
+    doc="audience-overlap estimation from HLL sketches via "
+    "inclusion-exclusion: |click ∩ purchase| ≈ est(A) + est(B) - "
+    "est(A ∪ B), where the union estimate reuses the two per-type "
+    "sketches through hll_union (sketches compose; the raw data is "
+    "touched once). This is the segment-overlap question every "
+    "audience system answers at 100 TB without materializing user "
+    "sets: three fixed-size sketches replace two distincts and a "
+    "join. Exact counts ride alongside to gate the estimate — "
+    "absolute intersection error within 5% of the UNION size (the "
+    "correct yardstick: inclusion-exclusion error scales with the "
+    "operand sketches' set sizes, not the possibly-tiny "
+    "intersection), asserted TRUE by the oracle",
+)
+def events_type_overlap_approx(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    sk = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    est = sk.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("sk"))).alias("sk_c"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sk"))).alias("sk_p"),
+    ).select(
+        F.hll_sketch_estimate("sk_c").alias("est_c"),
+        F.hll_sketch_estimate("sk_p").alias("est_p"),
+        F.hll_sketch_estimate(F.hll_union("sk_c", "sk_p")).alias("est_u"),
+    )
+    c = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    p = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        c.agg(F.count(F.lit(1)).cast("long").alias("n_click"))
+        .crossJoin(p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase")))
+        .crossJoin(
+            c.join(p, "user_id", "left_semi").agg(
+                F.count(F.lit(1)).cast("long").alias("n_both_exact")
+            )
+        )
+    )
+    both_est = F.col("est_c") + F.col("est_p") - F.col("est_u")
+    ok = (
+        F.abs(both_est - F.col("n_both_exact"))
+        <= 0.05 * (F.col("n_click") + F.col("n_purchase") - F.col("n_both_exact"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_click", "n_purchase", "n_both_exact", ok.alias("err_within_bound")
+    )

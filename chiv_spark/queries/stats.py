@@ -493,3 +493,67 @@ def stats_ks_test(spark, sf_dir):
         F.max("n_b").cast("long").alias("n_b"),
         det_round(F.max(gap)).alias("d_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_quantile_approx — KLL/GK-style approximate median, rank-gated
+
+
+@query(
+    "agg_quantile_approx",
+    # exact quantiles hash-compared; the approximation claim reduces
+    # to a rank-error boolean both engines must agree on (the
+    # agg_sample_scaleup gating pattern — DuckDB cannot replay
+    # Spark's approx_percentile internals, but it CAN assert the
+    # published rank guarantee held)
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {duckdb_det_round("quantile_cont(value, 0.5)")} AS p50_exact,
+           TRUE AS rank_ok
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="approximate median per event type via approx_percentile "
+    "(Greenwald-Khanna style mergeable quantile summary, accuracy "
+    "1000 -> rank error <= n/1000): the sketch path an exact "
+    "percentile cannot take at 100 TB, where percentile() must "
+    "collect each group's values while the GK summary is a bounded "
+    "map-side-mergeable state. Gated, not hash-matched: the emitted "
+    "row carries the EXACT interpolated median (engine percentile "
+    "== DuckDB quantile_cont, parity pinned by agg_percentile_exact) "
+    "plus a tie-robust realized-rank check on the approximate "
+    "answer — share of values strictly below the estimate must not "
+    "exceed 0.5+eps and share at-or-below must reach 0.5-eps "
+    "(eps = 0.01, 10x the sketch's guarantee) — asserted TRUE by "
+    "the oracle",
+)
+def agg_quantile_approx(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    approx = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("p50_approx")
+    )
+    eps = 0.01
+    gated = (
+        e.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("percentile(value, 0.5)").alias("p50_exact_raw"),
+            F.sum(
+                (F.col("value") < F.col("p50_approx")).cast("long")
+            ).alias("n_lt"),
+            F.sum(
+                (F.col("value") <= F.col("p50_approx")).cast("long")
+            ).alias("n_le"),
+        )
+    )
+    rank_ok = (
+        F.col("n_lt").cast("double") / F.col("n") <= 0.5 + eps
+    ) & (F.col("n_le").cast("double") / F.col("n") >= 0.5 - eps)
+    return gated.select(
+        "event_type",
+        "n",
+        det_round(F.col("p50_exact_raw")).alias("p50_exact"),
+        rank_ok.alias("rank_ok"),
+    )
