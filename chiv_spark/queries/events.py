@@ -817,9 +817,7 @@ def streaming_attribution_last_touch(spark, sf_dir):
 # events_attribution_first_touch
 
 
-@query(
-    "events_attribution_first_touch",
-    """
+_FIRST_TOUCH_ORACLE = """
     WITH marked AS (
       SELECT event_id, user_id, ts, event_type,
              first_value(CASE WHEN event_type IN ('click', 'view')
@@ -837,7 +835,72 @@ def streaming_attribution_last_touch(spark, sf_dir):
            CAST(FLOOR(epoch(ts)) AS BIGINT)
              - CAST(FLOOR(epoch(touch_ts)) AS BIGINT) AS secs_since_touch
     FROM marked WHERE event_type = 'purchase'
-    """,
+    """
+
+
+@query(
+    "events_attribution_first_touch_scalable",
+    # IDENTICAL oracle to events_attribution_first_touch: a different
+    # physical strategy for the same logical result
+    _FIRST_TOUCH_ORACLE,
+    doc="skew-resilient FIRST-touch attribution — the mirror of the "
+    "last-touch scalable variant: running first-touch WITHIN "
+    "(user, day-bucket) windows, per-bucket EARLIEST touch state "
+    "(min struct) carried forward by a first-ignore-nulls window "
+    "over the bucket aggregate, and the coalesce order reversed "
+    "(an earlier bucket's first touch wins over the local one). "
+    "Same skew story: a hot user's events spread across "
+    "days-per-user tasks; the carry window sees bucket rows only",
+)
+def events_attribution_first_touch_scalable(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    touch = F.col("event_type").isin("click", "view")
+    tstate = F.when(
+        touch, F.struct(F.col("ts").alias("t_ts"), F.col("event_type").alias("t_type"))
+    )
+    base = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("bucket"),
+    )
+    wb = (
+        Window.partitionBy("user_id", "bucket")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("local_touch", F.first(tstate, ignorenulls=True).over(wb))
+    bucket_first = base.groupBy("user_id", "bucket").agg(F.min(tstate).alias("bf"))
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bucket_first.select(
+        "user_id", "bucket", F.first("bf", ignorenulls=True).over(wu).alias("carry_touch")
+    )
+    # reversed vs last-touch: the EARLIEST bucket's touch wins
+    final = F.coalesce("carry_touch", "local_touch")
+    return (
+        local.filter(F.col("event_type") == "purchase")
+        .join(carry, ["user_id", "bucket"])
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            final.getField("t_ts").alias("touch_ts"),
+            final.getField("t_type").alias("touch_type"),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp(final.getField("t_ts"))
+            ).alias("secs_since_touch"),
+        )
+    )
+
+
+@query(
+    "events_attribution_first_touch",
+    _FIRST_TOUCH_ORACLE,
     doc="FIRST-touch attribution — the other canonical credit model "
     "(each purchase credited to the user's EARLIEST preceding "
     "click/view): identical one-window-pass shape to the last-touch "

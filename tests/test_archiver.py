@@ -293,6 +293,38 @@ spark.stop()
         assert '"row,4"' in body  # quoting ran executor-side
 
 
+class TestForeignCwdJsonWorkers:
+    def test_single_object_json_archive_from_foreign_cwd(self, tmp_path):
+        """The JSON/YAML fast paths run chiv_spark closures on the
+        executors (r6); same foreign-cwd shipping guard as CSV."""
+        import subprocess
+        import sys as _sys
+
+        script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from chiv_spark import Archiver, get_spark
+spark = get_spark("foreign-cwd-json", master="local[2]", shuffle_partitions=2)
+df = spark.range(5).selectExpr("id", "concat('v\\"x', id) AS s").coalesce(1)
+key = Archiver(spark).archive_df(df, r"{tmp_path}", format="json", key="out.json")
+print("KEY=" + key)
+spark.stop()
+"""
+        proc = subprocess.run(
+            [_sys.executable, "-c", script],
+            cwd=str(tmp_path),  # NOT the repo root
+            capture_output=True,
+            text=True,
+            timeout=240,
+            env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "KEY=out.json" in proc.stdout
+        body = (tmp_path / "out.json").read_text()
+        assert body.startswith("[") and body.endswith("]")
+        assert '{"id":4,"s":"v\\"x4"}' in body  # escaping ran executor-side
+
+
 class TestExecutorSideJsonYaml:
     """r6: JSON/YAML single-object sinks format on the executors (the
     CSV fast-path pattern); the driver only writes framing and
