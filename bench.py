@@ -69,6 +69,10 @@ HEADLINE = [
     "dedup_repeated_ngrams",
     "text_heavy_hitters",
     "join_interval_bucketed",
+    # round 6: the sketch tier — HLL rolling MAU (explodes sketches,
+    # not user-days) and the DataFrame-native Count-Min sketch
+    "events_active_users_mau_approx",
+    "text_freq_cms",
 ]
 
 

@@ -502,9 +502,8 @@ def timeseries_ohlc_bars(spark, sf_dir):
 # window_drawdown
 
 
-@query(
-    "window_drawdown",
-    """
+# shared by the plain and skew-resilient variants (same logical result)
+_DRAWDOWN_ORACLE = """
     WITH cum AS (
       SELECT user_id, ts, event_id,
              SUM(CAST(ROUND(value * 100.0) AS BIGINT))
@@ -524,7 +523,12 @@ def timeseries_ohlc_bars(spark, sf_dir):
            (CAST(peak_cents AS DOUBLE) / 100.0) AS running_peak,
            (CAST(peak_cents - equity_cents AS DOUBLE) / 100.0) AS drawdown
     FROM peaks
-    """,
+    """
+
+
+@query(
+    "window_drawdown",
+    _DRAWDOWN_ORACLE,
     doc="running maximum drawdown per user over the cumulative value "
     "series — the risk-analytics window pattern (running sum, "
     "running max, gap). The nested max-of-running-sum plans as two "
@@ -558,6 +562,81 @@ def window_drawdown(spark, sf_dir):
         ((F.col("peak_cents") - F.col("equity_cents")).cast("double") / 100.0).alias(
             "drawdown"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# window_drawdown_scalable
+
+
+@query(
+    "window_drawdown_scalable",
+    # IDENTICAL oracle to window_drawdown: same logical result via a
+    # skew-resilient physical strategy
+    _DRAWDOWN_ORACLE,
+    doc="skew-resilient drawdown — third instance of the bucketed "
+    "prefix-decomposition pattern (after sessionize and the two "
+    "attribution models), proving it generalizes to NESTED frames: "
+    "running sum AND running max-of-sum both decompose across "
+    "(user, day-bucket) boundaries. Within-bucket: local running "
+    "sum + local running peak (one window pass, one sort). Per "
+    "bucket: (sum, peak) aggregate; two chained windows over the "
+    "bucket rows (days-per-user, not events) derive each bucket's "
+    "equity offset (prefix sum of earlier bucket sums) and the "
+    "global peak carried in (running max of offset+peak over "
+    "earlier buckets). Join back on the composite key: equity = "
+    "offset + local run, peak = max(carried peak, offset + local "
+    "peak run). Integer-cents arithmetic keeps every partial exact "
+    "and order-free, so the decomposition is bit-identical to the "
+    "single-window formulation (shared oracle; hot-key pytest)",
+)
+def window_drawdown_scalable(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        cents.alias("cents"),
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("bucket"),
+    )
+    wb = (
+        Window.partitionBy("user_id", "bucket")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.select(
+        "event_id",
+        "user_id",
+        "bucket",
+        F.sum("cents").over(wb).alias("lrun"),
+        F.max(F.sum("cents").over(wb)).over(wb).alias("lpeak"),
+    )
+    bagg = base.groupBy("user_id", "bucket").agg(F.sum("cents").alias("bsum"))
+    bpeak = local.groupBy("user_id", "bucket").agg(F.max("lrun").alias("bpeak"))
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        bagg.join(bpeak, ["user_id", "bucket"])
+        .withColumn("off", F.coalesce(F.sum("bsum").over(wu), F.lit(0)))
+        .withColumn("peak_before", F.max(F.col("off") + F.col("bpeak")).over(wu))
+        .select("user_id", "bucket", "off", "peak_before")
+    )
+    j = local.join(carry, ["user_id", "bucket"])
+    equity = F.col("off") + F.col("lrun")
+    local_peak = F.col("off") + F.col("lpeak")
+    peak = F.when(
+        F.col("peak_before").isNull(), local_peak
+    ).otherwise(F.greatest("peak_before", local_peak))
+    return j.select(
+        "event_id",
+        "user_id",
+        (equity.cast("double") / 100.0).alias("equity"),
+        (peak.cast("double") / 100.0).alias("running_peak"),
+        ((peak - equity).cast("double") / 100.0).alias("drawdown"),
     )
 
 

@@ -146,6 +146,33 @@ class TestScalableAttribution:
             assert sum(1 for r in plain if r[3] is None) > 0, "NULL-attribution rows missing"
             assert len(plain) > 1000
 
+    def test_hot_user_drawdown_equals_plain(self, spark, tmp_path):
+        """The nested-frame (running max of running sum) decomposition
+        must match the single-window drawdown under the same 1000x
+        hot-key generator — including negative equity excursions
+        crossing bucket boundaries (values alternate sign by type)."""
+        from pyspark.sql import functions as F
+
+        from chiv_spark.queries import REGISTRY
+
+        sfd = _hot_user_events(spark, tmp_path)
+        # rewrite values so the cumulative series actually oscillates
+        # (all-1.0 values make the running max trivially the last sum)
+        ev = spark.read.parquet(f"{sfd}/events.parquet").withColumn(
+            "value",
+            F.when(F.col("event_id") % 3 == 0, -2.5).otherwise(
+                (F.col("event_id") % 7).cast("double")
+            ),
+        )
+        ev.write.mode("overwrite").parquet(str(tmp_path / "osc" / "events.parquet"))
+        osc = str(tmp_path / "osc")
+        plain = {tuple(r) for r in REGISTRY["window_drawdown"].fn(spark, osc).collect()}
+        scal = {
+            tuple(r) for r in REGISTRY["window_drawdown_scalable"].fn(spark, osc).collect()
+        }
+        assert plain == scal
+        assert any(r[4] > 0 for r in plain), "no nonzero drawdowns — degenerate data"
+
     def test_mau_sketch_error_bounded(self, spark, sf_dir, tmp_path):
         """HLL-sketch MAU (r5 verdict task 2): the realized relative
         error vs the in-query exact count must stay inside the
