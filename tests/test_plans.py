@@ -393,3 +393,34 @@ class TestRound5Additions:
         ops = op_counts(REGISTRY["mlprep_feature_crosses"].fn(spark, SF))
         assert sum(v for k, v in ops.items() if "Join" in k) == 0
         assert ops.get("HashAggregate", 0) == 2  # partial + final
+
+
+class TestRound6Additions:
+    def test_cms_probe_join_is_hash_one_scalar_bnlj(self, spark):
+        # the CMS probe must equi-join on (r, bucket); the only
+        # nested-loop join allowed is the 1-row total-tokens scalar
+        ops = op_counts(REGISTRY["text_freq_cms"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        assert ops.get("BroadcastNestedLoopJoin", 0) <= 1  # scalar glue
+        hash_joins = (
+            ops.get("BroadcastHashJoin", 0)
+            + ops.get("SortMergeJoin", 0)
+            + ops.get("ShuffledHashJoin", 0)
+        )
+        assert hash_joins >= 1  # the (r, b) probe join
+
+    def test_mau_sketch_no_cartesian_day_keyed_joins(self, spark):
+        ops = op_counts(REGISTRY["events_active_users_mau_approx"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        assert ops.get("BroadcastNestedLoopJoin", 0) == 0
+
+    def test_scalable_drawdown_no_user_only_event_window(self, spark):
+        # every event-scale window must include the bucket key; only
+        # the bucket-level carry windows may partition by bare user_id
+        df = REGISTRY["window_drawdown_scalable"].fn(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        import re
+
+        windows = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert windows
+        assert any("bucket" in w for w in windows)
