@@ -644,3 +644,69 @@ def text_freq_cms(spark, sf_dir):
         .groupBy("w", "freq")
         .agg(F.min("c").cast("long").alias("cms_est"))
     )
+
+
+# --------------------------------------------------------------------------
+# text_zipf_slope — rank-frequency power-law fit
+
+
+@query(
+    "text_zipf_slope",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    cnt AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+    ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rank
+      FROM cnt),
+    top AS (SELECT rank, freq FROM ranked WHERE rank <= 1000),
+    fit AS (
+      SELECT COUNT(*) AS k,
+             SUM(ln(rank)) AS sx, SUM(ln(freq)) AS sy,
+             SUM(ln(rank) * ln(rank)) AS sxx,
+             SUM(ln(rank) * ln(freq)) AS sxy
+      FROM top)
+    SELECT CAST(k AS BIGINT) AS n_ranks,
+           {duckdb_det_round("(sxy - sx * sy / k) / (sxx - sx * sx / k)")}
+             AS zipf_slope
+    FROM fit
+    """,
+    doc="Zipf's-law exponent of the corpus: least-squares slope of "
+    "ln(freq) vs ln(rank) over the top-1000 vocabulary ranks — the "
+    "corpus-health diagnostic (natural text sits near -1; template "
+    "spam and boilerplate flatten or steepen it). The token table "
+    "collapses to vocabulary size in ONE hash agg; the rank window "
+    "and the regression run on the top-1000 rows only (ordering "
+    "made total by the (freq DESC, w) tiebreak), so the corpus "
+    "itself never sorts. ln() error is sub-ulp per term and the "
+    "slope is det-rounded to 6dp, absorbing cross-engine libm "
+    "differences",
+)
+def text_zipf_slope(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = cnt.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "w"))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 1000)
+    lx, ly = F.log(F.col("rank").cast("double")), F.log(F.col("freq").cast("double"))
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k")
+    )
+    return fit.select(
+        F.col("k").cast("long").alias("n_ranks"), det_round(slope).alias("zipf_slope")
+    )

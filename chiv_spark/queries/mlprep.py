@@ -928,3 +928,53 @@ def mlprep_class_weights(spark, sf_dir):
             F.col("total").cast("double") / (F.col("k") * F.col("n_docs"))
         ).alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# mlprep_target_encoding — leave-one-out mean target encoding
+
+
+@query(
+    "mlprep_target_encoding",
+    f"""
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders),
+    g AS (
+      SELECT o_orderpriority, COUNT(*) AS n, SUM(cents) AS s
+      FROM c GROUP BY o_orderpriority)
+    SELECT o_orderkey, c.o_orderpriority,
+           {duckdb_det_round(
+               "CASE WHEN n > 1 THEN CAST(s - cents AS DOUBLE) / (n - 1) / 100.0 END")}
+           AS loo_target_mean
+    FROM c JOIN g USING (o_orderpriority)
+    """,
+    doc="leave-one-out mean target encoding (the CatBoost-style "
+    "categorical featurizer that avoids target leakage): each "
+    "order's priority encoded as the mean total price of every "
+    "OTHER order sharing that priority — loo = (group_sum - own) / "
+    "(group_n - 1). One group aggregate (5 rows) broadcast back "
+    "onto the fact side, no second fact shuffle, no window; sums "
+    "ride integer cents so the subtraction is exact and the single "
+    "division is the only IEEE op (det-rounded). Singleton groups "
+    "encode as NULL rather than a leaked self-mean. Same shape at "
+    "100 TB: the encode map is category-cardinality-sized",
+)
+def mlprep_target_encoding(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+    )
+    g = c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    loo = F.when(
+        F.col("n") > 1,
+        (F.col("s") - F.col("cents")).cast("double") / (F.col("n") - 1) / 100.0,
+    )
+    return c.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderkey", "o_orderpriority", det_round(loo).alias("loo_target_mean")
+    )
