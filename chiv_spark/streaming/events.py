@@ -70,3 +70,50 @@ def run_events_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_windowed_distinct_users(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming distinct-user counting at sketch cost: a real
+    readStream → watermark → per-window ``hll_sketch_agg(user_id)``
+    → writeStream run (availableNow, memory sink). The state per
+    window is ONE fixed-size HLL register array instead of the user
+    set itself — the streaming form of the MAU-sketch argument
+    (queries/events.py events_active_users_mau_approx): an exact
+    streaming COUNT(DISTINCT) would hold every user id in the state
+    store. Returns (window_start, approx_users) with the estimate
+    materialized from the final sketch."""
+    from chiv_spark.sources.catalog import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    stream = normalize_event_ts(
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+        )
+    )
+    name = "windowed_distinct_users"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
