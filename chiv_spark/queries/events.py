@@ -1190,3 +1190,70 @@ def streaming_distinct_users_window(spark, sf_dir):
     return exact.join(approx, "window_start").select(
         "window_start", "exact_users", (rel <= 0.05).alias("err_within_5pct")
     )
+
+
+# --------------------------------------------------------------------------
+# events_session_window_dynamic
+
+
+@query(
+    "events_session_window_dynamic",
+    # Spark's dynamic session window merges event windows
+    # [ts, ts + gap(event)) per key; the oracle restates that as a
+    # running-max-of-window-ends recurrence: a new session starts
+    # exactly when the event's ts reaches every previous window's end
+    # (half-open intervals -> >=). Session end = max merged end,
+    # emitted in epoch-micros (tz-neutral)
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN 3600000000 ELSE 1800000000 END AS gap_us
+      FROM events),
+    m AS (
+      SELECT user_id, ts, event_id, gap_us,
+             MAX(epoch_us(ts) + gap_us)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM g),
+    s AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+                     THEN 1 ELSE 0 END AS new_s
+      FROM m),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sid
+      FROM s)
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           MAX(epoch_us(ts) + gap_us) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="DYNAMIC-gap native session window: purchases hold a session "
+    "open for 60 minutes, everything else 30 — the per-event gap "
+    "column form of F.session_window, which the fixed-gap native "
+    "entry cannot express. Spark merges overlapping half-open "
+    "[ts, ts+gap) windows inside one aggregation; the oracle "
+    "restates the merge as a running-max-of-ends recurrence "
+    "(new session iff ts >= max prior end). Same single "
+    "user-keyed shuffle as the fixed-gap operator; session ends "
+    "ride epoch-micros so no tz round-trip touches the comparison",
+)
+def events_session_window_dynamic(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.expr("make_interval(0,0,0,0,0,60,0)")
+    ).otherwise(F.expr("make_interval(0,0,0,0,0,30,0)"))
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp").alias("session_start"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
