@@ -211,6 +211,35 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_ngram_containment",
+    f"""
+    WITH {_SHINGLE_CTES},
+    keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    c AS (SELECT i.doc_a, i.doc_b,
+                 CAST(i.i AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment
+          FROM inter i
+          JOIN sizes na ON na.doc_id = i.doc_a
+          JOIN sizes nb ON nb.doc_id = i.doc_b)
+    SELECT doc_a, doc_b, CAST(containment AS DOUBLE) AS containment
+    FROM c WHERE containment >= 0.8
+    """,
+    doc="asymmetric shingle containment |A∩B|/min(|A|,|B|) >= 0.8 — "
+    "catches short-doc-quoted-in-long-doc duplication that symmetric "
+    "Jaccard structurally misses (J≈0.01 for a 100-shingle doc inside "
+    "a 10k-shingle one, C=1.0); DF-capped universe, hash-set verify",
+)
+def dedup_ngram_containment(spark, sf_dir):
+    return dedup.ngram_containment_pairs(
+        t(spark, sf_dir, "documents"), df_cap=NGRAM_DF_CAP
+    )
+
+
 # ---------------------------------------------------------- similarity
 
 #: testdata embeddings are 64-dim (TESTDATA.md); passing the dimension
