@@ -1257,3 +1257,76 @@ def events_session_window_dynamic(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_bot_entropy
+
+
+@query(
+    "events_bot_entropy",
+    f"""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))) AS BIGINT)
+               AS gap_s
+      FROM events),
+    b AS (
+      SELECT user_id, LEAST(gap_s // 60, 10) AS bucket
+      FROM gaps WHERE gap_s IS NOT NULL),
+    cnt AS (SELECT user_id, bucket, COUNT(*) AS n FROM b GROUP BY user_id, bucket),
+    tot AS (SELECT user_id, SUM(n) AS total FROM cnt GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(t.total AS BIGINT) AS n_gaps,
+           (FLOOR(-SUM((CAST(n AS DOUBLE)/total) * ln(CAST(n AS DOUBLE)/total))
+                   * 1000000.0 + 0.5) / 1000000.0) AS gap_entropy,
+           (-SUM((CAST(n AS DOUBLE)/total) * ln(CAST(n AS DOUBLE)/total)) < 0.75)
+             AS suspected_bot
+    FROM cnt c JOIN tot t ON c.user_id = t.user_id
+    GROUP BY c.user_id, t.total
+    """,
+    doc="bot detection via inter-arrival-time entropy: humans produce "
+    "high-entropy gap distributions, schedulers and scrapers "
+    "concentrate mass in one bucket. Gaps come from one user-keyed "
+    "lag window (second-granular integer arithmetic — no float "
+    "timestamps), land in capped minute buckets (integer division, "
+    "no log-bucket float-boundary hazards), and per-user Shannon "
+    "entropy is one more bounded hash agg — buckets-per-user <= 11. "
+    "The ln() calls ride exact rational p = n/total and the entropy "
+    "is det-rounded; the bot flag thresholds the UNROUNDED entropy "
+    "identically in both engines. Linear, two user-keyed shuffles, "
+    "no windows beyond the lag",
+)
+def events_bot_entropy(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    cnt = gaps.select(
+        "user_id", F.least(F.floor(F.col("gap_s") / 60), F.lit(10)).alias("bucket")
+    ).groupBy("user_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    ent = -F.sum(p * F.log(p))
+    from chiv_spark.functions.detmath import det_round
+
+    return (
+        cnt.join(tot, "user_id")
+        .groupBy("user_id", "total")
+        .agg(
+            det_round(ent).alias("gap_entropy"),
+            (ent < 0.75).alias("suspected_bot"),
+        )
+        .select(
+            "user_id",
+            F.col("total").cast("long").alias("n_gaps"),
+            "gap_entropy",
+            "suspected_bot",
+        )
+    )
