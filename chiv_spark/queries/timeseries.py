@@ -695,3 +695,95 @@ def timeseries_seasonality_profile(spark, sf_dir):
         det_round(mu / 100.0).alias("seasonal_mean"),
         det_round(var / 10000.0).alias("residual_var"),
     )
+
+
+# --------------------------------------------------------------------------
+# timeseries_holt_linear — double exponential smoothing
+
+_HOLT_A = 0.5  # level smoothing
+_HOLT_G = 0.25  # trend smoothing
+
+
+@query(
+    "timeseries_holt_linear",
+    # recursive-CTE restatement of the fold: DuckDB's list_reduce
+    # with STRUCT accumulators showed field-evaluation-order
+    # surprises (scalar folds like the EWMA oracle are fine), so the
+    # two-variable recurrence steps through an explicit recursion —
+    # one row per user per step, depth = max series length, the same
+    # IEEE op sequence as the engine fold
+    f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events),
+    rec AS (
+      SELECT user_id, 1 AS i, n, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT r.user_id, r.i + 1, r.n,
+             CAST({_HOLT_A} AS DOUBLE) * s.x
+               + CAST({1 - _HOLT_A} AS DOUBLE) * (r.l + r.b),
+             CAST({_HOLT_G} AS DOUBLE)
+               * ((CAST({_HOLT_A} AS DOUBLE) * s.x
+                   + CAST({1 - _HOLT_A} AS DOUBLE) * (r.l + r.b)) - r.l)
+               + CAST({1 - _HOLT_G} AS DOUBLE) * r.b
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           (FLOOR(l * 1000000.0 + 0.5) / 1000000.0) AS level,
+           (FLOOR(b * 1000000.0 + 0.5) / 1000000.0) AS trend,
+           (FLOOR((l + b) * 1000000.0 + 0.5) / 1000000.0) AS forecast_1
+    FROM rec WHERE i = n
+    """,
+    doc="Holt double exponential smoothing per user (level + linear "
+    "trend, the one-step forecaster a bare EWMA can't provide): the "
+    "TWO-variable recurrence l' = a*x + (1-a)(l+b), "
+    "b' = g*(l'-l) + (1-g)*b folds left-to-right over each user's "
+    "ordered series as a STRUCT accumulator inside a JVM "
+    "higher-order aggregate — no UDF, no window, state rides "
+    "through the lambda exactly like the streaming formulation "
+    "would ride applyInPandasWithState state. Initialization "
+    "convention (l0 = x1, b0 = 0) is expressible as the fold seed "
+    "in BOTH engines, and the (ts, event_id) ordering key is unique "
+    "so the IEEE op sequence — and the result bits — match. "
+    "Per-user lists are bounded by events-per-user; the skew-safe "
+    "rewrite at extreme hot keys is the bucketed fold of the "
+    "drawdown pattern (Holt is not prefix-decomposable exactly, "
+    "so hot keys instead get the documented sessionize-style "
+    "mini-batch approximation — or the streaming stateful form)",
+)
+def timeseries_holt_linear(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    series = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.col("value").cast("double").alias("value"),
+                )
+            )
+        ).alias("xs")
+    )
+    vals = F.transform(F.col("xs"), lambda s: s["value"])
+    a, g = _HOLT_A, _HOLT_G
+
+    def step(acc, x):
+        lvl = F.lit(a) * x + F.lit(1 - a) * (acc["a"] + acc["b"])
+        tr = F.lit(g) * (lvl - acc["a"]) + F.lit(1 - g) * acc["b"]
+        return F.struct(lvl.alias("a"), tr.alias("b"))
+
+    zero = F.struct(
+        F.element_at(vals, 1).alias("a"), F.lit(0.0).alias("b")
+    )
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))), zero, step
+    )
+    return series.select(
+        "user_id",
+        F.size(vals).cast("long").alias("n_events"),
+        det_round(fold["a"]).alias("level"),
+        det_round(fold["b"]).alias("trend"),
+        det_round(fold["a"] + fold["b"]).alias("forecast_1"),
+    )
