@@ -473,3 +473,44 @@ def text_readability(spark, sf_dir):
             "flesch"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# quality_k_anonymity — re-identification risk audit
+
+
+@query(
+    "quality_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    k AS (SELECT MIN(group_size) AS corpus_k FROM g)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(group_size AS BIGINT) AS group_size,
+           (group_size < 5) AS below_k5,
+           CAST(corpus_k AS BIGINT) AS corpus_k
+    FROM g, k
+    """,
+    doc="k-anonymity audit over the (nationkey, market-segment) "
+    "quasi-identifier pair: every equivalence class with its size, a "
+    "below-k=5 re-identification-risk flag, and the corpus-wide k "
+    "(the minimum class size — the number privacy reviews quote). "
+    "The privacy gate a training-data release pipeline runs before "
+    "shipping user-derived tables. One hash agg over the QI columns "
+    "(map-side partials) + a 1-row min broadcast; classes, not rows, "
+    "cross the exchange — at 100 TB the audit costs one groupBy",
+)
+def quality_k_anonymity(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    k = g.agg(F.min("group_size").alias("corpus_k"))
+    return g.join(F.broadcast(k)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("group_size").cast("long").alias("group_size"),
+        (F.col("group_size") < 5).alias("below_k5"),
+        F.col("corpus_k").cast("long").alias("corpus_k"),
+    )
