@@ -412,3 +412,113 @@ def lsh_cosine_topk(
             det_round(F.col("cosine"), 6).alias("cosine"),
         )
     )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    n_queries: int = 10,
+) -> DataFrame:
+    """Product-Quantization ANN with Asymmetric Distance Computation
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011) — the memory-scale path for 100 TB vector
+    search: each vector is stored as ``m`` one-byte codes (argmin
+    centroid per subspace) instead of ``dim`` floats, a 32× payload
+    reduction at dim=64/m=8, and query distances are summed from a
+    per-query lookup table without ever touching the raw corpus
+    vectors.
+
+    Everything rides exact integer micro-units: codebooks are
+    per-(label, subspace) centroid means rounded to micros (the
+    label seeding of embedding_kmeans_2iter applied per subspace —
+    codebook *source* is orthogonal to the PQ mechanics), encode is
+    an integer argmin (total ordering via (d2, code)), and the ADC
+    estimate is a BIGINT sum of table entries — so this approximate
+    operator is fully hash-matched against the DuckDB oracle, like
+    text_freq_cms and unlike the boolean-gated HLL tier.
+
+    Scale shape: the codebook (m × k_codes × sub-dim micros) and the
+    per-query distance tables (queries × m × k_codes BIGINTs)
+    broadcast; the corpus side touches only its code rows (m per
+    vector). One narrow explode + two broadcast joins + a
+    (query, vector)-keyed sum — no full-dimension distance is ever
+    computed against the corpus.
+    """
+    sw = dim // m
+    micro = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
+    )
+    sx = (
+        emb.select("vec_id", "label", F.posexplode(micro).alias("pos", "xm"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") / sw).cast("int").alias("sub"),
+            (F.col("pos") % sw).cast("int").alias("dsub"),
+            "xm",
+        )
+    )
+    # codebook: per-(subspace, code) centroid as a sub-dim micro array
+    cb = (
+        sx.groupBy(F.col("label").alias("c"), "sub", "dsub")
+        .agg(
+            F.round(F.sum("xm").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cm")
+        )
+        .groupBy("sub", "c")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dsub", "cm"))), lambda s: s["cm"]
+            ).alias("cvec")
+        )
+    )
+    # per-(vector, subspace) micro subvectors
+    subvecs = sx.groupBy("vec_id", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dsub", "xm"))), lambda s: s["xm"]
+        ).alias("vsub")
+    )
+    d2 = F.aggregate(
+        F.zip_with("vsub", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # encode: integer argmin centroid per (vector, subspace)
+    codes = (
+        subvecs.join(F.broadcast(cb), "sub")
+        .select("vec_id", "sub", "c", d2.alias("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "c")).alias("best"))
+        .select("vec_id", "sub", F.col("best.c").alias("code"))
+    )
+    # ADC tables: distance from each query subvector to every centroid
+    qdist = (
+        subvecs.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cb), "sub")
+        .select(
+            F.col("vec_id").alias("qid"), "sub", "c", d2.alias("qd2")
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qdist),
+            (codes.sub == qdist.sub) & (codes.code == qdist.c),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("d2").cast("long").alias("approx_d2"),
+        )
+    )

@@ -416,6 +416,56 @@ def pipeline_clean_corpus(spark, sf_dir):
 
 
 @query(
+    "ann_pq_adc_topk",
+    """
+    WITH ex AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding::DOUBLE[], 1) AS BIGINT) - 1 AS pos,
+             CAST(ROUND(unnest(embedding::DOUBLE[]) * 1000000.0) AS BIGINT) AS xm
+      FROM embeddings),
+    sx AS (SELECT vec_id, label, CAST(pos // 8 AS INT) AS sub,
+                  CAST(pos % 8 AS INT) AS dsub, xm
+           FROM ex),
+    cb AS (SELECT label AS c, sub, dsub,
+                  CAST(ROUND(CAST(SUM(xm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+           FROM sx GROUP BY label, sub, dsub),
+    enc_d AS (SELECT s.vec_id, s.sub, c.c, SUM((s.xm - c.cm) * (s.xm - c.cm)) AS d2
+              FROM sx s JOIN cb c ON c.sub = s.sub AND c.dsub = s.dsub
+              GROUP BY s.vec_id, s.sub, c.c),
+    codes AS (SELECT vec_id, sub, c AS code FROM (
+                SELECT vec_id, sub, c,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, c) AS rn
+                FROM enc_d) WHERE rn = 1),
+    qd AS (SELECT s.vec_id AS qid, s.sub, c.c,
+                  SUM((s.xm - c.cm) * (s.xm - c.cm)) AS qd2
+           FROM sx s JOIN cb c ON c.sub = s.sub AND c.dsub = s.dsub
+           WHERE s.vec_id < 10
+           GROUP BY s.vec_id, s.sub, c.c),
+    adc AS (SELECT q.qid, v.vec_id, SUM(q.qd2) AS d2
+            FROM codes v JOIN qd q ON q.sub = v.sub AND q.c = v.code
+            WHERE v.vec_id != q.qid
+            GROUP BY q.qid, v.vec_id),
+    ranked AS (SELECT qid, vec_id, d2,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank
+               FROM adc)
+    SELECT qid AS query_id, vec_id AS neighbor_id,
+           CAST(rank AS INTEGER) AS rank, CAST(d2 AS BIGINT) AS approx_d2
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Product-Quantization ANN with asymmetric distance "
+    "computation (Jegou et al. 2011): vectors stored as 8 one-byte "
+    "subspace codes (32x payload cut at dim 64), query distances "
+    "summed from broadcast per-query lookup tables — the corpus "
+    "never serves a full-dimension distance. Integer-micro codebooks "
+    "and BIGINT ADC sums make this approximate operator fully "
+    "hash-matched (no boolean gate)",
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    return similarity.pq_adc_topk(t(spark, sf_dir, "embeddings"), k=5, dim=EMB_DIM)
+
+
+@query(
     "ann_ivf_topk",
     f"""
     WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
