@@ -73,6 +73,11 @@ HEADLINE = [
     # not user-days) and the DataFrame-native Count-Min sketch
     "events_active_users_mau_approx",
     "text_freq_cms",
+    # round 6, second batch: PQ-ADC vector search (hash-seeded
+    # codebook training + encode + table-lookup search end to end)
+    # and the prefix-filtered containment dedup
+    "ann_pq_adc_topk",
+    "dedup_ngram_containment",
 ]
 
 

@@ -3,10 +3,13 @@
 Images/audio/video ride through the engine as ``binary`` columns with
 a typed metadata struct. The Spark-side plumbing — schema, Arrow batch
 shape, ``mapInPandas`` signature, partition sizing — is real and
-tested. PNG decode/resize is REAL too (pure-stdlib codec,
-chiv_spark.formats.png); formats needing native libraries absent from
-this container (JPEG, audio, video) raise ``NotImplementedError`` or
-fall back to a clearly-marked deterministic fake.
+tested. PNG decode/resize is REAL (pure-stdlib codec,
+chiv_spark.formats.png) and so is WAV/PCM16 audio decode since r6
+(chiv_spark.formats.wav — stdlib ``wave`` + struct, sample-exact
+features oracle-verified); formats genuinely needing native libraries
+absent from this container (JPEG, video codecs) raise
+``NotImplementedError`` or fall back to a clearly-marked
+deterministic fake.
 
 At scale: media payloads dominate partition size, so feature
 extraction repartitions by a size-aware key first and processes with
@@ -221,3 +224,103 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+AUDIO_RATE = 16000
+
+
+def synth_audio(ids: DataFrame, rate: int = AUDIO_RATE) -> DataFrame:
+    """Deterministic WAV corpus: for each ``media_id``, REAL PCM16 WAV
+    bytes (RIFF header + frames via the stdlib codec) whose samples
+    are a pure function of (id, t) through the engine's md5-derived
+    hash — so an oracle can reproduce the sample stream in closed
+    form without parsing WAV. n_samples varies by id (800 + (id%5)
+    *160) to exercise variable-length payloads."""
+    from chiv_spark.pyship import ensure_shipped
+
+    ensure_shipped(ids.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        from chiv_spark.formats.wav import encode_wav
+
+        def h64(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def synth(mid: int) -> bytes:
+            n = 800 + (mid % 5) * 160
+            samples = [
+                (h64(f"aud:{mid}:{t}") % 65536) - 32768 for t in range(n)
+            ]
+            return encode_wav(samples, rate)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": pdf["media_id"].map(synth)}
+            )
+
+    return ids.select("media_id").mapInPandas(run, AUDIO_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + feature extraction: each payload's RIFF
+    framing and PCM16 frames are parsed by the stdlib codec on the
+    executors (Arrow-batched mapInPandas), yielding sample-exact
+    integer features (peak amplitude, energy sum) plus duration —
+    the audio analog of the PNG decode path. Any header or sample
+    corruption surfaces as an oracle mismatch, not a silent skip."""
+    from chiv_spark.pyship import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from chiv_spark.formats.wav import decode_wav
+
+        def feats(payload: bytes):
+            rate, _ch, samples = decode_wav(bytes(payload))
+            n = len(samples)
+            return (
+                rate,
+                n,
+                n * 1000 // rate,
+                max((abs(s) for s in samples), default=0),
+                sum(s * s for s in samples),
+            )
+
+        for pdf in batches:
+            rows = [feats(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [r[0] for r in rows],
+                    "n_samples": [r[1] for r in rows],
+                    "duration_ms": [r[2] for r in rows],
+                    "peak": [r[3] for r in rows],
+                    "sum_sq": [r[4] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)

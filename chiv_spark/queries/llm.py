@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from chiv_spark.functions.hashing import duckdb_hash64
 from chiv_spark.operators import dedup, multimodal, similarity, text
 from chiv_spark.queries.base import query, t
 
@@ -729,6 +730,48 @@ def multimodal_meta(spark, sf_dir):
         F.substring(F.md5("payload"), 1, 16).alias("md5_prefix"),
         F.col("meta.media_type").alias("media_type"),
     )
+
+
+@query(
+    "multimodal_audio_features",
+    # closed-form oracle: the WAV samples are a pure hash function of
+    # (id, t), so the oracle reproduces the sample stream with
+    # range+md5 and aggregates — no WAV parsing — while the ENGINE
+    # path round-trips real RIFF/PCM16 bytes through the stdlib
+    # codec on the executors. A header or sample corruption in the
+    # codec surfaces as a value mismatch here.
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, 800 + (doc_id % 5) * 160 AS n
+      FROM documents WHERE doc_id < 100),
+    s AS (
+      SELECT media_id, n,
+             (({duckdb_hash64("'aud:' || media_id::VARCHAR || ':' || r.t::VARCHAR")}
+               % 65536) - 32768) AS s
+      FROM m, UNNEST(range(0, m.n)) AS r(t))
+    SELECT media_id,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq
+    FROM s GROUP BY media_id, n
+    """,
+    doc="REAL audio decode path (the PNG parity for sound): "
+    "deterministic PCM16 WAV payloads are encoded AND decoded with "
+    "the pure-stdlib RIFF codec on the executors (Arrow-batched "
+    "mapInPandas), yielding sample-exact integer features — peak "
+    "amplitude, energy sum, duration. Unlike JPEG (still a "
+    "documented environment limit), WAV needs no native library, so "
+    "the audio tier is no longer a stub",
+)
+def multimodal_audio_features(spark, sf_dir):
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return multimodal.audio_features(multimodal.synth_audio(ids))
 
 
 @query(
