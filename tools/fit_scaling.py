@@ -46,6 +46,11 @@ PLAN: dict[str, tuple[list[str], str]] = {
     # round 6: the two r5 heavy additions with no fitted exponent yet
     "dedup_repeated_ngrams": ([SF01, SF1, PROBE_DIR], "documents"),
     "join_interval_bucketed": ([SF001, SF01, SF1], "events"),
+    # round 6, second batch: the PQ vector search (train+encode+ADC)
+    # and the prefix-filtered containment dedup (the 10x replica is
+    # adversarial for it: every variant group is high-containment)
+    "ann_pq_adc_topk": ([SF01, SF1, PROBE_DIR], "embeddings"),
+    "dedup_ngram_containment": ([SF01, SF1, PROBE_DIR], "documents"),
 }
 
 
