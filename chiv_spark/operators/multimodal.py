@@ -4,10 +4,13 @@ Images/audio/video ride through the engine as ``binary`` columns with
 a typed metadata struct. The Spark-side plumbing — schema, Arrow batch
 shape, ``mapInPandas`` signature, partition sizing — is real and
 tested. PNG decode/resize is REAL (pure-stdlib codec,
-chiv_spark.formats.png) and so is WAV/PCM16 audio decode since r6
+chiv_spark.formats.png), WAV/PCM16 audio decode is REAL since r6
 (chiv_spark.formats.wav — stdlib ``wave`` + struct, sample-exact
-features oracle-verified); formats genuinely needing native libraries
-absent from this container (JPEG, video codecs) raise
+features oracle-verified), and baseline grayscale JPEG is REAL since
+r6 too (chiv_spark.formats.jpeg — pure-Python+numpy: markers,
+canonical Huffman, DC prediction, byte stuffing, dequant + IDCT).
+Formats genuinely needing native libraries absent from this container
+(WebP, progressive/color JPEG, video codecs) raise
 ``NotImplementedError`` or fall back to a clearly-marked
 deterministic fake.
 
@@ -60,15 +63,23 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload to (width, height, channels, raw pixels).
 
     PNG decodes for real via the pure-stdlib codec
-    (chiv_spark.formats.png — zlib inflate + per-spec unfiltering).
-    Other formats (JPEG/WebP/...) need native codecs absent from this
-    container and raise — a documented environment limit, not a stub.
+    (chiv_spark.formats.png — zlib inflate + per-spec unfiltering),
+    and baseline grayscale JPEG decodes for real since r6
+    (chiv_spark.formats.jpeg — markers, canonical Huffman, dequant +
+    IDCT). Remaining formats (WebP, progressive/color JPEG) raise —
+    a documented limit, not a stub.
     """
+    from chiv_spark.formats.jpeg import decode_jpeg, is_jpeg
     from chiv_spark.formats.png import decode_png, is_png
 
     if is_png(payload):
         return decode_png(payload)
-    raise NotImplementedError("only PNG decodes here; JPEG/WebP need native codecs")
+    if is_jpeg(payload):
+        px = decode_jpeg(payload)
+        return px.shape[1], px.shape[0], 1, px.tobytes()
+    raise NotImplementedError(
+        "PNG and baseline grayscale JPEG decode here; WebP/progressive need native codecs"
+    )
 
 
 def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -324,3 +335,70 @@ def audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+JPEG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.LongType()),
+        T.StructField("px_max", T.LongType()),
+    ]
+)
+
+
+def jpeg_roundtrip_features(ids: DataFrame, blocks: int = 4) -> DataFrame:
+    """REAL JPEG encode→decode on the executors: per media_id, a
+    32×32 grayscale image of uniform 8×8 blocks (block values are an
+    EVEN-valued pure hash function of (id, bx, by) — even keeps the
+    quantized DC exactly representable, so the lossy codec is
+    value-exact on these inputs and a closed-form oracle can verify
+    the decoded pixels). The full baseline bitstream is exercised:
+    markers, DHT canonical Huffman, DC prediction across blocks,
+    byte stuffing, dequant + IDCT."""
+    from chiv_spark.pyship import ensure_shipped
+
+    ensure_shipped(ids.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        from chiv_spark.formats.jpeg import decode_jpeg, encode_jpeg
+
+        def h64(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def one(mid: int):
+            img = np.zeros((blocks * 8, blocks * 8), dtype=np.uint8)
+            for by in range(blocks):
+                for bx in range(blocks):
+                    v = 2 * (h64(f"jpg:{mid}:{bx}:{by}") % 128)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+            dec = decode_jpeg(encode_jpeg(img))
+            return (
+                dec.shape[1],
+                dec.shape[0],
+                int(dec.astype(np.int64).sum()),
+                int(dec.min()),
+                int(dec.max()),
+            )
+
+        for pdf in batches:
+            rows = [one(int(m)) for m in pdf["media_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "px_sum": [r[2] for r in rows],
+                    "px_min": [r[3] for r in rows],
+                    "px_max": [r[4] for r in rows],
+                }
+            )
+
+    return ids.select("media_id").mapInPandas(run, JPEG_FEATURE_SCHEMA)

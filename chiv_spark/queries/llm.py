@@ -775,6 +775,48 @@ def multimodal_audio_features(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_features",
+    # closed-form oracle: block values are even-valued hash functions
+    # of (id, bx, by), and on even uniform blocks the flat-Q baseline
+    # codec is value-EXACT (quantized DC = (v-128)/2 exactly, 0.5
+    # from every float rounding boundary) — so the oracle verifies
+    # the decoded pixels without modeling DCT/Huffman at all. Any
+    # bitstream, DC-prediction, or IDCT defect surfaces as a value
+    # mismatch.
+    f"""
+    WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 50),
+    b AS (
+      SELECT media_id,
+             2 * ({duckdb_hash64(
+                 "'jpg:' || media_id::VARCHAR || ':' || bx.x::VARCHAR"
+                 " || ':' || by.y::VARCHAR")} % 128) AS v
+      FROM m, UNNEST(range(0, 4)) AS bx(x), UNNEST(range(0, 4)) AS by(y))
+    SELECT media_id,
+           CAST(32 AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           CAST(64 * SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM b GROUP BY media_id
+    """,
+    doc="REAL JPEG decode path — the last multimodal stub closed: a "
+    "pure-Python+numpy baseline JFIF codec (markers, canonical "
+    "Huffman DHT, zigzag, DC prediction, byte stuffing, dequant + "
+    "orthonormal IDCT) encodes AND decodes grayscale images on the "
+    "executors in Arrow-batched mapInPandas. Inputs are even-valued "
+    "uniform blocks where flat-Q baseline JPEG is value-exact, so "
+    "decoded pixel features hash-match a closed-form oracle",
+)
+def multimodal_jpeg_features(spark, sf_dir):
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return multimodal.jpeg_roundtrip_features(ids)
+
+
+@query(
     "pandas_udaf_lang_profile",
     """
     SELECT lang,
