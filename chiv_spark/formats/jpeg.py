@@ -6,9 +6,10 @@ container format is markers + canonical Huffman + zigzag + quantized
 DCT blocks, all implementable with stdlib ``struct`` and a numpy
 matrix multiply for the (I)DCT.
 
-Scope: single-component (grayscale) baseline sequential DCT, 8-bit
-precision, one quantization table, own Huffman tables embedded in the
-stream's DHT segments (fixed-length canonical codes — valid JPEG,
+Scope: baseline sequential DCT, 8-bit precision, one or three
+components at 4:4:4 (grayscale, or JFIF YCbCr planes — no RGB
+transform here), one quantization table, own Huffman tables embedded
+in the stream's DHT segments (fixed-length canonical codes — valid JPEG,
 chosen for implementation clarity over compression ratio). The
 decoder implements the general baseline entropy/coefficient path (DC
 prediction, run/size AC coding, EOB/ZRL, byte stuffing), not just
@@ -152,12 +153,56 @@ def is_jpeg(payload: bytes) -> bool:
     return len(payload) >= 2 and payload[:2] == b"\xff\xd8"
 
 
+def _encode_block(bw: _BitWriter, block: np.ndarray, prev_dc: int) -> int:
+    """DCT->quantize->entropy-code one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    coef = _C @ block @ _C.T
+    zz = np.array([coef[r, c] for r, c in _ZZ])
+    qz = np.floor(zz / QTABLE + 0.5).astype(np.int64)
+    diff = int(qz[0]) - prev_dc
+    s, bits = _magnitude_bits(diff)
+    code, ln = _DC_ENC[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(qz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _AC_ENC[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s, bits = _magnitude_bits(v)
+        code, ln = _AC_ENC[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        run = 0
+    if run:
+        code, ln = _AC_ENC[0x00]
+        bw.write(code, ln)
+    return int(qz[0])
+
+
 def encode_jpeg(img: np.ndarray) -> bytes:
-    """Grayscale 8-bit image (H×W uint8, H and W multiples of 8) to
-    baseline JFIF bytes."""
-    h, w = img.shape
+    """8-bit image to baseline JFIF bytes.
+
+    ``img`` is H×W uint8 (grayscale, 1 component) or H×W×3 uint8
+    (color, three 4:4:4 components in JFIF YCbCr plane order —
+    callers pass YCbCr planes; no RGB transform happens here). H and
+    W must be multiples of 8."""
+    if img.ndim == 2:
+        planes = [img]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        planes = [img[:, :, i] for i in range(3)]
+    else:
+        raise ValueError("jpeg: expected HxW or HxWx3 uint8")
+    h, w = planes[0].shape
     if h % 8 or w % 8:
         raise ValueError("jpeg: dimensions must be multiples of 8")
+    ncomp = len(planes)
     out = bytearray(b"\xff\xd8")  # SOI
 
     def seg(marker: int, body: bytes) -> None:
@@ -166,51 +211,30 @@ def encode_jpeg(img: np.ndarray) -> bytes:
 
     # DQT: Pq=0 (8-bit) Tq=0, 64 bytes in zigzag order (flat -> same)
     seg(0xDB, bytes([0x00]) + bytes(int(QTABLE[i]) for i in range(64)))
-    # SOF0: precision 8, 1 component (id 1, H=V=1, Tq=0)
-    seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    # DHT: DC table 0 then AC table 0
+    # SOF0: precision 8; every component H=V=1 (4:4:4), shared Tq=0
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC0, sof)
+    # DHT: DC table 0 then AC table 0 (shared by all components)
     seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMS))
     seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMS))
-    # SOS: 1 component, Td=0 Ta=0, Ss=0 Se=63 Ah=Al=0
-    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # SOS: every component Td=0 Ta=0; Ss=0 Se=63 Ah=Al=0
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    seg(0xDA, sos + bytes([0, 63, 0]))
 
     bw = _BitWriter()
-    q = QTABLE.reshape(1, 64)
-    prev_dc = 0
-    lvl = img.astype(np.float64) - 128.0
+    lvls = [p.astype(np.float64) - 128.0 for p in planes]
+    prev = [0] * ncomp
+    # 4:4:4 interleave: each MCU is one block per component in order
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            block = lvl[by : by + 8, bx : bx + 8]
-            coef = _C @ block @ _C.T
-            zz = np.array([coef[r, c] for r, c in _ZZ]).reshape(1, 64)
-            qz = np.floor(zz / q + 0.5).astype(np.int64).ravel()
-            # DC
-            diff = int(qz[0]) - prev_dc
-            prev_dc = int(qz[0])
-            s, bits = _magnitude_bits(diff)
-            code, ln = _DC_ENC[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(bits, s)
-            # AC run/size
-            run = 0
-            for k in range(1, 64):
-                v = int(qz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = _AC_ENC[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                s, bits = _magnitude_bits(v)
-                code, ln = _AC_ENC[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(bits, s)
-                run = 0
-            if run:
-                code, ln = _AC_ENC[0x00]
-                bw.write(code, ln)
+            for ci in range(ncomp):
+                prev[ci] = _encode_block(
+                    bw, lvls[ci][by : by + 8, bx : bx + 8], prev[ci]
+                )
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
@@ -246,15 +270,17 @@ class _HuffDecoder:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline grayscale JFIF bytes back to an H×W uint8 array."""
+    """Baseline JFIF bytes back to uint8 pixels: H×W for a single
+    component, H×W×3 for 4:4:4 three-component (JFIF YCbCr plane
+    order, returned untransformed)."""
     if not is_jpeg(payload):
         raise ValueError("jpeg: missing SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     h = w = 0
-    comp_tq = 0
-    dc_id = ac_id = 0
+    comp_tq: list[int] = []
+    scan_tables: list[tuple[int, int]] = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -276,11 +302,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 65
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
-                raise NotImplementedError("jpeg: only 8-bit grayscale baseline")
-            if body[7] != 0x11:
-                raise NotImplementedError("jpeg: subsampling unsupported")
-            comp_tq = body[8]
+            if prec != 8 or ncomp not in (1, 3):
+                raise NotImplementedError("jpeg: 8-bit 1- or 3-component baseline only")
+            comp_tq = []
+            for ci in range(ncomp):
+                if body[7 + 3 * ci] != 0x11:
+                    raise NotImplementedError("jpeg: subsampling unsupported (4:4:4 only)")
+                comp_tq.append(body[8 + 3 * ci])
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("jpeg: only baseline sequential (SOF0)")
         elif marker == 0xC4:
@@ -293,47 +321,54 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff[(tc, th)] = _HuffDecoder(bits, syms)
                 i += 17 + n
         elif marker == 0xDA:
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            scan_tables = [
+                (body[2 + 2 * ci] >> 4, body[2 + 2 * ci] & 0xF) for ci in range(ns)
+            ]
             pos += ln
             break
         pos += ln
     else:
         raise ValueError("jpeg: no SOS segment")
 
+    ncomp = len(comp_tq)
     # entropy data runs until the EOI marker (no restart markers here)
     end = payload.rfind(b"\xff\xd9")
     br = _BitReader(payload[pos:end])
-    dch = huff[(0, dc_id)]
-    ach = huff[(1, ac_id)]
-    q = qtables[comp_tq].astype(np.float64)
-    out = np.zeros((h, w), dtype=np.uint8)
-    prev_dc = 0
+    planes = [np.zeros((h, w), dtype=np.uint8) for _ in range(ncomp)]
+    prev = [0] * ncomp
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            zz = np.zeros(64)
-            s = dch.decode(br)
-            diff = _extend(br.read_bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc * q[0]
-            k = 1
-            while k < 64:
-                sym = ach.decode(br)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("jpeg: AC index overflow")
-                zz[k] = _extend(br.read_bits(size), size) * q[k]
-                k += 1
-            coef = np.zeros((8, 8))
-            for idx, (r, c) in enumerate(_ZZ):
-                coef[r, c] = zz[idx]
-            block = _C.T @ coef @ _C + 128.0
-            out[by : by + 8, bx : bx + 8] = np.clip(
-                np.floor(block + 0.5), 0, 255
-            ).astype(np.uint8)
-    return out
+            for ci in range(ncomp):
+                dch = huff[(0, scan_tables[ci][0])]
+                ach = huff[(1, scan_tables[ci][1])]
+                q = qtables[comp_tq[ci]].astype(np.float64)
+                zz = np.zeros(64)
+                s = dch.decode(br)
+                diff = _extend(br.read_bits(s), s) if s else 0
+                prev[ci] += diff
+                zz[0] = prev[ci] * q[0]
+                k = 1
+                while k < 64:
+                    sym = ach.decode(br)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("jpeg: AC index overflow")
+                    zz[k] = _extend(br.read_bits(size), size) * q[k]
+                    k += 1
+                coef = np.zeros((8, 8))
+                for idx, (r, c) in enumerate(_ZZ):
+                    coef[r, c] = zz[idx]
+                block = _C.T @ coef @ _C + 128.0
+                planes[ci][by : by + 8, bx : bx + 8] = np.clip(
+                    np.floor(block + 0.5), 0, 255
+                ).astype(np.uint8)
+    if ncomp == 1:
+        return planes[0]
+    return np.stack(planes, axis=2)

@@ -76,9 +76,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_png(payload)
     if is_jpeg(payload):
         px = decode_jpeg(payload)
-        return px.shape[1], px.shape[0], 1, px.tobytes()
+        ch = 1 if px.ndim == 2 else px.shape[2]
+        return px.shape[1], px.shape[0], ch, px.tobytes()
     raise NotImplementedError(
-        "PNG and baseline grayscale JPEG decode here; WebP/progressive need native codecs"
+        "PNG and baseline JPEG (grayscale + 4:4:4 color) decode here; "
+        "WebP/progressive/subsampled need native codecs"
     )
 
 

@@ -64,3 +64,29 @@ class TestJpegCodec:
         w, h, ch, raw = decode_image(encode_jpeg(img))
         assert (w, h, ch) == (16, 8, 1)
         assert raw == bytes([200]) * 128
+
+
+class TestColorJpeg:
+    def test_color_even_uniform_identity(self):
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[..., 0], img[..., 1], img[..., 2] = 100, 60, 220
+        img[8:, :, 0] = 40  # second MCU row changes Y: per-comp DC pred
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (16, 16, 3)
+        assert (dec == img).all()
+
+    def test_color_random_roundtrip_is_lossy_but_close(self):
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 32
+
+    def test_color_vs_grayscale_planes_agree(self):
+        # each color plane must decode exactly as it would alone
+        rng = np.random.RandomState(4)
+        img = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        for c in range(3):
+            solo = decode_jpeg(encode_jpeg(img[:, :, c]))
+            assert (dec[:, :, c] == solo).all()
