@@ -9,10 +9,12 @@ chiv_spark.formats.png), WAV/PCM16 audio decode is REAL since r6
 features oracle-verified), and baseline grayscale JPEG is REAL since
 r6 too (chiv_spark.formats.jpeg — pure-Python+numpy: markers,
 canonical Huffman, DC prediction, byte stuffing, dequant + IDCT).
-Formats genuinely needing native libraries absent from this container
-(WebP, progressive/color JPEG, video codecs) raise
-``NotImplementedError`` or fall back to a clearly-marked
-deterministic fake.
+Baseline JPEG covers 4:4:4 color too, and the video modality decodes
+for real via animated GIF89a (chiv_spark.formats.gif — true
+variable-width LZW). Formats genuinely needing native libraries
+absent from this container (WebP, progressive/subsampled JPEG,
+H.264-class video codecs) raise ``NotImplementedError`` or fall back
+to a clearly-marked deterministic fake.
 
 At scale: media payloads dominate partition size, so feature
 extraction repartitions by a size-aware key first and processes with
@@ -404,3 +406,68 @@ def jpeg_roundtrip_features(ids: DataFrame, blocks: int = 4) -> DataFrame:
             )
 
     return ids.select("media_id").mapInPandas(run, JPEG_FEATURE_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("first_px", T.LongType()),
+        T.StructField("last_px", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def gif_frame_features(ids: DataFrame, n_frames: int = 4, w: int = 16, h: int = 12) -> DataFrame:
+    """REAL animated-GIF round trip on the executors — the video
+    modality's decode path: per media_id a multi-frame GIF89a is
+    encoded (real LZW, block framing) and decoded back, one output
+    row per frame. Frame f's pixel p is ``(v + p) % 256`` with
+    ``v = hash(id, f) % 256`` — a ramp, so the LZW actually
+    compresses structure and a closed-form oracle can verify every
+    decoded pixel's sum without parsing GIF."""
+    from chiv_spark.pyship import ensure_shipped
+
+    ensure_shipped(ids.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        from chiv_spark.formats.gif import decode_gif, encode_gif
+
+        def h64(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        npx = w * h
+
+        def one(mid: int):
+            frames = []
+            for f in range(n_frames):
+                v = h64(f"gif:{mid}:{f}") % 256
+                frames.append(bytes((v + p) % 256 for p in range(npx)))
+            _, _, _, dec = decode_gif(encode_gif(frames, w, h))
+            rows = []
+            for f, fr in enumerate(dec):
+                rows.append(
+                    (mid, f, len(fr), fr[0], fr[-1], sum(fr))
+                )
+            return rows
+
+        for pdf in batches:
+            rows = [r for m in pdf["media_id"] for r in one(int(m))]
+            yield _pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "frame_index": [r[1] for r in rows],
+                    "n_px": [r[2] for r in rows],
+                    "first_px": [r[3] for r in rows],
+                    "last_px": [r[4] for r in rows],
+                    "px_sum": [r[5] for r in rows],
+                }
+            )
+
+    return ids.select("media_id").mapInPandas(run, GIF_FRAME_SCHEMA)

@@ -817,6 +817,47 @@ def multimodal_jpeg_features(spark, sf_dir):
 
 
 @query(
+    "multimodal_gif_frames",
+    # closed-form oracle: frame pixels are (v+p) % 256 ramps with
+    # v = hash(id, frame) % 256, so per-frame features come from a
+    # range-unnest + modular arithmetic — no GIF parsing — while the
+    # ENGINE round-trips real LZW-compressed GIF89a bytes. Any LZW,
+    # framing, or sub-block defect surfaces as a value mismatch.
+    f"""
+    WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 60),
+    fr AS (
+      SELECT media_id, CAST(f.f AS INT) AS frame_index,
+             ({duckdb_hash64(
+                 "'gif:' || media_id::VARCHAR || ':' || f.f::VARCHAR")} % 256) AS v
+      FROM m, UNNEST(range(0, 4)) AS f(f)),
+    px AS (
+      SELECT media_id, frame_index, v, ((v + p.p) % 256) AS px
+      FROM fr, UNNEST(range(0, 192)) AS p(p))
+    SELECT media_id, frame_index,
+           CAST(192 AS BIGINT) AS n_px,
+           CAST(v AS BIGINT) AS first_px,
+           CAST((v + 191) % 256 AS BIGINT) AS last_px,
+           CAST(SUM(px) AS BIGINT) AS px_sum
+    FROM px GROUP BY media_id, frame_index, v
+    """,
+    doc="REAL video-modality decode via animated GIF89a: per media a "
+    "4-frame GIF is encoded AND decoded on the executors with the "
+    "pure-stdlib LZW codec (variable-width codes, CLEAR/END, "
+    "dictionary growth, sub-block framing), one row per decoded "
+    "frame with pixel-exact integer features hash-matched against a "
+    "closed-form oracle. True video codecs (H.264 etc.) remain the "
+    "documented environment limit; GIF needs none",
+)
+def multimodal_gif_frames(spark, sf_dir):
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return multimodal.gif_frame_features(ids)
+
+
+@query(
     "pandas_udaf_lang_profile",
     """
     SELECT lang,
