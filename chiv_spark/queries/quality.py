@@ -514,3 +514,49 @@ def quality_k_anonymity(spark, sf_dir):
         (F.col("group_size") < 5).alias("below_k5"),
         F.col("corpus_k").cast("long").alias("corpus_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# quality_l_diversity — the k-anonymity companion
+
+
+@query(
+    "quality_l_diversity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS group_size,
+             COUNT(DISTINCT c_acctbal > 0) AS l_acct_sign
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    corpus AS (SELECT MIN(l_acct_sign) AS corpus_l FROM g)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(group_size AS BIGINT) AS group_size,
+           CAST(l_acct_sign AS BIGINT) AS l_acct_sign,
+           (l_acct_sign < 2) AS homogeneous,
+           CAST(corpus_l AS BIGINT) AS corpus_l
+    FROM g, corpus
+    """,
+    doc="l-diversity audit — the k-anonymity companion closing the "
+    "homogeneity attack: a QI class can be large (k-safe) yet leak "
+    "the sensitive attribute when every member shares one value. "
+    "Per (nationkey, segment) class: size, the count of DISTINCT "
+    "sensitive values (account-balance sign as the demo attribute), "
+    "a homogeneity flag (l < 2 means the class reveals the "
+    "attribute outright), and the corpus-wide l. Same shape as the "
+    "k audit: one QI hash agg + a 1-row min broadcast",
+)
+def quality_l_diversity(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(F.col("c_acctbal") > 0).alias("l_acct_sign"),
+    )
+    corpus = g.agg(F.min("l_acct_sign").alias("corpus_l"))
+    return g.join(F.broadcast(corpus)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("l_acct_sign").cast("long").alias("l_acct_sign"),
+        (F.col("l_acct_sign") < 2).alias("homogeneous"),
+        F.col("corpus_l").cast("long").alias("corpus_l"),
+    )

@@ -615,3 +615,86 @@ def stats_benford_digits(spark, sf_dir):
         det_round(bp).alias("benford_p"),
         det_round(chi2).alias("chi2_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# stats_mann_whitney — rank-sum test on the bounded distinct-value table
+
+
+@query(
+    "stats_mann_whitney",
+    f"""
+    WITH cnt AS (
+      SELECT value,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      GROUP BY value),
+    ranked AS (
+      SELECT ca, cb, ca + cb AS t,
+             SUM(ca + cb) OVER (ORDER BY value
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM cnt),
+    contrib AS (
+      -- average rank of a tie group ending at cumulative position cum
+      -- with t members is (2*cum - t + 1) / 2; ride 2x-scaled integers
+      SELECT ca, cb, (2 * cum - t + 1) AS double_rank
+      FROM ranked),
+    agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(SUM(ca * double_rank) AS BIGINT) AS double_rank_sum_a
+      FROM contrib)
+    SELECT n_a, n_b,
+           {duckdb_det_round(
+               "(CAST(double_rank_sum_a AS DOUBLE) / 2.0"
+               " - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0)")} AS u_a
+    FROM agg
+    """,
+    doc="Mann-Whitney U (rank-sum) statistic comparing click vs "
+    "purchase value distributions — the nonparametric location test "
+    "completing the pair with stats_ks_test. Tie-corrected average "
+    "ranks come from ONE running sum over the DISTINCT-VALUE table "
+    "(bounded by value cardinality, the corpus only sees one hash "
+    "agg): a tie group of size t ending at cumulative count c has "
+    "average rank (2c - t + 1)/2, carried as 2x-scaled integers so "
+    "every rank sum is exact — the single IEEE division happens "
+    "once at the end",
+)
+def stats_mann_whitney(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    cnt = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    w_run = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tt = F.col("ca") + F.col("cb")
+    ranked = cnt.select(
+        "ca",
+        "cb",
+        (2 * F.sum(tt).over(w_run) - tt + 1).alias("double_rank"),
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("double_rank")).cast("long").alias("drs"),
+    )
+    u_a = (
+        F.col("drs").cast("double") / 2.0
+        - F.col("n_a").cast("double") * (F.col("n_a") + 1) / 2.0
+    )
+    return agg.select("n_a", "n_b", det_round(u_a).alias("u_a"))
