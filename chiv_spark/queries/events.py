@@ -1330,3 +1330,100 @@ def events_bot_entropy(spark, sf_dir):
             "suspected_bot",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_ab_test_uplift
+
+
+@query(
+    "events_ab_test_uplift",
+    """
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN (('0x' || substring(md5('exp1:' || user_id::VARCHAR), 1, 15))::BIGINT)
+                       % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)),
+    conv AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING COUNT(*) >= 15),
+    arms AS (
+      SELECT a.arm,
+             COUNT(*) AS n_users,
+             COUNT(c.user_id) AS n_converted
+      FROM assigned a LEFT JOIN conv c USING (user_id)
+      GROUP BY a.arm),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+        MAX(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+        MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+        MAX(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+      FROM arms)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           (FLOOR((CAST(cb AS DOUBLE)/nb - CAST(ca AS DOUBLE)/na) * 1000000.0 + 0.5)
+             / 1000000.0) AS uplift,
+           (FLOOR(((CAST(cb AS DOUBLE)/nb - CAST(ca AS DOUBLE)/na)
+             / SQRT((CAST(ca+cb AS DOUBLE)/(na+nb)) * (1 - CAST(ca+cb AS DOUBLE)/(na+nb))
+                    * (1.0/na + 1.0/nb))) * 1000000.0 + 0.5) / 1000000.0) AS z_score
+    FROM wide
+    """,
+    doc="A/B experiment readout, end to end: users assigned to arms "
+    "by STABLE HASH fate (exp-salted, RNG-free — the assignment is "
+    "reproducible across engines, re-runs and clusters, which is "
+    "the property real experimentation platforms need), per-arm "
+    "distinct-converter counts via one left-semi-shaped join, and "
+    "the two-proportion pooled z-score computed from exact integer "
+    "counts (sqrt is correctly-rounded; single IEEE expression). "
+    "Two user-keyed hash aggs + a 2-row pivot — nothing here "
+    "scales with event volume beyond the first distinct",
+)
+def events_ab_test_uplift(spark, sf_dir):
+    from chiv_spark.functions.hashing import hash64
+
+    e = t(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    arm = F.when(
+        hash64(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))) % 2 == 0,
+        "A",
+    ).otherwise("B")
+    # conversion = heavy purchaser (>= 15 purchases): a rate that
+    # splits both arms at every SF — 'any purchase' saturates at 100%
+    # in this dataset, collapsing the pooled variance to zero
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+        .filter(F.col("n_p") >= 15)
+        .select("user_id", F.lit(1).alias("converted"))
+    )
+    arms = (
+        users.withColumn("arm", arm)
+        .join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("converted").alias("n_converted"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    na, ca, nb, cb = (F.col(c).cast("double") for c in ("na", "ca", "nb", "cb"))
+    pool = (ca + cb) / (na + nb)
+    uplift = cb / nb - ca / na
+    z = uplift / F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    from chiv_spark.functions.detmath import det_round
+
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").cast("long").alias("conv_b"),
+        det_round(uplift).alias("uplift"),
+        det_round(z).alias("z_score"),
+    )

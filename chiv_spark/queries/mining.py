@@ -710,3 +710,83 @@ def text_zipf_slope(spark, sf_dir):
     return fit.select(
         F.col("k").cast("long").alias("n_ranks"), det_round(slope).alias("zipf_slope")
     )
+
+
+# --------------------------------------------------------------------------
+# orders_market_basket — association rules over order baskets
+
+
+@query(
+    "orders_market_basket",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2),
+    scored AS (
+      SELECT part_a, part_b, n_pair,
+             CAST(n_pair AS DOUBLE) * n.n / (ia.n_item * ib.n_item) AS lift
+      FROM pair
+      JOIN item ia ON ia.l_partkey = part_a
+      JOIN item ib ON ib.l_partkey = part_b
+      CROSS JOIN n_orders n),
+    ranked AS (
+      SELECT part_a, part_b, n_pair, lift,
+             ROW_NUMBER() OVER (ORDER BY lift DESC, part_a, part_b) AS rk
+      FROM scored)
+    SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
+           {duckdb_det_round("lift")} AS lift
+    FROM ranked WHERE rk <= 100
+    """,
+    doc="market-basket association mining over order baskets: part "
+    "pairs co-occurring in >= 2 orders, scored by LIFT "
+    "(P(a,b)/(P(a)P(b)) = n_ab*N/(n_a*n_b)) and top-100 ranked — "
+    "the recommender/cross-sell primitive. The pair join is keyed "
+    "on the ORDER (co-located, bounded by basket-size^2 per order, "
+    "never parts^2); item supports broadcast back onto the "
+    "pair-level relation; lift is one exact-integer ratio so the "
+    "ranking is engine-identical. At 100 TB the same shape holds — "
+    "the support threshold (and a basket-size cap for pathological "
+    "orders) are the dials",
+)
+def orders_market_basket(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    scored = (
+        pair.join(
+            F.broadcast(item.select(F.col("l_partkey").alias("part_a"),
+                                    F.col("n_item").alias("na"))), "part_a")
+        .join(
+            F.broadcast(item.select(F.col("l_partkey").alias("part_b"),
+                                    F.col("n_item").alias("nb"))), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .withColumn(
+            "lift",
+            F.col("n_pair").cast("double") * F.col("n") / (F.col("na") * F.col("nb")),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), "part_a", "part_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select(
+            "part_a", "part_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            det_round(F.col("lift")).alias("lift"),
+        )
+    )
