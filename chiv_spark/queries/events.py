@@ -1427,3 +1427,119 @@ def events_ab_test_uplift(spark, sf_dir):
         det_round(uplift).alias("uplift"),
         det_round(z).alias("z_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_revenue_period_over_period
+
+
+@query(
+    "events_revenue_period_over_period",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1)
+    SELECT day,
+           (CAST(cents AS DOUBLE) / 100.0) AS revenue,
+           (CAST(cents - LAG(cents) OVER (ORDER BY day) AS DOUBLE) / 100.0)
+             AS dod_delta,
+           (CAST(cents - LAG(cents, 7) OVER (ORDER BY day) AS DOUBLE) / 100.0)
+             AS wow_delta
+    FROM daily
+    """,
+    doc="period-over-period revenue: daily purchase revenue with "
+    "day-over-day and week-over-week deltas — the BI dashboard "
+    "staple. The lag windows run on the DAY-AGGREGATED table "
+    "(calendar-bounded, a few hundred rows at any corpus size), "
+    "never on events; revenue rides integer cents so the deltas are "
+    "exact. NULL deltas for the warm-up days, not dropped rows",
+)
+def events_revenue_period_over_period(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        ((F.col("cents") - F.lag("cents").over(w)).cast("double") / 100.0).alias(
+            "dod_delta"
+        ),
+        ((F.col("cents") - F.lag("cents", 7).over(w)).cast("double") / 100.0).alias(
+            "wow_delta"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_funnel_windowed
+
+
+@query(
+    "events_funnel_windowed",
+    """
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    fc AS (
+      SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > fv.first_view
+        AND e.ts <= fv.first_view + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN fc ON e.user_id = fc.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > fc.first_click
+        AND e.ts <= fc.first_click + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM fv) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM fc) AS BIGINT) AS n_clicked_7d,
+           CAST((SELECT COUNT(*) FROM fp) AS BIGINT) AS n_purchased_7d
+    """,
+    doc="conversion-window funnel — the realistic variant of "
+    "events_funnel: each stage must follow the previous one WITHIN "
+    "7 days (first view -> first qualifying click -> first "
+    "qualifying purchase), so stale conversions do not count. Three "
+    "chained user-keyed aggregates, each joining the previous "
+    "stage's 1-row-per-user table back onto events (user-keyed "
+    "shuffle, AQE-broadcastable); no windows over event history",
+)
+def events_funnel_windowed(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(
+            (F.col("ts") > F.col("first_view"))
+            & (F.col("ts") <= F.col("first_view") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(
+            (F.col("ts") > F.col("first_click"))
+            & (F.col("ts") <= F.col("first_click") + week)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        fv.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
+        .crossJoin(fc.agg(F.count(F.lit(1)).cast("long").alias("n_clicked_7d")))
+        .crossJoin(fp.agg(F.count(F.lit(1)).cast("long").alias("n_purchased_7d")))
+    )
