@@ -610,3 +610,94 @@ def join_asof_forward(spark, sf_dir):
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("ts"),
         ).alias("secs_to_convert"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_asof_nearest — closest match in either direction
+
+
+@query(
+    "join_asof_nearest",
+    """
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('purchase', 'click')),
+    marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+               OVER wb AS b_id,
+             last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+               OVER wb AS b_us,
+             first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+               OVER wf AS f_id,
+             first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+               OVER wf AS f_us
+      FROM tagged
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+           CASE WHEN b_us IS NULL THEN f_id
+                WHEN f_us IS NULL THEN b_id
+                WHEN epoch_us(ts) - b_us <= f_us - epoch_us(ts) THEN b_id
+                ELSE f_id END AS purchase_id,
+           CASE WHEN b_us IS NULL THEN f_us - epoch_us(ts)
+                WHEN f_us IS NULL THEN epoch_us(ts) - b_us
+                WHEN epoch_us(ts) - b_us <= f_us - epoch_us(ts)
+                THEN epoch_us(ts) - b_us
+                ELSE f_us - epoch_us(ts) END AS abs_gap_us
+    FROM marked WHERE event_type = 'click'
+    """,
+    doc="NEAREST as-of join — the third direction completing the "
+    "family (backward join_asof, forward join_asof_forward): each "
+    "click matched to its closest purchase in EITHER direction by "
+    "absolute event-time gap, ties to the earlier (backward) "
+    "purchase. One window pass computes both candidates — a running "
+    "last over the preceding frame and a running first over the "
+    "following frame share ONE user-keyed sort/exchange — then the "
+    "pick is exact integer micro arithmetic. No range join, no "
+    "second shuffle; NULL-side clicks fall back to the surviving "
+    "direction",
+)
+def join_asof_nearest(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    p_us = F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+    m = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.last(p_id, ignorenulls=True).over(wb).alias("b_id"),
+        F.last(p_us, ignorenulls=True).over(wb).alias("b_us"),
+        F.first(p_id, ignorenulls=True).over(wf).alias("f_id"),
+        F.first(p_us, ignorenulls=True).over(wf).alias("f_us"),
+    )
+    back_gap = F.col("us") - F.col("b_us")
+    fwd_gap = F.col("f_us") - F.col("us")
+    pick_back = F.when(F.col("b_us").isNull(), F.lit(False)).otherwise(
+        F.col("f_us").isNull() | (back_gap <= fwd_gap)
+    )
+    return m.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("purchase_id"),
+        F.when(pick_back, back_gap).otherwise(fwd_gap).alias("abs_gap_us"),
+    )

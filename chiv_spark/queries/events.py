@@ -1543,3 +1543,141 @@ def events_funnel_windowed(spark, sf_dir):
         .crossJoin(fc.agg(F.count(F.lit(1)).cast("long").alias("n_clicked_7d")))
         .crossJoin(fp.agg(F.count(F.lit(1)).cast("long").alias("n_purchased_7d")))
     )
+
+
+# --------------------------------------------------------------------------
+# events_attribution_multi_touch
+
+
+@query(
+    "events_attribution_multi_touch",
+    """
+    WITH purch AS (
+      SELECT user_id, event_id AS pid, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, event_type AS t_type, epoch_us(ts) AS t_us
+      FROM events WHERE event_type IN ('click', 'view')),
+    pairs AS (
+      SELECT p.pid, t.t_type
+      FROM purch p JOIN touch t
+        ON p.user_id = t.user_id
+       AND t.t_us < p.p_us
+       AND t.t_us >= p.p_us - 604800000000),
+    per_p AS (
+      SELECT pid, t_type, COUNT(*) AS cnt,
+             SUM(COUNT(*)) OVER (PARTITION BY pid) AS n_touch
+      FROM pairs GROUP BY pid, t_type)
+    SELECT t_type AS touch_type,
+           CAST(n_touch AS BIGINT) AS n_touch,
+           CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+           (FLOOR(CAST(SUM(cnt) AS DOUBLE) / n_touch * 1000000.0 + 0.5)
+             / 1000000.0) AS credit
+    FROM per_p GROUP BY t_type, n_touch
+    """,
+    doc="multi-touch (linear-credit) attribution: every purchase "
+    "splits one unit of credit equally across ALL its touches in "
+    "the trailing 7 days — the fractional model completing the "
+    "first/last-touch pair. The oracle states the textbook range "
+    "join; the engine EXPLODES each purchase into the 8 day-buckets "
+    "its window covers and equi-joins touches on (user, day) with a "
+    "residual time filter — the join_interval_bucketed trick, so "
+    "the plan is a hash join keyed by (user, day), linear and "
+    "skew-spread, never a nested loop. Credit is grouped by "
+    "(touch_type, touches-per-purchase) with ONE division per "
+    "output row — integer pair counts are the hash-compared "
+    "payload, no float accumulation anywhere",
+)
+def events_attribution_multi_touch(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    week_us = 7 * day_us
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    cov = purch.select(
+        "user_id",
+        "pid",
+        "p_us",
+        F.explode(
+            F.sequence(
+                (F.col("p_us") / day_us).cast("long") - 7,
+                (F.col("p_us") / day_us).cast("long"),
+            )
+        ).alias("day"),
+    )
+    touch = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("t_type"),
+        F.unix_micros("ts").alias("t_us"),
+        (F.unix_micros("ts") / day_us).cast("long").alias("day"),
+    )
+    pairs = cov.join(touch, ["user_id", "day"]).filter(
+        (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - week_us)
+    )
+    per_p = (
+        pairs.groupBy("pid", "t_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("n_touch", F.sum("cnt").over(Window.partitionBy("pid")))
+    )
+    from chiv_spark.functions.detmath import det_round
+
+    return per_p.groupBy(
+        F.col("t_type").alias("touch_type"),
+        F.col("n_touch").cast("long").alias("n_touch"),
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        det_round(
+            F.sum("cnt").cast("double") / F.first("n_touch")
+        ).alias("credit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_entry_path_analysis
+
+
+@query(
+    "events_entry_path_analysis",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS entry_path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id)
+    SELECT entry_path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY entry_path
+    """,
+    doc="entry-path analysis: each user's first three event types as "
+    "an ordered path string, counted across the user base — the "
+    "onboarding-flow question every product team asks. One "
+    "user-keyed window pass bounded to rank 3 (at scale, pre-filter "
+    "with a min-ts semi join so only each user's head ever sorts), "
+    "then a |types|^3-bounded hash agg. Ordering is total via the "
+    "unique (ts, event_id) key, so the path strings are "
+    "deterministic across engines",
+)
+def events_entry_path_analysis(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("entry_path")
+    )
+    return paths.groupBy("entry_path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
