@@ -1681,3 +1681,51 @@ def events_entry_path_analysis(spark, sf_dir):
     return paths.groupBy("entry_path").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+# --------------------------------------------------------------------------
+# transform_partition_pruned_scan
+
+
+@query(
+    "transform_partition_pruned_scan",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="hive-partitioned layout + partition-pruned scan, end to "
+    "end: events are written out partitioned by event_type (the "
+    "physical layout a 100 TB event lake uses) and read back with a "
+    "partition-key predicate — Catalyst prunes to the one matching "
+    "directory, so the scan reads ~1/5 of the files "
+    "(PartitionFilters, plan-asserted in tests/test_plans.py) while "
+    "the oracle states the plain logical filter over the full "
+    "table. The partitioned copy is rebuilt per run in a temp dir "
+    "and the result pinned before cleanup (the streaming_cdc_apply "
+    "temp-tree pattern)",
+)
+def transform_partition_pruned_scan(spark, sf_dir):
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    e = t(spark, sf_dir, "events")
+    work = _tempfile.mkdtemp(prefix="chiv-part-")
+    try:
+        e.write.mode("overwrite").partitionBy("event_type").parquet(f"{work}/events_by_type")
+        pruned = (
+            spark.read.parquet(f"{work}/events_by_type")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100.0).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        return pruned.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

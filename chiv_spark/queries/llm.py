@@ -417,6 +417,119 @@ def pipeline_clean_corpus(spark, sf_dir):
 
 
 @query(
+    "pipeline_filter_funnel",
+    f"""
+    WITH {_MINHASH_CTES},
+    bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
+                FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
+    bands AS (SELECT doc_id, band,
+                     (('0x' || substring(md5(band::VARCHAR || ':' || sig_str), 1, 15))::BIGINT) AS bh
+              FROM bandsig),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    est AS (SELECT c.doc_a, c.doc_b,
+                   AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS ej
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+            GROUP BY c.doc_a, c.doc_b),
+    neardup_drop AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE ej >= 0.5),
+    exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM
+                   (SELECT doc_id, {_FP} AS fp FROM documents) GROUP BY fp),
+    quality AS (SELECT doc_id,
+                       ({_R6.format(expr=f"0.5 * LEAST(CAST(length(text) AS DOUBLE) / 1000.0, 1.0) + 0.5 * LEAST({_SW_RATIO} * 10.0, 1.0)")}) AS quality,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents),
+    flags AS (
+      SELECT q.doc_id,
+             (k.doc_id IS NOT NULL) AS keep_exact,
+             (q.doc_id IN (SELECT doc_id FROM neardup_drop)) AS is_near,
+             (q.quality >= 0.3) AS q_ok,
+             (q.n_tokens >= 20) AS t_ok
+      FROM quality q LEFT JOIN exact_keep k ON q.doc_id = k.doc_id),
+    agg AS (
+      SELECT COUNT(*) AS total,
+             COUNT(*) FILTER (WHERE keep_exact) AS s1,
+             COUNT(*) FILTER (WHERE keep_exact AND NOT is_near) AS s2,
+             COUNT(*) FILTER (WHERE keep_exact AND NOT is_near AND q_ok) AS s3,
+             COUNT(*) FILTER (WHERE keep_exact AND NOT is_near AND q_ok AND t_ok) AS s4
+      FROM flags)
+    SELECT stage, CAST(n_surviving AS BIGINT) AS n_surviving,
+           CAST(n_removed AS BIGINT) AS n_removed
+    FROM (
+      SELECT '0_total' AS stage, total AS n_surviving, 0 AS n_removed FROM agg
+      UNION ALL SELECT '1_exact_dedup', s1, total - s1 FROM agg
+      UNION ALL SELECT '2_near_dup', s2, s1 - s2 FROM agg
+      UNION ALL SELECT '3_quality', s3, s2 - s3 FROM agg
+      UNION ALL SELECT '4_min_tokens', s4, s3 - s4 FROM agg)
+    """,
+    doc="the curation FUNNEL REPORT: per-stage surviving/removed "
+    "document counts for the clean-corpus pipeline (exact dedup -> "
+    "near-dup removal -> quality gate -> token floor) — the number "
+    "every data-curation review asks for before the numbers the "
+    "pipeline produces. Computed as boolean flags in ONE pass over "
+    "documents (two semi-join-derived flags, two scalar gates) and "
+    "a single conditional-count aggregate unpivoted to stage rows; "
+    "shares its stage definitions verbatim with "
+    "pipeline_clean_corpus, so report and pipeline cannot drift",
+)
+def pipeline_filter_funnel(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    keep = (
+        docs.select("doc_id", text.fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("keep_exact", F.lit(True))
+    )
+    drop = (
+        dedup.minhash_lsh_pairs(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    flags = (
+        docs.select(
+            "doc_id",
+            (text.quality_score() >= 0.3).alias("q_ok"),
+            (text.token_count() >= 20).alias("t_ok"),
+        )
+        .join(keep, "doc_id", "left")
+        .join(drop, "doc_id", "left")
+        .select(
+            F.coalesce("keep_exact", F.lit(False)).alias("keep_exact"),
+            F.coalesce("is_near", F.lit(False)).alias("is_near"),
+            "q_ok",
+            "t_ok",
+        )
+    )
+    s1c = F.col("keep_exact")
+    s2c = s1c & ~F.col("is_near")
+    s3c = s2c & F.col("q_ok")
+    s4c = s3c & F.col("t_ok")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(s1c).alias("s1"),
+        F.count_if(s2c).alias("s2"),
+        F.count_if(s3c).alias("s3"),
+        F.count_if(s4c).alias("s4"),
+    )
+    stages = F.array(
+        F.struct(F.lit("0_total").alias("stage"), F.col("total").alias("n_surviving"), F.lit(0).cast("long").alias("n_removed")),
+        F.struct(F.lit("1_exact_dedup").alias("stage"), F.col("s1").alias("n_surviving"), (F.col("total") - F.col("s1")).alias("n_removed")),
+        F.struct(F.lit("2_near_dup").alias("stage"), F.col("s2").alias("n_surviving"), (F.col("s1") - F.col("s2")).alias("n_removed")),
+        F.struct(F.lit("3_quality").alias("stage"), F.col("s3").alias("n_surviving"), (F.col("s2") - F.col("s3")).alias("n_removed")),
+        F.struct(F.lit("4_min_tokens").alias("stage"), F.col("s4").alias("n_surviving"), (F.col("s3") - F.col("s4")).alias("n_removed")),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage",
+        F.col("s.n_surviving").cast("long").alias("n_surviving"),
+        F.col("s.n_removed").cast("long").alias("n_removed"),
+    )
+
+
+@query(
     "ann_pq_adc_topk",
     """
     WITH ex AS (

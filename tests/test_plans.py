@@ -424,3 +424,24 @@ class TestRound6Additions:
         windows = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
         assert windows
         assert any("bucket" in w for w in windows)
+
+    def test_partitioned_scan_actually_prunes(self, spark, tmp_path):
+        # write the hive layout, read with the partition predicate,
+        # and assert the scan's PartitionFilters carries it (pruning
+        # to one directory instead of filtering post-read)
+        from chiv_spark.queries.base import t as read_t
+        from pyspark.sql import functions as F
+
+        e = read_t(spark, SF, "events")
+        e.write.mode("overwrite").partitionBy("event_type").parquet(
+            str(tmp_path / "by_type")
+        )
+        pruned = spark.read.parquet(str(tmp_path / "by_type")).filter(
+            F.col("event_type") == "purchase"
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "purchase" in m.group(1), plan[:1500]
