@@ -787,3 +787,80 @@ def timeseries_holt_linear(spark, sf_dir):
         det_round(fold["b"]).alias("trend"),
         det_round(fold["a"] + fold["b"]).alias("forecast_1"),
     )
+
+
+# --------------------------------------------------------------------------
+# timeseries_m4_downsample
+
+
+@query(
+    "timeseries_m4_downsample",
+    """
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(ROUND(value * 100.0) AS BIGINT) AS cents,
+             event_id
+      FROM events),
+    b AS (
+      SELECT user_id, MIN(us) AS mn, MAX(us) AS mx
+      FROM pts GROUP BY user_id),
+    binned AS (
+      SELECT p.user_id,
+             LEAST(((p.us - b.mn) * 20) // (b.mx - b.mn + 1), 19) AS bucket,
+             p.us, p.cents, p.event_id
+      FROM pts p JOIN b ON p.user_id = b.user_id)
+    SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(arg_min(cents, us) AS BIGINT) AS first_cents,
+           CAST(arg_max(cents, us) AS BIGINT) AS last_cents
+    FROM binned GROUP BY user_id, bucket
+    """,
+    doc="M4 plot downsampling (Jugel et al., VLDB 2014): each user's "
+    "value series reduced to 20 equal-time buckets carrying min / "
+    "max / first / last — the four points that make a line chart "
+    "pixel-identical to the full series at bucket-per-pixel-column "
+    "resolution, which is how dashboards render a 100 TB series "
+    "without shipping it. Per-user [min,max] time bounds come from "
+    "one hash agg broadcast back; bucket assignment is exact "
+    "integer arithmetic (no float division ambiguity at bucket "
+    "edges); first/last ride min_by/max_by on the unique (us, "
+    "event_id) key inside the SAME single aggregate — no per-bucket "
+    "window sort anywhere",
+)
+def timeseries_m4_downsample(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        "event_id",
+    )
+    b = pts.groupBy("user_id").agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    )
+    binned = pts.join(F.broadcast(b), "user_id").select(
+        "user_id",
+        # integer division: (us - mn)*20 can exceed 2^53, so a float
+        # quotient would mis-bucket edge points (engine/oracle skew)
+        F.least(
+            F.expr("(us - mn) * 20 div (mx - mn + 1)"),
+            F.lit(19),
+        ).alias("bucket"),
+        "us",
+        "cents",
+        "event_id",
+    )
+    # (user_id, ts) is unique (data-contract test), so `us` alone is
+    # a total ordering key within each user
+    key = F.col("us")
+    return binned.groupBy(
+        "user_id", F.col("bucket").cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.min_by("cents", key).cast("long").alias("first_cents"),
+        F.max_by("cents", key).cast("long").alias("last_cents"),
+    )
