@@ -1729,3 +1729,93 @@ def transform_partition_pruned_scan(spark, sf_dir):
         return pruned.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# scan_orc_roundtrip / scan_ndjson_source — columnar + line formats
+
+
+@query(
+    "scan_orc_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+    doc="ORC round trip: events written to ORC (Spark's second "
+    "native columnar format — the Hive-ecosystem interchange the "
+    "reference's warehouse users bring) and aggregated from the ORC "
+    "scan; the oracle aggregates the source parquet, so any "
+    "type-mapping loss in the ORC writer/reader surfaces as a "
+    "mismatch. Predicate/column pushdown works on the ORC scan the "
+    "same as parquet (native vectorized reader)",
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    e = t(spark, sf_dir, "events")
+    work = _tempfile.mkdtemp(prefix="chiv-orc-")
+    try:
+        e.write.mode("overwrite").orc(f"{work}/events_orc")
+        out = (
+            spark.read.orc(f"{work}/events_orc")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100.0).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "scan_ndjson_source",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events GROUP BY event_type
+    """,
+    doc="NDJSON source: events serialized to newline-delimited JSON "
+    "(the log-shipping interchange format) and read back with an "
+    "EXPLICIT schema — no sampling-based inference, the 100 TB "
+    "discipline (schema inference reads the data twice and guesses "
+    "types per run). Timestamps round-trip through ISO-8601 "
+    "strings; the oracle aggregates the source parquet, so any "
+    "serialization loss surfaces as a value mismatch",
+)
+def scan_ndjson_source(spark, sf_dir):
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    e = t(spark, sf_dir, "events")
+    work = _tempfile.mkdtemp(prefix="chiv-ndjson-")
+    try:
+        # microsecond timestampFormat on BOTH sides: the default JSON
+        # format truncates to milliseconds, a real serialization loss
+        # the oracle catches
+        us_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        e.write.mode("overwrite").option("timestampFormat", us_fmt).json(
+            f"{work}/events_json"
+        )
+        out = (
+            spark.read.schema(e.schema)
+            .option("timestampFormat", us_fmt)
+            .json(f"{work}/events_json")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.round(F.col("value") * 100.0).cast("long"))
+                .cast("long")
+                .alias("cents"),
+                F.max(F.unix_micros("ts")).cast("long").alias("max_ts_us"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
