@@ -51,6 +51,10 @@ PLAN: dict[str, tuple[list[str], str]] = {
     # adversarial for it: every variant group is high-containment)
     "ann_pq_adc_topk": ([SF01, SF1, PROBE_DIR], "embeddings"),
     "dedup_ngram_containment": ([SF01, SF1, PROBE_DIR], "documents"),
+    # round 6, third batch: the flagship scale claims of the round —
+    # sketch-cost MAU and the skew-safe attribution decomposition
+    "events_active_users_mau_approx": ([SF001, SF01, SF1], "events"),
+    "events_attribution_last_touch_scalable": ([SF001, SF01, SF1], "events"),
 }
 
 
