@@ -1819,3 +1819,53 @@ def scan_ndjson_source(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# streaming_session_window_native
+
+
+@query(
+    "streaming_session_window_native",
+    # append-mode emission closure: a session emits once the final
+    # watermark (max event time - 2h) passes its window end
+    # (last event + 30min gap). The oracle states the batch native
+    # sessionization filtered by that closure.
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps),
+    agg AS (
+      SELECT user_id,
+             CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+             CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid),
+    wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg, wm WHERE session_end < w
+    """,
+    doc="NATIVE session windows as a real APPEND-mode stream: "
+    "Structured Streaming merges per-user session windows in the "
+    "state store and emits each one exactly once, when the "
+    "watermark passes its end — the production sessionization "
+    "operator (the applyInPandasWithState sessionizer is the "
+    "custom-logic variant; this is the built-in). Under availableNow "
+    "the final watermark is max(event time) - 2h, so the emitted "
+    "set is the batch sessions closed before it — stated exactly by "
+    "the oracle; the dangling tail stays in state by design",
+)
+def streaming_session_window_native(spark, sf_dir):
+    from chiv_spark.streaming.events import run_native_session_windows
+
+    ckpt = tempfile.mkdtemp(prefix="chiv-nsw-ckpt-")
+    return run_native_session_windows(spark, sf_dir, ckpt)

@@ -117,3 +117,50 @@ def run_windowed_distinct_users(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_native_session_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native ``session_window`` aggregation as a real APPEND-mode
+    stream: Structured Streaming merges per-user session windows in
+    the state store and emits each session once its window closes
+    beyond the watermark. Under availableNow the final watermark is
+    max(event time) - delay, so the emitted set is exactly the batch
+    sessions whose end (last event + gap) is at or below it — the
+    oracle states that closure in SQL."""
+    from chiv_spark.sources.catalog import normalize_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    stream = normalize_event_ts(
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = "native_session_windows"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
