@@ -146,8 +146,13 @@ class TestSparkResizePath:
 
         data = encode_png(3, 2, 4, _gradient(3, 2, 4))
         assert multimodal.decode_image(data)[:3] == (3, 2, 4)
-        with pytest.raises(NotImplementedError):
+        # JPEG routes to the real codec since r6; malformed JPEG bytes
+        # are a decode error, not an unsupported format
+        with pytest.raises(ValueError):
             multimodal.decode_image(b"\xff\xd8\xffJPEG")
+        # genuinely unsupported formats (WebP) still raise NotImplemented
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 class TestPngProperty:
