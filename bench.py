@@ -1,18 +1,25 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "spread": {name: max-min, ...}, "sf": ...}.
+ONE compact JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec, ...}, "sf": ...} — printed TWICE
+(consecutive identical lines) so any fixed-size tail capture window
+holds at least one complete copy, and kept small: the per-query
+spreads and protocol notes that grew the round-6 line past the
+driver's tail window (BENCH_r06.json came back ``parsed: null``) now
+go to ``bench_detail.json`` next to this script instead of stdout.
 
 Fixed protocol (round-2 verdict item #10, tightened per the round-4
-verdict's heavy-tail item): one warmup execution per query (pays plan
-+ codegen compile), then best-of-3 timed runs — escalated to
-best-of-5 when the 3-run best exceeds 2s (the heavy tail had 0.5-0.8s
-best-of-3 spreads in r4, up to 25% of wall). The reported value is
-the MIN, so ``spread`` records the runner-up gap (2nd-best minus
-best): that is the empirical uncertainty of the reported statistic —
-max-min over N runs only grows with N and measured the slowest
-outlier, not the stability of the number being compared across
-rounds.
+verdict's heavy-tail item and the round-6 verdict's >10%-spread
+finding on graph_triangle_count): one warmup execution per query
+(pays plan + codegen compile), then best-of-3 timed runs — escalated
+to best-of-5 when the 3-run best exceeds 2s (the heavy tail had
+0.5-0.8s best-of-3 spreads in r4, up to 25% of wall), and to
+best-of-7 when a heavy query is still unstable after 5 (runner-up gap
+> 5% of the best). The reported value is the MIN, so ``spread``
+records the runner-up gap (2nd-best minus best): that is the
+empirical uncertainty of the reported statistic — max-min over N runs
+only grows with N and measured the slowest outlier, not the
+stability of the number being compared across rounds.
 
 Each query materializes fully via the noop sink (forces end-to-end
 execution incl. all expressions, without sink I/O or driver-collect
@@ -81,6 +88,34 @@ HEADLINE = [
 ]
 
 
+def _bench_one(run) -> tuple[float, float]:
+    """One untimed warmup, then best-of-3 → 5 → 7 escalation (see
+    module docstring). Returns (best_sec, runner_up_gap_sec)."""
+    run()
+    runs: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        runs.append(time.perf_counter() - t0)
+    # heavy tail (>2s wall, where r4 saw 0.5-0.8s spreads) or a
+    # runner-up gap above 10% of the best (light queries where 3 reps
+    # happened to straddle a GC/compile hiccup)
+    if min(runs) > 2.0 or sorted(runs)[1] - min(runs) > 0.10 * min(runs):
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            runs.append(time.perf_counter() - t0)
+    # r6 verdict task 7: a heavy query still >5%-unstable after 5 reps
+    # (graph_triangle_count's 11.3% judge-rerun gap) gets 2 more
+    if min(runs) > 2.0 and sorted(runs)[1] - min(runs) > 0.05 * min(runs):
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            runs.append(time.perf_counter() - t0)
+    ordered = sorted(runs)
+    return round(ordered[0], 3), round(ordered[1] - ordered[0], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -103,26 +138,12 @@ def main() -> None:
         # zero the whole round's bench (round-3 lesson — the NTZ break
         # at events_sessionize's warmup killed every number).
         try:
-            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                df = REGISTRY[name].fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-            # escalate to best-of-5 when the number is not yet stable:
-            # heavy tail (>2s wall, where r4 saw 0.5-0.8s spreads) or a
-            # runner-up gap above 10% of the best (light queries where
-            # 3 reps happened to straddle a GC/compile hiccup)
-            if min(runs) > 2.0 or sorted(runs)[1] - min(runs) > 0.10 * min(runs):
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    df = REGISTRY[name].fn(spark, sf_dir)
-                    df.write.format("noop").mode("overwrite").save()
-                    runs.append(time.perf_counter() - t0)
-            ordered = sorted(runs)
-            timings[name] = round(ordered[0], 3)
-            spread[name] = round(ordered[1] - ordered[0], 3)
+            fn = REGISTRY[name].fn
+
+            def _run(fn=fn):
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+            timings[name], spread[name] = _bench_one(_run)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -165,20 +186,11 @@ def main() -> None:
         ):
             try:
                 fn = REGISTRY[qname].fn
-                fn(spark, skew_dir).write.format("noop").mode("overwrite").save()
-                runs = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
+
+                def _run(fn=fn):
                     fn(spark, skew_dir).write.format("noop").mode("overwrite").save()
-                    runs.append(time.perf_counter() - t0)
-                if min(runs) > 2.0 or sorted(runs)[1] - min(runs) > 0.10 * min(runs):
-                    for _ in range(2):
-                        t0 = time.perf_counter()
-                        fn(spark, skew_dir).write.format("noop").mode("overwrite").save()
-                        runs.append(time.perf_counter() - t0)
-                ordered = sorted(runs)
-                timings[bench_name] = round(ordered[0], 3)
-                spread[bench_name] = round(ordered[1] - ordered[0], 3)
+
+                timings[bench_name], spread[bench_name] = _bench_one(_run)
             except Exception as exc:  # noqa: BLE001
                 errors[bench_name] = f"{type(exc).__name__}: {exc}"[:300]
     except Exception as exc:  # noqa: BLE001
@@ -222,15 +234,7 @@ def main() -> None:
             ("archive_json_single_100k", _archive_json_single),
             ("archive_yaml_single_100k", _archive_yaml_single),
         ):
-            fn()
-            runs = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                fn()
-                runs.append(time.perf_counter() - t0)
-            ordered = sorted(runs)
-            timings[name] = round(ordered[0], 3)
-            spread[name] = round(ordered[1] - ordered[0], 3)
+            timings[name], spread[name] = _bench_one(fn)
     except Exception as exc:  # noqa: BLE001
         errors["archive_csv"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
@@ -242,13 +246,31 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "spread": spread,
-        "protocol": "warmup+best-of-3 (best-of-5 when >2s); spread=runnerup-gap",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # full detail (spreads, protocol) goes to a side file, NOT stdout:
+    # the r6 stdout line outgrew the driver's tail capture window and
+    # came back parsed:null — the compact line + side file keeps the
+    # driver's perf gate fed while preserving the evidence trail
+    detail = dict(out)
+    detail["spread"] = spread
+    detail["protocol"] = (
+        "warmup+best-of-3 (best-of-5 when >2s; best-of-7 when >2s and "
+        "gap>5% after 5); spread=runnerup-gap"
+    )
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the result
+    line = json.dumps(out, separators=(",", ":"))
+    # printed twice so a fixed-size tail window that starts mid-line
+    # still contains one complete copy
+    print(line)
+    print(line)
     spark.stop()
 
 

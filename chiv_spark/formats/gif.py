@@ -159,24 +159,38 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes, list[bytes]]:
     palette-index bytes, row-major."""
     if not is_gif(payload):
         raise ValueError("gif: bad signature")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated payload")
     w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     palette = b""
     if packed & 0x80:
         n = 2 ** ((packed & 0x07) + 1)
         palette = payload[pos : pos + 3 * n]
+        if len(palette) != 3 * n:
+            raise ValueError("gif: truncated payload")
         pos += 3 * n
     frames: list[bytes] = []
-    while pos < len(payload):
-        b = payload[pos]
-        if b == 0x3B:  # trailer
+
+    def _at(p: int) -> int:
+        # a truncated stream must fail as malformed input (ValueError,
+        # the module's contract), not as an uncontrolled IndexError
+        if p >= len(payload):
+            raise ValueError("gif: truncated payload")
+        return payload[p]
+
+    while True:
+        b = _at(pos)  # stream must end at an explicit 0x3B trailer
+        if b == 0x3B:
             break
         if b == 0x21:  # extension: skip sub-blocks
             pos += 2
-            while payload[pos] != 0:
+            while _at(pos) != 0:
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("gif: truncated payload")
             left, top, fw, fh = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
             ipacked = payload[pos + 9]
             pos += 10
@@ -186,10 +200,10 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes, list[bytes]]:
                 raise NotImplementedError("gif: interlace unsupported")
             if (left, top, fw, fh) != (0, 0, w, h):
                 raise NotImplementedError("gif: partial frames unsupported")
-            mcs = payload[pos]
+            mcs = _at(pos)
             pos += 1
             data = bytearray()
-            while payload[pos] != 0:
+            while _at(pos) != 0:
                 ln = payload[pos]
                 data.extend(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln

@@ -334,6 +334,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ncomp = len(comp_tq)
     # entropy data runs until the EOI marker (no restart markers here)
     end = payload.rfind(b"\xff\xd9")
+    if end < pos:  # rfind miss (-1) would silently truncate the stream
+        raise ValueError("jpeg: missing EOI")
     br = _BitReader(payload[pos:end])
     planes = [np.zeros((h, w), dtype=np.uint8) for _ in range(ncomp)]
     prev = [0] * ncomp

@@ -51,3 +51,11 @@ class TestGifContainer:
     def test_bad_signature(self):
         with pytest.raises(ValueError):
             decode_gif(b"\x89PNG....")
+
+    def test_truncated_payload_is_valueerror(self):
+        # malformed input contract: truncation -> ValueError, not a
+        # bare IndexError from an unchecked payload[pos] (r6 ADVICE)
+        payload = encode_gif([bytes(range(64)) * 1], 8, 8)
+        for cut in (14, len(payload) // 2, len(payload) - 2):
+            with pytest.raises((ValueError, NotImplementedError)):
+                decode_gif(payload[:cut])

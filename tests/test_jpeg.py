@@ -90,3 +90,13 @@ class TestColorJpeg:
         for c in range(3):
             solo = decode_jpeg(encode_jpeg(img[:, :, c]))
             assert (dec[:, :, c] == solo).all()
+
+    def test_missing_eoi_is_valueerror(self):
+        # a stream cut before the EOI marker must fail loudly, not
+        # silently decode a truncated entropy stream (r6 ADVICE:
+        # rfind(-1) made payload[pos:-1] drop one byte instead)
+        img = np.full((8, 8), 100, dtype=np.uint8)
+        payload = encode_jpeg(img)
+        assert payload.endswith(b"\xff\xd9")
+        with pytest.raises(ValueError, match="EOI"):
+            decode_jpeg(payload[:-2])

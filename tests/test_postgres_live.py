@@ -165,3 +165,37 @@ class TestLivePostgresGoldens:
         assert rows[1]["char_column"] is None  # NULL survives the COPY
         assert rows[2]["float_column"] is None
         assert rows[0]["bool_column"] is True and rows[2]["bool_column"] is False
+
+
+class TestCopyTextParsing:
+    """Server-free unit tests of the COPY text parser — the transport
+    switched from csv to text in r7 because csv.reader discards the
+    quoting that distinguishes a literal '\\N' string from NULL."""
+
+    def test_literal_backslash_n_is_not_null(self):
+        from chiv_spark.sources.postgres_cli import parse_copy_text
+
+        schema = T.StructType([T.StructField("s", T.StringType())])
+        # COPY text renders the DATA string \N as \\N (escaped
+        # backslash) and NULL as the bare \N marker
+        out = "\\\\N\n\\N\n"
+        rows = parse_copy_text(out, schema)
+        assert rows == [("\\N",), (None,)]
+
+    def test_control_char_escapes_roundtrip(self):
+        from chiv_spark.sources.postgres_cli import parse_copy_text
+
+        schema = T.StructType(
+            [T.StructField("s", T.StringType()), T.StructField("n", T.LongType())]
+        )
+        # embedded tab and newline arrive escaped, so field/record
+        # splits on the literal bytes are exact
+        out = "a\\tb\\nc\t7\n\\N\t\\N\n"
+        rows = parse_copy_text(out, schema)
+        assert rows == [("a\tb\nc", 7), (None, None)]
+
+    def test_empty_string_distinct_from_null(self):
+        from chiv_spark.sources.postgres_cli import parse_copy_text
+
+        schema = T.StructType([T.StructField("s", T.StringType())])
+        assert parse_copy_text("\n\\N\n", schema) == [("",), (None,)]
