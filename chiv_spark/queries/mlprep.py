@@ -1056,3 +1056,57 @@ def mlprep_auc_exact(spark, sf_dir):
         - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
     ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
     return agg.select("n_pos", "n_neg", det_round(auc).alias("auc"))
+
+
+# --------------------------------------------------------------------------
+# mlprep_global_shuffle — deterministic corpus ordering for training
+
+#: SQL twin of hash64(concat('shuf:', doc_id)) — the shuffle fate key
+_SHUF_H = "(('0x' || substring(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT)"
+
+#: shard count — test setting. At 100 TB set this to corpus_bytes /
+#: target_shard_bytes (e.g. ~1e5 shards of 1 GB): the per-shard sort
+#: stays bounded and the plan shape below is unchanged.
+_SHUF_SHARDS = 32
+
+
+@query(
+    "mlprep_global_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, {_SHUF_H} AS h FROM documents),
+    sharded AS (
+      SELECT doc_id, h, CAST(h % {_SHUF_SHARDS} AS INT) AS shard FROM keyed)
+    SELECT shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS position,
+           doc_id
+    FROM sharded
+    """,
+    doc="deterministic global corpus shuffle — the training-data "
+    "ordering step between curation and sequence packing: every doc "
+    "gets a stable-hash shuffle key, a shard = key mod n_shards, and "
+    "a position = rank of (key, doc_id) within its shard. The order "
+    "is a pure function of doc ids (reproducible across engines, "
+    "re-runs and cluster sizes — same fate-hash contract as "
+    "sample_deterministic), and the plan is ONE hash exchange on "
+    "shard + an in-partition sort: no global sort, no coalesce(1), "
+    "no cross-shard coordination — unlike transform_global_row_ids' "
+    "two-phase offsets, readers consume (shard, position) directly. "
+    "Shard count scales with the corpus so each per-shard sort stays "
+    "memory-bounded",
+)
+def mlprep_global_shuffle(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", h.alias("h")).withColumn(
+        "shard", (F.col("h") % _SHUF_SHARDS).cast("int")
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "shard",
+        F.row_number().over(w).cast("long").alias("position"),
+        "doc_id",
+    )

@@ -445,3 +445,20 @@ class TestRound6Additions:
 
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "purchase" in m.group(1), plan[:1500]
+
+
+class TestGlobalShufflePlan:
+    def test_one_hash_exchange_no_global_sort(self, spark):
+        # r7: the deterministic corpus shuffle must be ONE hash
+        # exchange on shard + in-partition sort — a global sort or a
+        # coalesce(1) would serialize 100 TB through one task
+        from chiv_spark.plans import physical_plan
+
+        df = REGISTRY["mlprep_global_shuffle"].fn(spark, SF)
+        ops = op_counts(df)
+        assert ops.get("Exchange", 0) == 1
+        assert ops.get("CartesianProduct", 0) == 0
+        plan = physical_plan(df)
+        assert "hashpartitioning(shard" in plan
+        assert "rangepartitioning" not in plan
+        assert "Coalesce(1)" not in plan and "SinglePartition" not in plan
