@@ -156,3 +156,51 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
+
+
+# -------------------------------------------------------------- BPE apply
+
+BPE_SOT = "\x01"  # symbol-open sentinel — outside the corpus alphabet
+BPE_EOT = "\x02"  # symbol-close sentinel
+
+
+def bpe_wrap(text_col: Column | str) -> Column:
+    """Wrap every non-space char as an atomic symbol: ``c`` →
+    ``\\x01c\\x02``. Spaces stay bare, so merges (which never contain
+    a space) cannot cross word boundaries."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(c, "([^ ])", f"{BPE_SOT}$1{BPE_EOT}")
+
+
+def bpe_apply(wrapped: Column, merges: Column) -> Column:
+    """Apply an ordered merge list to a sentinel-wrapped symbol string.
+
+    ``merges`` is an array<string> of 2-char pairs in rank order. One
+    merge pass is one greedy left-to-right non-overlapping replace of
+    the adjacent wrapped pair ``\\x01a\\x02\\x01b\\x02`` with the
+    wrapped merged symbol ``\\x01ab\\x02`` — exactly the Sennrich
+    reference apply loop, as a JVM string fold (no UDF; linear in
+    bytes × merges)."""
+    return F.aggregate(
+        merges,
+        wrapped,
+        lambda acc, x: F.replace(
+            acc,
+            F.concat(
+                F.lit(BPE_SOT),
+                F.substring(x, 1, 1),
+                F.lit(BPE_EOT + BPE_SOT),
+                F.substring(x, 2, 1),
+                F.lit(BPE_EOT),
+            ),
+            F.concat(F.lit(BPE_SOT), x, F.lit(BPE_EOT)),
+        ),
+    )
+
+
+def bpe_token_count(applied: Column) -> Column:
+    """Number of symbols in an applied string (count of close
+    sentinels)."""
+    return (F.length(applied) - F.length(F.replace(applied, F.lit(BPE_EOT)))).cast(
+        "long"
+    )

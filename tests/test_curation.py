@@ -211,3 +211,65 @@ class TestShortDocGuards:
         rows = REGISTRY["text_lm_perplexity"].fn(spark, sf).collect()
         ids = sorted(r["doc_id"] for r in rows)
         assert ids == [2, 3, 4]  # doc 1 (one token) has no bigrams
+
+
+class TestBpeApply:
+    """text_bpe_encode's fold must equal the Sennrich reference apply
+    loop: per-merge greedy left-to-right non-overlapping replacement
+    over atomic symbols (a merged symbol is opaque to later merges)."""
+
+    @staticmethod
+    def _ref_apply(word: str, merges: list[str]) -> list[str]:
+        syms = list(word)
+        for m in merges:
+            a, b = m[0], m[1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def test_fold_matches_reference_loop(self, spark):
+        from chiv_spark.operators.text import (
+            BPE_EOT,
+            BPE_SOT,
+            bpe_apply,
+            bpe_token_count,
+            bpe_wrap,
+        )
+
+        cases = [
+            ("aaa", ["aa"]),            # overlap: greedy left-to-right
+            ("xabab", ["ab"]),          # repeat right after a merge
+            ("the then at", ["th", "he", "at"]),  # 'th' blocks 'he'
+            ("banana", ["an", "na"]),   # competing adjacent merges
+            ("ab ba", ["ab", "ba"]),    # merges never cross spaces
+            ("", ["ab"]),               # empty doc
+        ]
+        df = spark.createDataFrame(
+            [(i, txt) for i, (txt, _) in enumerate(cases)], "i long, text string"
+        )
+        for i, (txt, merges) in enumerate(cases):
+            marr = F.array(*[F.lit(m) for m in merges])
+            row = (
+                df.filter(F.col("i") == i)
+                .select(
+                    bpe_apply(bpe_wrap("text"), marr).alias("ap"),
+                    bpe_token_count(bpe_apply(bpe_wrap("text"), marr)).alias("n"),
+                )
+                .first()
+            )
+            expect = [
+                s
+                for w in txt.split(" ")
+                for s in self._ref_apply(w, merges)
+            ]
+            got = [s for s in row["ap"].replace(" ", "").replace(BPE_SOT, "\x00").split("\x00") if s]
+            got = [s.rstrip(BPE_EOT) for s in got]
+            assert got == expect, (txt, merges, got, expect)
+            assert row["n"] == len(expect)
