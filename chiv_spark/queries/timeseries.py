@@ -864,3 +864,43 @@ def timeseries_m4_downsample(spark, sf_dir):
         F.min_by("cents", key).cast("long").alias("first_cents"),
         F.max_by("cents", key).cast("long").alias("last_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming_ewma_state — the EWMA fold as per-key streaming state
+
+
+@query(
+    "streaming_ewma_state",
+    None,  # oracle attached below: timeseries_ewma's, verbatim
+    doc="per-user EWMA as a REAL stream: readStream -> "
+    "applyInPandasWithState -> writeStream under the availableNow "
+    "batch-twin protocol. EWMA is the family whose skew/scale answer "
+    "is streaming state rather than bucketing — the recurrence has "
+    "no prefix decomposition, so the batch variant must collect each "
+    "user's series while this carries O(1) state (smoothed value + "
+    "count) per key across microbatches in the identical IEEE op "
+    "order. Shares timeseries_ewma's oracle verbatim; a two-"
+    "microbatch pytest drives the state-carry path availableNow's "
+    "single batch never exercises",
+)
+def streaming_ewma_state(spark, sf_dir):
+    import tempfile
+
+    from chiv_spark.streaming.ewma import run_streaming_ewma
+
+    ckpt = tempfile.mkdtemp(prefix="chiv-ewma-ckpt-")
+    out = run_streaming_ewma(spark, sf_dir, ckpt)
+    return out.select(
+        "user_id", "n_events", det_round(F.col("ewma_raw")).alias("ewma_value")
+    )
+
+
+from chiv_spark.queries.base import REGISTRY as _EWMA_REG  # noqa: E402
+
+_EWMA_REG["streaming_ewma_state"] = _EWMA_REG["streaming_ewma_state"].__class__(
+    name="streaming_ewma_state",
+    fn=_EWMA_REG["streaming_ewma_state"].fn,
+    oracle=_EWMA_REG["timeseries_ewma"].oracle,
+    doc=_EWMA_REG["streaming_ewma_state"].doc,
+)

@@ -153,3 +153,65 @@ class TestStreamingAttribution:
         }
         assert streamed == batch
         assert len(streamed) > 0
+
+
+class TestStreamingEwma:
+    def test_state_carries_fold_across_batches(self):
+        """Drive the stateful EWMA through two microbatches: batch 2
+        must continue the fold from batch 1's carried (s, n) with the
+        exact IEEE op order of the batch F.aggregate twin."""
+        import pandas as pd
+
+        from chiv_spark.streaming.ewma import EWMA_ALPHA, _ewma
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+        st = FakeState()
+        b1 = pd.DataFrame(
+            {"ts_us": [100, 200], "event_id": [1, 2], "value": [10.0, 4.0]}
+        )
+        out1 = pd.concat(list(_ewma((7,), iter([b1]), st)))
+        a = EWMA_ALPHA
+        s_exp = a * 4.0 + (1.0 - a) * 10.0
+        assert out1.iloc[0].tolist() == [7, 2, s_exp]
+        assert st.get == (s_exp, 2)
+        # out-of-order arrival INSIDE the batch is sorted by (ts, id)
+        b2 = pd.DataFrame(
+            {"ts_us": [400, 300], "event_id": [4, 3], "value": [8.0, 2.0]}
+        )
+        out2 = pd.concat(list(_ewma((7,), iter([b2]), st)))
+        s_exp = a * 2.0 + (1.0 - a) * s_exp
+        s_exp = a * 8.0 + (1.0 - a) * s_exp
+        assert out2.iloc[0].tolist() == [7, 4, s_exp]
+        assert st.get == (s_exp, 4)
+
+    def test_matches_batch_ewma(self, spark, sf_dir, tmp_path):
+        from chiv_spark.queries import REGISTRY
+        from chiv_spark.streaming.ewma import run_streaming_ewma
+        from chiv_spark.functions.detmath import det_round
+        from pyspark.sql import functions as F
+
+        streamed = {
+            tuple(r)
+            for r in run_streaming_ewma(spark, sf_dir, str(tmp_path / "ckpt-ewma"))
+            .select("user_id", "n_events", det_round(F.col("ewma_raw")).alias("v"))
+            .collect()
+        }
+        batch = {
+            tuple(r) for r in REGISTRY["timeseries_ewma"].fn(spark, sf_dir).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) > 0
