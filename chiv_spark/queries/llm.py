@@ -540,15 +540,19 @@ def pipeline_filter_funnel(spark, sf_dir):
     sx AS (SELECT vec_id, CAST(pos // 2 AS INT) AS sub,
                   CAST(pos % 2 AS INT) AS dsub, xm
            FROM ex),
+    smp AS (SELECT * FROM sx
+            WHERE (('0x' || substring(md5('pqt:' || vec_id::VARCHAR), 1, 15))::BIGINT) % 2 = 0),
     seeds AS (
       SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c
       FROM (SELECT vec_id,
                    (('0x' || substring(md5('pq:' || vec_id::VARCHAR), 1, 15))::BIGINT) AS h
-            FROM embeddings ORDER BY h, vec_id LIMIT 64)),
+            FROM embeddings
+            WHERE (('0x' || substring(md5('pqt:' || vec_id::VARCHAR), 1, 15))::BIGINT) % 2 = 0
+            ORDER BY h, vec_id LIMIT 64)),
     cb0 AS (SELECT s.c, x.sub, x.dsub, x.xm AS cm
-            FROM seeds s JOIN sx x USING (vec_id)),
+            FROM seeds s JOIN smp x USING (vec_id)),
     e1 AS (SELECT x.vec_id, x.sub, c.c, SUM((x.xm - c.cm) * (x.xm - c.cm)) AS d2
-           FROM sx x JOIN cb0 c ON c.sub = x.sub AND c.dsub = x.dsub
+           FROM smp x JOIN cb0 c ON c.sub = x.sub AND c.dsub = x.dsub
            GROUP BY x.vec_id, x.sub, c.c),
     a1 AS (SELECT vec_id, sub, c FROM (
              SELECT vec_id, sub, c,
@@ -556,7 +560,7 @@ def pipeline_filter_funnel(spark, sf_dir):
              FROM e1) WHERE rn = 1),
     cb1 AS (SELECT a.c, x.sub, x.dsub,
                    CAST(ROUND(CAST(SUM(x.xm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
-            FROM sx x JOIN a1 a ON a.vec_id = x.vec_id AND a.sub = x.sub
+            FROM smp x JOIN a1 a ON a.vec_id = x.vec_id AND a.sub = x.sub
             GROUP BY a.c, x.sub, x.dsub),
     e2 AS (SELECT x.vec_id, x.sub, c.c, SUM((x.xm - c.cm) * (x.xm - c.cm)) AS d2
            FROM sx x JOIN cb1 c ON c.sub = x.sub AND c.dsub = x.dsub
@@ -586,13 +590,15 @@ def pipeline_filter_funnel(spark, sf_dir):
     "computation (Jegou et al. 2011): vectors stored as 32 one-byte "
     "subspace codes (8x payload cut at dim 64), query distances "
     "summed from broadcast per-query lookup tables — the corpus "
-    "never serves a full-dimension distance. Codebooks: 64 "
-    "lowest-stable-hash seed vectors per 2-dim subspace + one Lloyd "
-    "re-centering on integer micros (measured recall@5 = 0.80 vs "
-    "exact L2, on par with 2-probe IVF; the naive label-mean "
-    "codebook scored 0.16). Integer-micro arithmetic end to end "
-    "makes this approximate operator fully hash-matched (no boolean "
-    "gate)",
+    "never serves a full-dimension distance. Codebooks train on a "
+    "1-in-2 stable-hash SAMPLE (seeds + Lloyd re-centering on "
+    "integer micros; only the final encode scans the corpus — the "
+    "100 TB requirement). Measured recall@5 vs exact L2: 0.70 at "
+    "sf0.01 (0.80 with full-corpus training — the gap is the "
+    "data-starved 64-codes-vs-250-points toy regime, not the "
+    "pattern; ann_ivfpq_topk's exact re-rank is the >=0.95 path). "
+    "Integer-micro arithmetic end to end makes this approximate "
+    "operator fully hash-matched (no boolean gate)",
 )
 def ann_pq_adc_topk(spark, sf_dir):
     return similarity.pq_adc_topk(t(spark, sf_dir, "embeddings"), k=5, dim=EMB_DIM)
