@@ -85,6 +85,9 @@ HEADLINE = [
     # and the prefix-filtered containment dedup
     "ann_pq_adc_topk",
     "dedup_ngram_containment",
+    # round 7: the production ANN layout — IVFADC with exact re-rank
+    # (coarse assign + residual PQ + 6-probe ADC + top-50 exact pass)
+    "ann_ivfpq_topk",
 ]
 
 
