@@ -55,7 +55,20 @@ PLAN: dict[str, tuple[list[str], str]] = {
     # sketch-cost MAU and the skew-safe attribution decomposition
     "events_active_users_mau_approx": ([SF001, SF01, SF1], "events"),
     "events_attribution_last_touch_scalable": ([SF001, SF01, SF1], "events"),
+    # round 7 (r6 verdict task 8): the Count-Min sketch build+probe
+    # (heaviest new text row, 1.9s at sf0.1) and the production
+    # IVFADC ANN (assign + residual PQ + probe + exact re-rank)
+    "text_freq_cms": ([SF01, SF1, PROBE_DIR], "documents"),
+    "ann_ivfpq_topk": ([SF01, SF1, PROBE_DIR], "embeddings"),
 }
+
+# single-object archive sinks (executor-side formatting since r6):
+# wall vs row count at three decades, constant 10-column cells —
+# the reference's own benchmark shape (chiv_benchmark_test.go).
+# These are Archiver paths, not registry queries, so they get their
+# own loop below (noop storage isolates formatting from sink IO).
+ARCHIVE_FORMATS = ["json", "yaml"]
+ARCHIVE_ROWS = [10_000, 100_000, 1_000_000]
 
 
 def wall(spark, name: str, d: str) -> float:
@@ -79,8 +92,60 @@ def fit(ns: list[int], ts: list[float]) -> float:
     return num / den
 
 
+def _archive_walls(spark) -> list[tuple[str, list[int], list[float]]]:
+    """Best-of-3 single-object archive walls per format at three row
+    decades (noop storage; same constant-cell fixture as
+    tools/bench_archive_scaling.py)."""
+    from pyspark.sql import functions as F
+
+    import chiv_spark.core.archiver as archiver_mod
+    from chiv_spark.core.archiver import Archiver
+
+    class _NoopSink:
+        def write(self, data: bytes) -> None:
+            pass
+
+    class _NoopStorage:
+        from contextlib import contextmanager
+
+        @contextmanager
+        def writer(self, bucket, key):  # noqa: ANN001
+            yield _NoopSink()
+
+    def table(n: int):
+        return spark.range(n).select(
+            *[F.lit("column_value").alias(f"c{i}") for i in range(10)]
+        )
+
+    a = Archiver(spark)
+    orig = archiver_mod.storage_for
+    archiver_mod.storage_for = lambda bucket, spark=None: _NoopStorage()
+    out = []
+    try:
+        for fmt in ARCHIVE_FORMATS:
+            ts = []
+            for n in ARCHIVE_ROWS:
+                df = table(n)
+                a.archive_df(df, "noop", key=f"t.{fmt}", format=fmt)  # warmup
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    a.archive_df(df, "noop", key=f"t.{fmt}", format=fmt)
+                    runs.append(time.perf_counter() - t0)
+                ts.append(min(runs))
+                print(
+                    f"archive_{fmt}_single @ {n:,} rows: wall={ts[-1]:.2f}s",
+                    flush=True,
+                )
+            out.append((f"archive_{fmt}_single", list(ARCHIVE_ROWS), ts))
+    finally:
+        archiver_mod.storage_for = orig
+    return out
+
+
 def main() -> None:
     names = [a for a in sys.argv[1:] if a in PLAN] or list(PLAN)
+    do_archive = not sys.argv[1:] or "archive" in sys.argv[1:]
     spark = get_spark("fit-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     if any(PROBE_DIR in PLAN[n][0] for n in names):
@@ -97,6 +162,10 @@ def main() -> None:
             print(f"{name} @ {os.path.basename(d.rstrip('/'))}: N={n} wall={t:.2f}s", flush=True)
         top = math.log(ts[2] / ts[1]) / math.log(ns[2] / ns[1])
         rows.append((name, table, ns, ts, top, fit(ns, ts)))
+    if do_archive:
+        for name, ns, ts in _archive_walls(spark):
+            top = math.log(ts[2] / ts[1]) / math.log(ns[2] / ns[1])
+            rows.append((name, "generated rows", ns, ts, top, fit(ns, ts)))
     print("\n| pipeline | N column | walls (s, low→high) | top-decade exponent | 3-pt fit |")
     print("|---|---|---|---|---|")
     for name, table, ns, ts, top, full in rows:
