@@ -904,3 +904,45 @@ _EWMA_REG["streaming_ewma_state"] = _EWMA_REG["streaming_ewma_state"].__class__(
     oracle=_EWMA_REG["timeseries_ewma"].oracle,
     doc=_EWMA_REG["streaming_ewma_state"].doc,
 )
+
+
+# --------------------------------------------------------------------------
+# streaming_holt_state — the two-variable Holt fold as streaming state
+
+
+@query(
+    "streaming_holt_state",
+    None,  # oracle attached below: timeseries_holt_linear's, verbatim
+    doc="per-user Holt double exponential smoothing as a REAL "
+    "stream: readStream -> applyInPandasWithState -> writeStream "
+    "under the availableNow batch-twin protocol. Completes the "
+    "non-prefix-decomposable-fold family next to streaming_ewma_"
+    "state: the recurrence carries TWO state variables (level + "
+    "trend) per key, O(1) across microbatches, in the identical "
+    "IEEE op order as the batch F.aggregate struct fold — level "
+    "from (l+b) first, trend from the new level second. Shares "
+    "timeseries_holt_linear's recursive-CTE oracle verbatim; a "
+    "two-microbatch pytest drives the state-carry path",
+)
+def streaming_holt_state(spark, sf_dir):
+    import tempfile
+
+    from chiv_spark.streaming.holt import run_streaming_holt
+
+    ckpt = tempfile.mkdtemp(prefix="chiv-holt-ckpt-")
+    out = run_streaming_holt(spark, sf_dir, ckpt)
+    return out.select(
+        "user_id",
+        "n_events",
+        det_round(F.col("level_raw")).alias("level"),
+        det_round(F.col("trend_raw")).alias("trend"),
+        det_round(F.col("level_raw") + F.col("trend_raw")).alias("forecast_1"),
+    )
+
+
+_EWMA_REG["streaming_holt_state"] = _EWMA_REG["streaming_holt_state"].__class__(
+    name="streaming_holt_state",
+    fn=_EWMA_REG["streaming_holt_state"].fn,
+    oracle=_EWMA_REG["timeseries_holt_linear"].oracle,
+    doc=_EWMA_REG["streaming_holt_state"].doc,
+)

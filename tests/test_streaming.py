@@ -215,3 +215,79 @@ class TestStreamingEwma:
         }
         assert streamed == batch
         assert len(streamed) > 0
+
+
+class TestStreamingHolt:
+    def test_state_carries_two_variable_fold_across_batches(self):
+        """Drive the stateful Holt smoother through two microbatches:
+        batch 2 must continue BOTH carried variables (level, trend)
+        from batch 1 with the exact IEEE op order of the batch
+        F.aggregate struct-fold twin (level from l+b first, trend
+        from the new level second)."""
+        import pandas as pd
+
+        from chiv_spark.streaming.holt import HOLT_ALPHA, HOLT_GAMMA, _holt
+
+        class FakeState:
+            def __init__(self):
+                self._v = None
+
+            @property
+            def exists(self):
+                return self._v is not None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+        def step(l, b, x):
+            a, g = HOLT_ALPHA, HOLT_GAMMA
+            nl = a * x + (1.0 - a) * (l + b)
+            nb = g * (nl - l) + (1.0 - g) * b
+            return nl, nb
+
+        st = FakeState()
+        b1 = pd.DataFrame(
+            {"ts_us": [100, 200], "event_id": [1, 2], "value": [10.0, 4.0]}
+        )
+        out1 = pd.concat(list(_holt((7,), iter([b1]), st)))
+        l_exp, b_exp = step(10.0, 0.0, 4.0)
+        assert out1.iloc[0].tolist() == [7, 2, l_exp, b_exp]
+        assert st.get == (l_exp, b_exp, 2)
+        # out-of-order arrival INSIDE the batch is sorted by (ts, id)
+        b2 = pd.DataFrame(
+            {"ts_us": [400, 300], "event_id": [4, 3], "value": [8.0, 2.0]}
+        )
+        out2 = pd.concat(list(_holt((7,), iter([b2]), st)))
+        l_exp, b_exp = step(l_exp, b_exp, 2.0)
+        l_exp, b_exp = step(l_exp, b_exp, 8.0)
+        assert out2.iloc[0].tolist() == [7, 4, l_exp, b_exp]
+        assert st.get == (l_exp, b_exp, 4)
+
+    def test_matches_batch_holt(self, spark, sf_dir, tmp_path):
+        from chiv_spark.functions.detmath import det_round
+        from chiv_spark.queries import REGISTRY
+        from chiv_spark.streaming.holt import run_streaming_holt
+        from pyspark.sql import functions as F
+
+        streamed = {
+            tuple(r)
+            for r in run_streaming_holt(spark, sf_dir, str(tmp_path / "ckpt-holt"))
+            .select(
+                "user_id",
+                "n_events",
+                det_round(F.col("level_raw")).alias("level"),
+                det_round(F.col("trend_raw")).alias("trend"),
+                det_round(F.col("level_raw") + F.col("trend_raw")).alias("forecast_1"),
+            )
+            .collect()
+        }
+        batch = {
+            tuple(r)
+            for r in REGISTRY["timeseries_holt_linear"].fn(spark, sf_dir).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) > 0
