@@ -471,3 +471,61 @@ def gif_frame_features(ids: DataFrame, n_frames: int = 4, w: int = 16, h: int = 
             )
 
     return ids.select("media_id").mapInPandas(run, GIF_FRAME_SCHEMA)
+
+
+def png_resize_features(
+    ids: DataFrame,
+    src_w: int = 16,
+    src_h: int = 12,
+    dst_w: int = 8,
+    dst_h: int = 6,
+) -> DataFrame:
+    """REAL PNG resize round-trip on the executors: per media_id a
+    grayscale src_w×src_h ramp image (pixel(x,y) = (v0 + 7x + 13y)
+    mod 256 with v0 a pure hash of the id) is PNG-encoded, resized
+    with :func:`formats.png.resize_png` (decode → numpy nearest-
+    neighbor → re-encode), decoded again, and reduced to integer
+    pixel features. Nearest-neighbor picks source index
+    floor(i*src/dst), so with src=2×dst the sampled pixels are the
+    even-coordinate ramp values — closed-form in SQL. The whole
+    encode/zlib/filter/decode/resize/encode/decode chain runs inside
+    Arrow-batched mapInPandas; any filter, inflate, or resampling
+    defect surfaces as a value mismatch against the oracle."""
+    from chiv_spark.pyship import ensure_shipped
+
+    ensure_shipped(ids.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        from chiv_spark.formats.png import decode_png, encode_png, resize_png
+
+        def h64(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def one(mid: int):
+            v0 = h64(f"png:{mid}") % 256
+            ys, xs = np.mgrid[0:src_h, 0:src_w]
+            img = ((v0 + 7 * xs + 13 * ys) % 256).astype(np.uint8)
+            resized = resize_png(encode_png(src_w, src_h, 1, img.tobytes()), dst_w, dst_h)
+            w, h, ch, raw = decode_png(resized)
+            px = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            return (w, h, int(px.sum()), int(px.min()), int(px.max()))
+
+        for pdf in batches:
+            rows = [one(int(m)) for m in pdf["media_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "px_sum": [r[2] for r in rows],
+                    "px_min": [r[3] for r in rows],
+                    "px_max": [r[4] for r in rows],
+                }
+            )
+
+    return ids.select("media_id").mapInPandas(run, JPEG_FEATURE_SCHEMA)

@@ -1183,6 +1183,48 @@ def multimodal_gif_frames(spark, sf_dir):
 
 
 @query(
+    "multimodal_png_resize",
+    # closed-form oracle: source pixels are the ramp (v0 + 7x + 13y)
+    # mod 256, and nearest-neighbor at exactly 2:1 samples the
+    # even-coordinate values floor(i*src/dst) = 2i — so the resized
+    # image's features come from modular arithmetic over an 8x6
+    # range-unnest, no PNG parsing, while the ENGINE round-trips real
+    # zlib/filtered PNG bytes through encode -> decode -> numpy
+    # resample -> encode -> decode. Any filter, inflate, or
+    # resampling defect surfaces as a value mismatch.
+    f"""
+    WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 50),
+    px AS (
+      SELECT media_id,
+             (({duckdb_hash64("'png:' || media_id::VARCHAR")} % 256)
+              + 7 * (2 * x.x) + 13 * (2 * y.y)) % 256 AS px
+      FROM m, UNNEST(range(0, 8)) AS x(x), UNNEST(range(0, 6)) AS y(y))
+    SELECT media_id,
+           CAST(8 AS INTEGER) AS width,
+           CAST(6 AS INTEGER) AS height,
+           CAST(SUM(px) AS BIGINT) AS px_sum,
+           CAST(MIN(px) AS BIGINT) AS px_min,
+           CAST(MAX(px) AS BIGINT) AS px_max
+    FROM px GROUP BY media_id
+    """,
+    doc="REAL image-resize path as a first-class query (the resize "
+    "bullet of the multimodal tier): per media a 16x12 grayscale "
+    "ramp PNG is encoded, nearest-neighbor-resized to 8x6 via "
+    "formats.png.resize_png (decode -> numpy resample -> re-encode), "
+    "decoded again, and reduced to integer pixel features inside "
+    "Arrow-batched mapInPandas — hash-matched against a closed-form "
+    "modular-arithmetic oracle",
+)
+def multimodal_png_resize(spark, sf_dir):
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return multimodal.png_resize_features(ids)
+
+
+@query(
     "pandas_udaf_lang_profile",
     """
     SELECT lang,
