@@ -1110,3 +1110,87 @@ def mlprep_global_shuffle(spark, sf_dir):
         F.row_number().over(w).cast("long").alias("position"),
         "doc_id",
     )
+
+
+# --------------------------------------------------------------------------
+# mlprep_domain_mixture — budget-feasible mixture sampling to target
+# domain weights (the pretraining data-mixing step: "40% en, 20% zh,
+# ..." subject to what each domain actually has)
+
+_MIX_H = "(('0x' || substring(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT)"
+#: target mixture weights in parts-per-million (sum = 1_000_000)
+_MIX_W = [("en", 400_000), ("zh", 200_000), ("de", 150_000), ("fr", 150_000), ("es", 100_000)]
+
+
+@query(
+    "mlprep_domain_mixture",
+    f"""
+    WITH w AS (SELECT * FROM (VALUES {", ".join(f"('{l}', {m})" for l, m in _MIX_W)})
+               AS t(lang, w_micro)),
+    cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tt AS (SELECT MIN(c.n * 1000000 // w.w_micro) AS t
+           FROM cnt c JOIN w USING (lang)),
+    k AS (SELECT c.lang, c.n, (w.w_micro * tt.t) // 1000000 AS k
+          FROM cnt c JOIN w USING (lang), tt),
+    ranked AS (SELECT lang, doc_id,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY {_MIX_H}, doc_id) AS rn
+               FROM documents),
+    sel AS (SELECT r.lang, r.doc_id
+            FROM ranked r JOIN k ON k.lang = r.lang AND r.rn <= k.k),
+    sa AS (SELECT lang, SUM(doc_id) AS id_sum FROM sel GROUP BY lang),
+    tot AS (SELECT SUM(k) AS ts FROM k)
+    SELECT k.lang,
+           CAST(k.n AS BIGINT) AS n_available,
+           CAST(k.k AS BIGINT) AS n_sampled,
+           CAST((k.k * 1000000) // tot.ts AS BIGINT) AS realized_share_micro,
+           CAST(sa.id_sum AS BIGINT) AS sample_id_sum
+    FROM k JOIN sa USING (lang), tot
+    """,
+    doc="pretraining domain-mixture sampling: given target weights "
+    "(en 40% / zh 20% / de 15% / fr 15% / es 10%), the feasible "
+    "corpus budget is T = min_d(n_d/w_d) — the binding domain caps "
+    "the mixture — and each domain contributes exactly "
+    "k_d = floor(w_d*T) docs chosen by stable-hash rank (no RNG; "
+    "the selected SET is a pure function of the corpus, proven by "
+    "the per-domain id-sum checksum). All mixture math is integer "
+    "micros (div, not /), so every column hash-matches. Scale: "
+    "counts/T/k are domain-cardinality-sized broadcasts; the one "
+    "corpus-sized op is the per-domain rank window — low-card "
+    "domains concentrate at 100 TB, where the documented swap is "
+    "hash-threshold selection at rate k_d/n_d (expectation-exact, "
+    "zero sort, same hash) or distributed k-th-hash selection",
+)
+def mlprep_domain_mixture(spark, sf_dir):
+    from pyspark.sql.window import Window as _W
+
+    docs = t(spark, sf_dir, "documents")
+    w = F.broadcast(
+        docs.sparkSession.createDataFrame(_MIX_W, "lang string, w_micro long")
+    )
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    joined = cnt.join(w, "lang")
+    tt = joined.select(F.min(F.expr("n * 1000000 div w_micro")).alias("t"))
+    k = joined.crossJoin(F.broadcast(tt)).select(
+        "lang", "n", F.expr("w_micro * t div 1000000").alias("k")
+    )
+    h = hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    ranked = docs.select("lang", "doc_id").withColumn(
+        "rn", F.row_number().over(_W.partitionBy("lang").orderBy(h, F.col("doc_id")))
+    )
+    sel = ranked.join(F.broadcast(k.select("lang", "k")), "lang").filter(
+        F.col("rn") <= F.col("k")
+    )
+    sa = sel.groupBy("lang").agg(F.sum("doc_id").alias("id_sum"))
+    tot = k.agg(F.sum("k").alias("ts"))
+    return (
+        k.join(sa, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_available"),
+            F.col("k").cast("long").alias("n_sampled"),
+            F.expr("(k * 1000000) div ts").cast("long").alias("realized_share_micro"),
+            F.col("id_sum").cast("long").alias("sample_id_sum"),
+        )
+    )

@@ -698,3 +698,233 @@ def stats_mann_whitney(spark, sf_dir):
         - F.col("n_a").cast("double") * (F.col("n_a") + 1) / 2.0
     )
     return agg.select("n_a", "n_b", det_round(u_a).alias("u_a"))
+
+
+# --------------------------------------------------------------------------
+# stats_ols_by_group — grouped least-squares regression from exact
+# integer power sums (price-vs-quantity elasticity per return flag)
+
+
+@query(
+    "stats_ols_by_group",
+    """
+    WITH q AS (
+      SELECT l_returnflag AS grp,
+             CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS xc,
+             CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS yc
+      FROM lineitem),
+    m AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(xc AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(yc AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(xc AS DECIMAL(38,0)) * xc) AS sxx,
+             SUM(CAST(yc AS DECIMAL(38,0)) * yc) AS syy,
+             SUM(CAST(xc AS DECIMAL(38,0)) * yc) AS sxy
+      FROM q GROUP BY grp),
+    d AS (
+      SELECT grp, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS var_x_n,
+             CAST(n * syy - sy * sy AS DOUBLE) AS var_y_n,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM m)
+    SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           (FLOOR((cov_n / var_x_n) * 1000000.0 + 0.5) / 1000000.0) AS slope,
+           (FLOOR(((syd - (cov_n / var_x_n) * sxd) / n / 100.0)
+                  * 1000000.0 + 0.5) / 1000000.0) AS intercept,
+           (FLOOR((cov_n / sqrt(var_x_n) / sqrt(var_y_n))
+                  * 1000000.0 + 0.5) / 1000000.0) AS pearson_r
+    FROM d
+    """,
+    doc="grouped OLS (extendedprice ~ quantity per return flag) with "
+    "Pearson r, from EXACT centi-quantized power sums in DECIMAL(38) "
+    "— slope/intercept/r are each ONE final IEEE expression over "
+    "exact integers, so they hash-match across engines where a "
+    "float-summed regr_slope never would. Centi (not micro) "
+    "quantization keeps the per-row xc*yc product inside BIGINT "
+    "(5e3 x 1e9 << 2^63) while DECIMAL(38) absorbs the sums. Scale: "
+    "one map-side-partial hash agg, groups-sized exchange, no sort, "
+    "no window — the same single-pass shape as variance/skewness, "
+    "i.e. THE distributed closed-form-model fit",
+)
+def stats_ols_by_group(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    q = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_quantity").cast("double") * 100.0).cast("long").alias("xc"),
+        F.round(F.col("l_extendedprice").cast("double") * 100.0).cast("long").alias("yc"),
+    )
+    m = q.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("xc")).alias("sx"),
+        F.sum(dec("yc")).alias("sy"),
+        F.sum(dec("xc") * F.col("xc")).alias("sxx"),
+        F.sum(dec("yc") * F.col("yc")).alias("syy"),
+        F.sum(dec("xc") * F.col("yc")).alias("sxy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y_n = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov_n / var_x_n
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n") / 100.0
+    r = cov_n / F.sqrt(var_x_n) / F.sqrt(var_y_n)
+    return m.select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        det_round(slope).alias("slope"),
+        det_round(intercept).alias("intercept"),
+        det_round(r).alias("pearson_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stats_spearman_corr — rank correlation with exact tie handling
+
+
+@query(
+    "stats_spearman_corr",
+    """
+    WITH q AS (
+      SELECT event_type AS grp,
+             CAST(ROUND(value * 1000000.0) AS BIGINT) AS x,
+             epoch_us(ts::TIMESTAMP) AS y
+      FROM events WHERE value IS NOT NULL),
+    ranked AS (
+      SELECT grp,
+             2 * rank() OVER (PARTITION BY grp ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY grp, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY grp ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY grp, y) - 1 AS ry
+      FROM q),
+    m AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(rx AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(ry AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+             SUM(CAST(ry AS DECIMAL(38,0)) * ry) AS syy,
+             SUM(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy
+      FROM ranked GROUP BY grp)
+    SELECT grp AS event_type, CAST(n AS BIGINT) AS n_rows,
+           (FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   / sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  * 1000000.0 + 0.5) / 1000000.0) AS spearman_rho
+    FROM m
+    """,
+    doc="Spearman rank correlation (value vs event time per event "
+    "type) with EXACT fractional tie ranks: the doubled average rank "
+    "2*avg = 2*minrank + tiecount - 1 stays integer, so rho is "
+    "Pearson over exact integer rank moments (DECIMAL(38) sums, one "
+    "final IEEE expression) — scaling by 2 cancels in the "
+    "correlation. The monotone-relationship detector Pearson can't "
+    "provide. Scale: ranking windows partition by event_type "
+    "(low-card — at extreme scale the swap is the two-pass "
+    "cumulative-count ranking over value-distribution aggregates, "
+    "the KS-test shape); the moment agg is single-pass map-side",
+)
+def stats_spearman_corr(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    q = ev.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value").cast("double") * 1_000_000.0).cast("long").alias("x"),
+        F.unix_micros(F.col("ts")).alias("y"),
+    )
+    rx = (
+        2 * F.rank().over(Window.partitionBy("grp").orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("grp", "x"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(Window.partitionBy("grp").orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("grp", "y"))
+        - 1
+    )
+    ranked = q.select("grp", rx.alias("rx"), ry.alias("ry"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("rx")).alias("sx"),
+        F.sum(dec("ry")).alias("sy"),
+        F.sum(dec("rx") * F.col("rx")).alias("sxx"),
+        F.sum(dec("ry") * F.col("ry")).alias("syy"),
+        F.sum(dec("rx") * F.col("ry")).alias("sxy"),
+    )
+    rho = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return m.select(
+        F.col("grp").alias("event_type"),
+        F.col("n").cast("long").alias("n_rows"),
+        det_round(rho).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stats_gini_by_group — revenue concentration (inequality) per group
+
+
+@query(
+    "stats_gini_by_group",
+    """
+    WITH q AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY cents, o_orderkey) AS i
+      FROM q),
+    m AS (
+      SELECT grp, COUNT(*) AS n,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(i AS DECIMAL(38,0)) * cents) AS sw
+      FROM ranked GROUP BY grp)
+    SELECT grp AS o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+           (FLOOR((CAST(2 * sw - (n + 1) * s1 AS DOUBLE)
+                   / CAST(n * s1 AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0) AS gini
+    FROM m
+    """,
+    doc="Gini coefficient of order-value concentration per order "
+    "priority: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over "
+    "rank-ordered cent values — numerator and denominator are EXACT "
+    "DECIMAL(38) integers, one final IEEE division. Equal values "
+    "give the same G under any tie order (they contribute equal "
+    "x_i), and the (cents, orderkey) ordering key makes the rank "
+    "deterministic anyway. The inequality/concentration measure "
+    "every marketplace-health dashboard wants. Scale: per-group "
+    "rank window (5 priorities — at extreme scale swap to the "
+    "value-distribution form: G from cumulative sums over grouped "
+    "value counts, a two-agg pipeline with no per-row sort)",
+)
+def stats_gini_by_group(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    q = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("double") * 100.0).cast("long").alias("cents"),
+    )
+    ranked = q.select(
+        "grp",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("cents", "o_orderkey"))
+        .alias("i"),
+    )
+    m = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("sw"),
+    )
+    gini = (2 * F.col("sw") - (F.col("n") + 1) * F.col("s1")).cast("double") / (
+        F.col("n") * F.col("s1")
+    ).cast("double")
+    return m.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("n").cast("long").alias("n_orders"),
+        det_round(gini).alias("gini"),
+    )
