@@ -1100,6 +1100,45 @@ def multimodal_audio_features(spark, sf_dir):
 
 
 @query(
+    "multimodal_audio_vad_frames",
+    # closed-form oracle: samples are the (id, t) hash stream, frames
+    # are fixed 160-sample windows (every synthetic length is a
+    # multiple of 160), so per-frame energy and the activity flag
+    # come from range-unnest + modular arithmetic — no WAV parsing —
+    # while the ENGINE decodes real RIFF/PCM16 bytes and frames them
+    # on the executors.
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, 800 + (doc_id % 5) * 160 AS n
+      FROM documents WHERE doc_id < 100),
+    s AS (
+      SELECT media_id, CAST(r.t // 160 AS INT) AS frame_index,
+             (({duckdb_hash64("'aud:' || media_id::VARCHAR || ':' || r.t::VARCHAR")}
+               % 65536) - 32768) AS s
+      FROM m, UNNEST(range(0, m.n)) AS r(t))
+    SELECT media_id, frame_index,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           (SUM(s * s) >= 56000000000) AS is_active
+    FROM s GROUP BY media_id, frame_index
+    """,
+    doc="audio frame sampling + VAD energy gating: real PCM16 WAV "
+    "payloads decode on the executors and split into 10 ms frames, "
+    "one row per frame with exact integer energy and an "
+    "active/silence flag — the silence-trimming primitive of a "
+    "speech data pipeline, frame rows bounded by payload length. "
+    "Hash-matched against a closed-form oracle",
+)
+def multimodal_audio_vad_frames(spark, sf_dir):
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return multimodal.audio_frame_energy(multimodal.synth_audio(ids))
+
+
+@query(
     "multimodal_jpeg_features",
     # closed-form oracle: block values are even-valued hash functions
     # of (id, bx, by), and on even uniform blocks the flat-Q baseline

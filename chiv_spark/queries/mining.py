@@ -790,3 +790,91 @@ def orders_market_basket(spark, sf_dir):
             det_round(F.col("lift")).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mining_item_knn — item-to-item collaborative-filtering neighbors
+
+
+@query(
+    "mining_item_knn",
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2),
+    scored AS (
+      SELECT part_a, part_b, n_pair,
+             CAST(n_pair AS DOUBLE) / sqrt(CAST(ia.n_item * ib.n_item AS DOUBLE)) AS cosine
+      FROM pair
+      JOIN item ia ON ia.l_partkey = part_a
+      JOIN item ib ON ib.l_partkey = part_b),
+    ranked AS (
+      SELECT part_a, part_b, n_pair, cosine,
+             ROW_NUMBER() OVER (PARTITION BY part_a
+                                ORDER BY cosine DESC, part_b) AS rk
+      FROM scored)
+    SELECT part_a AS part_id, part_b AS neighbor_id,
+           CAST(rk AS INTEGER) AS rank,
+           CAST(n_pair AS BIGINT) AS n_copurchase,
+           {duckdb_det_round("cosine")} AS cosine
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="item-to-item collaborative filtering (the Amazon-style "
+    "recsys serving structure): per part, its top-3 neighbors by "
+    "cosine over binary purchase vectors — cos = n_ab/sqrt(n_a*n_b) "
+    "from exact integer co-occurrence counts, one IEEE expression, "
+    "engine-identical ranking. Complements orders_market_basket's "
+    "global lift ranking with the PER-ITEM neighbor list a "
+    "recommender actually serves. Scale: the pair join is keyed on "
+    "the order (bounded by basket-size^2 per order, never parts^2), "
+    "supports broadcast onto pairs, and the rank window partitions "
+    "by item — parts-cardinality keys, uniform by construction",
+)
+def mining_item_knn(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    scored = (
+        pair.join(
+            F.broadcast(
+                item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na"))
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb"))
+            ),
+            "part_b",
+        )
+        .withColumn(
+            "cosine",
+            F.col("n_pair").cast("double")
+            / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(F.col("cosine").desc(), "part_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("part_a").alias("part_id"),
+            F.col("part_b").alias("neighbor_id"),
+            F.col("rk").cast("int").alias("rank"),
+            F.col("n_pair").cast("long").alias("n_copurchase"),
+            det_round(F.col("cosine")).alias("cosine"),
+        )
+    )

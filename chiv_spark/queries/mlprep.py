@@ -1194,3 +1194,65 @@ def mlprep_domain_mixture(spark, sf_dir):
             F.col("id_sum").cast("long").alias("sample_id_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# transform_zorder_key — multi-dimensional layout key for data skipping
+
+_ZBITS = 16
+
+
+def _z_sql(xe: str, ye: str) -> str:
+    """DuckDB bit-interleave of the low 16 bits of two expressions."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@query(
+    "transform_zorder_key",
+    f"""
+    WITH q AS (
+      SELECT l_orderkey % 65536 AS x, l_partkey % 65536 AS y
+      FROM lineitem),
+    z AS (SELECT {_z_sql("x", "y")} AS zkey FROM q)
+    SELECT CAST(zkey >> 22 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(zkey) AS BIGINT) AS min_zkey,
+           CAST(MAX(zkey) AS BIGINT) AS max_zkey
+    FROM z GROUP BY z_bucket
+    """,
+    doc="Z-order (Morton) layout key: bit-interleave of the low 16 "
+    "bits of (orderkey, partkey), bucketed into 4-Mkey ranges with "
+    "per-bucket count/min/max — the multi-dimensional clustering "
+    "key that makes min/max row-group skipping effective for "
+    "queries filtering on EITHER dimension (sort the table by zkey "
+    "via write_columnar and both orderkey and partkey predicates "
+    "prune). Pure JVM bit expressions (32 shift/mask/or terms, "
+    "whole-stage codegen), bit-identical across engines; the "
+    "histogram is one map-side-partial hash agg. The same key "
+    "composes with repartitionByRange for write-time clustering at "
+    "any scale",
+)
+def transform_zorder_key(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_orderkey") % 65536
+    y = F.col("l_partkey") % 65536
+    zkey = F.lit(0).cast("long")
+    for i in range(_ZBITS):
+        zkey = zkey.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i).cast("long")
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1).cast("long")
+        )
+    return (
+        li.select(zkey.alias("zkey"))
+        .groupBy(F.shiftright(F.col("zkey"), 22).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("zkey").cast("long").alias("min_zkey"),
+            F.max("zkey").cast("long").alias("max_zkey"),
+        )
+    )
