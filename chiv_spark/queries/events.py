@@ -1869,3 +1869,84 @@ def streaming_session_window_native(spark, sf_dir):
 
     ckpt = tempfile.mkdtemp(prefix="chiv-nsw-ckpt-")
     return run_native_session_windows(spark, sf_dir, ckpt)
+
+
+# --------------------------------------------------------------------------
+# events_scd2_state — type-2 slowly-changing-dimension build
+
+
+@query(
+    "events_scd2_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events),
+    starts AS (
+      SELECT user_id, state, ts, event_id,
+             CASE WHEN prev_state IS NULL OR prev_state != state
+                  THEN 1 ELSE 0 END AS is_change
+      FROM ordered),
+    versioned AS (
+      SELECT user_id, state, ts, event_id,
+             SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS version
+      FROM starts),
+    spans AS (
+      SELECT user_id, state, version,
+             COUNT(*) AS n_events,
+             MIN(ts) AS valid_from
+      FROM versioned GROUP BY user_id, state, version)
+    SELECT user_id, CAST(version AS BIGINT) AS version, state,
+           CAST(valid_from AS TIMESTAMP) AS valid_from,
+           CAST(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                AS TIMESTAMP) AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM spans
+    """,
+    doc="type-2 slowly-changing-dimension build from an event "
+    "stream: consecutive equal states compress into versioned "
+    "validity spans (valid_from inclusive, valid_to = next span's "
+    "start, NULL while current) via lag-change flag + running sum + "
+    "lead — the warehouse dimension-history primitive (state = "
+    "event_type as the tracked attribute). Every span carries its "
+    "event count so silent row loss is visible. Scale: all three "
+    "windows share ONE user-keyed sort/shuffle (same partition key, "
+    "same ordering), spans are change-bounded not event-bounded, "
+    "and the skew answer is the sessionize_scalable bucket "
+    "decomposition (a span's membership depends only on its "
+    "neighbors, like session boundaries)",
+)
+def events_scd2_state(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    starts = ordered.withColumn(
+        "is_change",
+        F.when(
+            F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state")), 1
+        ).otherwise(0),
+    )
+    versioned = starts.withColumn("version", F.sum("is_change").over(wrun))
+    spans = versioned.groupBy("user_id", "state", "version").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("valid_from"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return spans.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.lead("valid_from").over(wv).cast("timestamp").alias("valid_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
