@@ -1256,3 +1256,57 @@ def transform_zorder_key(spark, sf_dir):
             F.max("zkey").cast("long").alias("max_zkey"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mlprep_curriculum_order — staged (easy -> hard) training ordering
+
+_CURR_H = "(('0x' || substring(md5('curr:' || doc_id::VARCHAR), 1, 15))::BIGINT)"
+_CURR_SHARDS = 8
+
+
+@query(
+    "mlprep_curriculum_order",
+    f"""
+    WITH staged AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 200 THEN 0
+                  WHEN n_chars < 500 THEN 1
+                  ELSE 2 END AS stage,
+             {_CURR_H} AS h
+      FROM documents),
+    keyed AS (SELECT doc_id, stage, h, h % {_CURR_SHARDS} AS shard FROM staged)
+    SELECT stage, CAST(shard AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY stage, shard
+                                   ORDER BY h, doc_id) AS BIGINT) AS position,
+           doc_id
+    FROM keyed
+    """,
+    doc="curriculum data ordering: docs bucket into difficulty "
+    "stages (length as the proxy: <200 / <500 / rest chars — the "
+    "easy-to-hard schedule), then shuffle deterministically WITHIN "
+    "each stage via the stable-hash shard + in-shard rank of "
+    "mlprep_global_shuffle — readers consume stages in order, "
+    "(shard, position) within a stage, giving a reproducible "
+    "curriculum with no global sort (the only exchanges are the "
+    "(stage, shard)-keyed rank windows, and shard count scales "
+    "with the corpus so each per-shard sort stays memory-bounded)",
+)
+def mlprep_curriculum_order(spark, sf_dir):
+    from pyspark.sql.window import Window as _W
+
+    docs = t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("curr:"), F.col("doc_id").cast("string")))
+    stage = (
+        F.when(F.col("n_chars") < 200, 0).when(F.col("n_chars") < 500, 1).otherwise(2)
+    )
+    keyed = docs.select(
+        "doc_id", stage.alias("stage"), h.alias("h")
+    ).withColumn("shard", (F.col("h") % _CURR_SHARDS).cast("int"))
+    w = _W.partitionBy("stage", "shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "stage",
+        "shard",
+        F.row_number().over(w).cast("long").alias("position"),
+        "doc_id",
+    )

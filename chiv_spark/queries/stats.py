@@ -928,3 +928,86 @@ def stats_gini_by_group(spark, sf_dir):
         F.col("n").cast("long").alias("n_orders"),
         det_round(gini).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# stats_chi_square — test of independence over a contingency table
+
+
+@query(
+    "stats_chi_square",
+    """
+    WITH cells AS (
+      SELECT event_type, user_id % 2 AS grp, COUNT(*) AS o
+      FROM events GROUP BY event_type, grp),
+    margins AS (
+      SELECT c.event_type, c.grp, c.o,
+             r.rt, g.ct, t.n
+      FROM cells c
+      JOIN (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY event_type) r
+        ON r.event_type = c.event_type
+      JOIN (SELECT grp, SUM(o) AS ct FROM cells GROUP BY grp) g
+        ON g.grp = c.grp
+      CROSS JOIN (SELECT SUM(o) AS n FROM cells) t),
+    contrib AS (
+      SELECT event_type, grp, o,
+             CAST(rt AS DOUBLE) * ct / n AS e,
+             (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+               * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+               / (CAST(rt AS DOUBLE) * ct / n) AS x2
+      FROM margins),
+    total AS (
+      SELECT list_reduce(
+               list(x2 ORDER BY event_type, grp),
+               (acc, v) -> acc + v) AS chi2,
+             COUNT(*) AS n_cells
+      FROM contrib)
+    SELECT c.event_type, CAST(c.grp AS BIGINT) AS grp,
+           CAST(c.o AS BIGINT) AS observed,
+           (FLOOR(c.e * 1000000.0 + 0.5) / 1000000.0) AS expected,
+           (FLOOR(c.x2 * 1000000.0 + 0.5) / 1000000.0) AS cell_chi2,
+           (FLOOR(t.chi2 * 1000000.0 + 0.5) / 1000000.0) AS chi2_total
+    FROM contrib c, total t
+    """,
+    doc="chi-square test of independence (event_type x user-parity "
+    "arm): per-cell observed/expected/contribution plus the total "
+    "statistic. Expected counts and contributions are each ONE IEEE "
+    "expression over exact integer margins; the cross-cell total is "
+    "a SORTED scalar list fold — (event_type, grp) order in both "
+    "engines — because a hash-aggregated float SUM would "
+    "hash-diverge on summation order (the EWMA-oracle lesson "
+    "applied to a statistic). Scale: cells/margins are "
+    "category-sized aggregates of one map-side pass; the fold runs "
+    "over |types|x2 cells, never rows",
+)
+def stats_chi_square(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("grp").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    m = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "grp")
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    x2 = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    contrib = m.select("event_type", "grp", "o", e.alias("e"), x2.alias("x2"))
+    total = contrib.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "grp", "x2"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x2"],
+        ).alias("chi2")
+    )
+    return contrib.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        F.col("grp").cast("long").alias("grp"),
+        F.col("o").cast("long").alias("observed"),
+        det_round(F.col("e")).alias("expected"),
+        det_round(F.col("x2")).alias("cell_chi2"),
+        det_round(F.col("chi2")).alias("chi2_total"),
+    )
