@@ -595,3 +595,74 @@ def audio_frame_energy(media: DataFrame, frame: int = 160) -> DataFrame:
             )
 
     return media.mapInPandas(run, AUDIO_FRAME_SCHEMA)
+
+
+CROP_CHANNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.LongType()),
+        T.StructField("px_max", T.LongType()),
+    ]
+)
+
+
+def png_crop_rgb_features(
+    ids: DataFrame,
+    src_w: int = 16,
+    src_h: int = 12,
+    crop_w: int = 8,
+    crop_h: int = 6,
+) -> DataFrame:
+    """REAL color-PNG center-crop on the executors: per media_id an
+    RGB src_w×src_h ramp (pixel(x,y,c) = (v0 + 7x + 13y + 97c) mod
+    256) is PNG-encoded (3-channel, per-spec filtering), decoded,
+    center-cropped to crop_w×crop_h, and reduced to per-CHANNEL
+    integer stats — the crop + channel-statistics primitive of an
+    image-preprocessing pipeline, and the query-tier exercise of the
+    3-channel codec path (resize covers grayscale). Arrow-batched
+    mapInPandas, one output row per (media, channel)."""
+    from chiv_spark.pyship import ensure_shipped
+
+    ensure_shipped(ids.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        from chiv_spark.formats.png import decode_png, encode_png
+
+        x0 = (src_w - crop_w) // 2
+        y0 = (src_h - crop_h) // 2
+
+        def h64(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def one(mid: int):
+            v0 = h64(f"pngc:{mid}") % 256
+            ys, xs, cs = np.mgrid[0:src_h, 0:src_w, 0:3]
+            img = ((v0 + 7 * xs + 13 * ys + 97 * cs) % 256).astype(np.uint8)
+            w, h, ch, raw = decode_png(encode_png(src_w, src_h, 3, img.tobytes()))
+            arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+            crop = arr[y0 : y0 + crop_h, x0 : x0 + crop_w].astype(np.int64)
+            return [
+                (mid, c, int(crop[:, :, c].sum()), int(crop[:, :, c].min()), int(crop[:, :, c].max()))
+                for c in range(3)
+            ]
+
+        for pdf in batches:
+            rows = [r for m in pdf["media_id"] for r in one(int(m))]
+            yield _pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "channel": [r[1] for r in rows],
+                    "px_sum": [r[2] for r in rows],
+                    "px_min": [r[3] for r in rows],
+                    "px_max": [r[4] for r in rows],
+                }
+            )
+
+    return ids.select("media_id").mapInPandas(run, CROP_CHANNEL_SCHEMA)

@@ -1950,3 +1950,44 @@ def events_scd2_state(spark, sf_dir):
         F.lead("valid_from").over(wv).cast("timestamp").alias("valid_to"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "scan_csv_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+    doc="CSV source round trip (completes the interchange-format "
+    "set next to ORC and NDJSON): the measure columns are written "
+    "to headered CSV and read back with an EXPLICIT schema (never "
+    "inference — nondeterministic sampling has no place in a "
+    "pipeline), then aggregated; the oracle aggregates the source "
+    "parquet, so any serialization loss surfaces as a mismatch. "
+    "Doubles survive because Spark writes Java shortest round-trip "
+    "representations; the distributed read splits CSV by line "
+    "ranges, so parallelism matches the parquet scan's",
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    e = t(spark, sf_dir, "events")
+    work = _tempfile.mkdtemp(prefix="chiv-csvscan-")
+    try:
+        e.select("event_type", "value").write.mode("overwrite").option(
+            "header", "true"
+        ).csv(f"{work}/events_csv")
+        back = (
+            spark.read.schema("event_type string, value double")
+            .option("header", "true")
+            .csv(f"{work}/events_csv")
+        )
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100.0).cast("long")).cast("long").alias("cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

@@ -1264,6 +1264,44 @@ def multimodal_png_resize(spark, sf_dir):
 
 
 @query(
+    "multimodal_png_crop_rgb",
+    # closed-form oracle: the RGB ramp (v0 + 7x + 13y + 97c) mod 256
+    # restricted to the center 8x6 window (x in 4..11, y in 3..8) is
+    # a range-unnest + modular arithmetic per channel — no PNG
+    # parsing — while the ENGINE round-trips real 3-channel
+    # filtered/zlib PNG bytes and numpy-crops the decoded array.
+    f"""
+    WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 50),
+    px AS (
+      SELECT media_id, CAST(c.c AS INT) AS channel,
+             (({duckdb_hash64("'pngc:' || media_id::VARCHAR")} % 256)
+              + 7 * (4 + x.x) + 13 * (3 + y.y) + 97 * c.c) % 256 AS px
+      FROM m, UNNEST(range(0, 8)) AS x(x), UNNEST(range(0, 6)) AS y(y),
+           UNNEST(range(0, 3)) AS c(c))
+    SELECT media_id, channel,
+           CAST(SUM(px) AS BIGINT) AS px_sum,
+           CAST(MIN(px) AS BIGINT) AS px_min,
+           CAST(MAX(px) AS BIGINT) AS px_max
+    FROM px GROUP BY media_id, channel
+    """,
+    doc="REAL color-image crop path: per media an RGB 16x12 ramp "
+    "PNG round-trips the 3-channel codec (per-spec filtering, "
+    "interleaved samples) on the executors, is center-cropped to "
+    "8x6, and reduced to per-channel integer stats — the crop + "
+    "channel-statistics preprocessing primitive, hash-matched "
+    "against a closed-form oracle (resize covers the grayscale "
+    "path; this exercises color)",
+)
+def multimodal_png_crop_rgb(spark, sf_dir):
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    return multimodal.png_crop_rgb_features(ids)
+
+
+@query(
     "pandas_udaf_lang_profile",
     """
     SELECT lang,
