@@ -1991,3 +1991,62 @@ def scan_csv_roundtrip(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "transform_dynamic_partition_pruning",
+    """
+    WITH dim AS (
+      SELECT * FROM (VALUES ('view', 'browse'), ('click', 'browse'),
+                            ('purchase', 'convert'), ('signup', 'convert'),
+                            ('logout', 'other')) AS t(event_type, category))
+    SELECT d.category,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    WHERE d.category = 'convert'
+    GROUP BY d.category
+    """,
+    doc="DYNAMIC partition pruning end-to-end (the runtime twin of "
+    "transform_partition_pruned_scan's static pruning): the fact "
+    "side is written partitioned by event_type, the join dim "
+    "carries the filter (category = 'convert'), and Catalyst "
+    "injects a dynamicpruning#N subquery into the fact scan's "
+    "partition filters — at 100 TB this is how a star join reads "
+    "only the partitions the filtered dimension reaches, without "
+    "the author naming them. The fact predicate never appears in "
+    "the query text; tests/test_plans.py pins the dynamicpruning "
+    "expression in the scan. Oracle states the plain logical join",
+)
+def transform_dynamic_partition_pruning(spark, sf_dir):
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    e = t(spark, sf_dir, "events")
+    dim = e.sparkSession.createDataFrame(
+        [
+            ("view", "browse"),
+            ("click", "browse"),
+            ("purchase", "convert"),
+            ("signup", "convert"),
+            ("logout", "other"),
+        ],
+        "event_type string, category string",
+    )
+    work = _tempfile.mkdtemp(prefix="chiv-dpp-")
+    try:
+        e.write.mode("overwrite").partitionBy("event_type").parquet(f"{work}/events_by_type")
+        fact = spark.read.parquet(f"{work}/events_by_type")
+        out = (
+            fact.join(dim.filter(F.col("category") == "convert"), "event_type")
+            .groupBy("category")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100.0).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)

@@ -560,3 +560,54 @@ def quality_l_diversity(spark, sf_dir):
         (F.col("l_acct_sign") < 2).alias("homogeneous"),
         F.col("corpus_l").cast("long").alias("corpus_l"),
     )
+
+
+# --------------------------------------------------------------------------
+# quality_dp_noisy_counts — Laplace-mechanism release shape
+
+
+@query(
+    "quality_dp_noisy_counts",
+    f"""
+    WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+    u AS (
+      SELECT event_type, n,
+             (CAST({duckdb_hash64("'dp:' || event_type")} % 999999 + 1 AS DOUBLE)
+              / 1000000.0 - 0.5) AS u
+      FROM c)
+    SELECT event_type,
+           CAST(1000000 AS BIGINT) AS epsilon_micro,
+           (FLOOR((CAST(n AS DOUBLE)
+                   - CASE WHEN u > 0 THEN 1.0 WHEN u < 0 THEN -1.0 ELSE 0.0 END
+                     * ln(1.0 - 2.0 * ABS(u)))
+                  * 1000000.0 + 0.5) / 1000000.0) AS noisy_count
+    FROM u
+    """,
+    doc="Laplace-mechanism count release (epsilon = 1, sensitivity "
+    "1, b = 1): noise drawn by inverse-CDF transform of a SEEDED "
+    "hash uniform — noise = -b*sign(u)*ln(1-2|u|), u in (-0.5, "
+    "0.5). The seeded draw makes the release REPRODUCIBLE (and "
+    "oracle-checkable: ln is correctly-rounded-consistent across "
+    "both engines on this data, the perplexity precedent) — the "
+    "mechanism/sensitivity/epsilon accounting shape a DP release "
+    "pipeline runs at scale, stated honestly: production DP "
+    "requires fresh randomness per release and a privacy budget "
+    "ledger; swapping the hash for a secure RNG changes one "
+    "expression and nothing in the plan. Groups-sized aggregation, "
+    "map-side partials, noise is a per-group scalar expression",
+)
+def quality_dp_noisy_counts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        (hash64(F.concat(F.lit("dp:"), F.col("event_type"))) % 999999 + 1).cast("double")
+        / 1_000_000.0
+        - 0.5
+    )
+    sign = F.when(u > 0, 1.0).when(u < 0, -1.0).otherwise(0.0)
+    noise = -sign * F.log(1.0 - 2.0 * F.abs(u))
+    return c.select(
+        "event_type",
+        F.lit(1_000_000).cast("long").alias("epsilon_micro"),
+        det_round(F.col("n").cast("double") + noise).alias("noisy_count"),
+    )

@@ -446,6 +446,28 @@ class TestRound6Additions:
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "purchase" in m.group(1), plan[:1500]
 
+    def test_dynamic_partition_pruning_subquery_in_fact_scan(self, spark, tmp_path):
+        # r7: the DPP twin — the fact predicate comes from the JOINED
+        # dim's filter at runtime, so the scan's PartitionFilters must
+        # carry a dynamicpruning expression (not a literal)
+        from chiv_spark.queries.base import t as read_t
+        from pyspark.sql import functions as F
+
+        e = read_t(spark, SF, "events")
+        e.write.mode("overwrite").partitionBy("event_type").parquet(
+            str(tmp_path / "by_type")
+        )
+        fact = spark.read.parquet(str(tmp_path / "by_type"))
+        dim = spark.createDataFrame(
+            [("purchase", "convert"), ("signup", "convert"), ("view", "browse")],
+            "event_type string, category string",
+        )
+        joined = fact.join(
+            dim.filter(F.col("category") == "convert"), "event_type"
+        ).groupBy("category").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, plan[:1500]
+
 
 class TestGlobalShufflePlan:
     def test_one_hash_exchange_no_global_sort(self, spark):
