@@ -414,6 +414,22 @@ class TestRound6Additions:
         assert ops.get("CartesianProduct", 0) == 0
         assert ops.get("BroadcastNestedLoopJoin", 0) == 0
 
+    def test_ivfpq_no_cartesian_all_probe_joins_keyed(self, spark):
+        # r7: IVFADC — every corpus-touching join (cell assign,
+        # residual, LUT probe, re-rank) must be a keyed hash join;
+        # the corpus must never cross-join cells, codes, or queries
+        ops = op_counts(REGISTRY["ann_ivfpq_topk"].fn(spark, SF))
+        assert ops.get("CartesianProduct", 0) == 0
+        assert ops.get("BroadcastNestedLoopJoin", 0) == 0
+
+    def test_item_knn_and_link_prediction_no_cartesian(self, spark):
+        # r7: both co-occurrence pipelines are order-/center-keyed
+        # equi joins — parts^2 must never appear in a plan
+        for name in ("mining_item_knn", "graph_link_prediction"):
+            ops = op_counts(REGISTRY[name].fn(spark, SF))
+            assert ops.get("CartesianProduct", 0) == 0, name
+            assert ops.get("BroadcastNestedLoopJoin", 0) == 0, name
+
     def test_scalable_drawdown_no_user_only_event_window(self, spark):
         # every event-scale window must include the bucket key; only
         # the bucket-level carry windows may partition by bare user_id
