@@ -2050,3 +2050,93 @@ def transform_dynamic_partition_pruning(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "join_scd2_enrich",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events),
+    versioned AS (
+      SELECT user_id, state, ts, event_id,
+             SUM(CASE WHEN prev_state IS NULL OR prev_state != state
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      FROM ordered),
+    spans AS (
+      SELECT user_id, state, version, MIN(ts) AS valid_from
+      FROM versioned GROUP BY user_id, state, version),
+    purchases AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT p.event_id, p.user_id, p.ts, s.state, s.version,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY s.valid_from DESC, s.version DESC) AS rk
+      FROM purchases p JOIN spans s
+        ON s.user_id = p.user_id AND s.valid_from <= p.ts)
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           state AS state_at_purchase, CAST(version AS BIGINT) AS version
+    FROM matched WHERE rk = 1
+    """,
+    doc="point-in-time dimension enrichment (the consumption side "
+    "of events_scd2_state): each purchase joins the SCD2 validity "
+    "span in force at its timestamp — an as-of backward match "
+    "implemented as a user-keyed range join + per-event argmax of "
+    "valid_from, the standard late-binding dimension lookup of a "
+    "bitemporal warehouse. Scale: the join fans out only by "
+    "spans-per-user (change-bounded, not event-bounded), the rank "
+    "window partitions by event — uniform keys; at extreme "
+    "span-counts the swap is the interval-bucketed join "
+    "(join_interval_bucketed's calendar decomposition)",
+)
+def join_scd2_enrich(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    versioned = ordered.withColumn(
+        "version",
+        F.sum(
+            F.when(
+                F.col("prev_state").isNull()
+                | (F.col("prev_state") != F.col("state")),
+                1,
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    spans = versioned.groupBy("user_id", "state", "version").agg(
+        F.min("ts").alias("valid_from")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    matched = purchases.join(spans, "user_id").filter(
+        F.col("valid_from") <= F.col("ts")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_id").orderBy(
+            F.col("valid_from").desc(), F.col("version").desc()
+        )
+    )
+    return (
+        matched.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("state").alias("state_at_purchase"),
+            F.col("version").cast("long").alias("version"),
+        )
+    )
