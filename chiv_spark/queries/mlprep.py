@@ -1310,3 +1310,56 @@ def mlprep_curriculum_order(spark, sf_dir):
         F.row_number().over(w).cast("long").alias("position"),
         "doc_id",
     )
+
+
+# --------------------------------------------------------------------------
+# mlprep_packing_efficiency — how full are the packed context windows
+
+
+@query(
+    "mlprep_packing_efficiency",
+    """
+    WITH sized AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    per AS (
+      SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+      FROM sized GROUP BY shard)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST((total_tokens - 1) // 2048 + 1 AS BIGINT) AS n_bins,
+           CAST(total_tokens * 1000000 // (((total_tokens - 1) // 2048 + 1) * 2048)
+                AS BIGINT) AS fill_rate_micro
+    FROM per
+    """,
+    doc="packing efficiency report for pack_sequences' concat-and-"
+    "chunk shards: bins consumed per shard (ceil of the token "
+    "stream over the 2048 window) and the realized fill rate in "
+    "integer micros — under concatenation every window is full "
+    "except each shard's tail, so the waste IS the tail and the "
+    "fill rate is the metric max_len / shard count are tuned by. "
+    "All integer div arithmetic, hash-exact; one groups-sized "
+    "aggregation, no window needed (the bin count is closed-form "
+    "from the shard total)",
+)
+def mlprep_packing_efficiency(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    per = sized.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return per.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.expr("(total_tokens - 1) div 2048 + 1").cast("long").alias("n_bins"),
+        F.expr(
+            "(total_tokens * 1000000) div (((total_tokens - 1) div 2048 + 1) * 2048)"
+        ).cast("long").alias("fill_rate_micro"),
+    )
