@@ -2140,3 +2140,90 @@ def join_scd2_enrich(spark, sf_dir):
             F.col("version").cast("long").alias("version"),
         )
     )
+
+
+@query(
+    "events_scd2_state_scalable",
+    None,  # oracle attached below: events_scd2_state's, verbatim
+    doc="skew-safe twin of events_scd2_state (the fifth member of "
+    "the bucketed-window family): state runs are computed WITHIN "
+    "(user, day-bucket) windows — a hot user's events spread across "
+    "as many tasks as they span days — then the per-bucket RUN rows "
+    "(change-bounded, not event-bounded) merge across boundaries in "
+    "a second per-user pass that re-run-length-encodes adjacent "
+    "equal states. A span's membership depends only on its "
+    "neighbors, exactly like session boundaries, so the prefix "
+    "decomposition is lossless; identical oracle to the plain "
+    "variant, 1000x hot-user generator test proves row identity",
+)
+def events_scd2_state_scalable(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    bucket_us = 86_400_000_000  # 1 day
+
+    # stage 1: run-length encode WITHIN (user, day-bucket)
+    wb = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wbrun = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        (F.unix_micros("ts") / bucket_us).cast("long").alias("bucket"),
+    )
+    runs = (
+        bucketed.withColumn(
+            "chg",
+            F.when(
+                F.lag("state").over(wb).isNull()
+                | (F.lag("state").over(wb) != F.col("state")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_idx", F.sum("chg").over(wbrun))
+        .groupBy("user_id", "bucket", "run_idx")
+        .agg(
+            F.min("state").alias("state"),  # constant within a run
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("run_from"),
+        )
+    )
+    # stage 2: merge runs across bucket boundaries — per-user rows
+    # are now change-bounded, never event-bounded
+    wu = Window.partitionBy("user_id").orderBy("bucket", "run_idx")
+    wurun = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = (
+        runs.withColumn(
+            "chg2",
+            F.when(
+                F.lag("state").over(wu).isNull()
+                | (F.lag("state").over(wu) != F.col("state")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("version", F.sum("chg2").over(wurun))
+        .groupBy("user_id", "version")
+        .agg(
+            F.min("state").alias("state"),  # constant within a span
+            F.sum("n_events").alias("n_events"),
+            F.min("run_from").alias("valid_from"),
+        )
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return merged.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "state",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.lead("valid_from").over(wv).cast("timestamp").alias("valid_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+from chiv_spark.queries.base import REGISTRY as _SCD2_REG  # noqa: E402
+
+_SCD2_REG["events_scd2_state_scalable"] = _SCD2_REG["events_scd2_state_scalable"].__class__(
+    name="events_scd2_state_scalable",
+    fn=_SCD2_REG["events_scd2_state_scalable"].fn,
+    oracle=_SCD2_REG["events_scd2_state"].oracle,
+    doc=_SCD2_REG["events_scd2_state_scalable"].doc,
+)

@@ -232,3 +232,31 @@ class TestScalableAttribution:
         assert windows, f"no window nodes in plan:\n{plan}"
         event_scale = [w for w in windows if "bucket" in w]
         assert event_scale, f"no (user_id, bucket)-partitioned window found:\n{windows}"
+
+
+class TestScalableScd2:
+    def test_hot_user_scd2_equals_plain(self, spark, tmp_path):
+        """The run-length bucket decomposition must be row-identical
+        to the plain single-window SCD2 build under the 1000x hot
+        user, including spans that CROSS day buckets (the hot user's
+        5-type cycle produces runs entirely inside buckets and the
+        tail users' single-state days produce cross-bucket merges)."""
+        from chiv_spark.queries import REGISTRY
+
+        sfd = _hot_user_events(spark, tmp_path)
+        plain = {
+            tuple(r) for r in REGISTRY["events_scd2_state"].fn(spark, sfd).collect()
+        }
+        scal = {
+            tuple(r)
+            for r in REGISTRY["events_scd2_state_scalable"].fn(spark, sfd).collect()
+        }
+        assert plain == scal, "scalable SCD2 diverged under skew"
+        assert len(plain) > 1000
+        # cross-bucket merge actually exercised: at least one span
+        # longer than a day bucket (valid_to - valid_from > 1 day)
+        import datetime as dt
+
+        assert any(
+            r[4] is not None and (r[4] - r[3]) > dt.timedelta(days=1) for r in plain
+        ), "no cross-bucket span in the generator output"

@@ -60,6 +60,11 @@ PLAN: dict[str, tuple[list[str], str]] = {
     # IVFADC ANN (assign + residual PQ + probe + exact re-rank)
     "text_freq_cms": ([SF01, SF1, PROBE_DIR], "documents"),
     "ann_ivfpq_topk": ([SF01, SF1, PROBE_DIR], "embeddings"),
+    # round 7, second batch: the co-occurrence pipelines (order-keyed
+    # pair joins — wedge work bounded by basket size / thresholded
+    # degree, never parts^2)
+    "mining_item_knn": ([SF001, SF01, SF1], "lineitem"),
+    "graph_link_prediction": ([SF001, SF01, SF1], "lineitem"),
 }
 
 # single-object archive sinks (executor-side formatting since r6):
