@@ -701,3 +701,49 @@ def join_asof_nearest(spark, sf_dir):
         F.when(pick_back, F.col("b_id")).otherwise(F.col("f_id")).alias("purchase_id"),
         F.when(pick_back, back_gap).otherwise(fwd_gap).alias("abs_gap_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# window_percentile_position — percent_rank + cume_dist (r7: the two
+# distribution-position functions completing the §2.5 window family)
+
+
+@query(
+    "window_percentile_position",
+    """
+    WITH pos AS (
+      SELECT event_type,
+             CAST(ROUND(value * 1000000.0) AS BIGINT) AS xm,
+             percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr,
+             cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type, xm AS value_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_ties,
+           (FLOOR(MIN(pr) * 1000000.0 + 0.5) / 1000000.0) AS percent_rank,
+           (FLOOR(MAX(cd) * 1000000.0 + 0.5) / 1000000.0) AS cume_dist
+    FROM pos GROUP BY event_type, xm
+    """,
+    doc="distribution position per distinct value: percent_rank "
+    "((rank-1)/(n-1), tie rows share the MIN) and cume_dist "
+    "(peers-inclusive running share, tie rows share the MAX) per "
+    "event type, grouped to one row per distinct value so the "
+    "output is distribution-sized. Both are single integer-ratio "
+    "divisions — engine-identical; the value-ordered window "
+    "partitions by event_type (the KS-test/value-distribution "
+    "family's shape: at extreme scale the swap is ranking over "
+    "grouped value counts, no per-row sort)",
+)
+def window_percentile_position(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    pos = e.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value").cast("double") * 1_000_000.0).cast("long").alias("xm"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return pos.groupBy("event_type", F.col("xm").alias("value_micro")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ties"),
+        det_round(F.min("pr")).alias("percent_rank"),
+        det_round(F.max("cd")).alias("cume_dist"),
+    )
