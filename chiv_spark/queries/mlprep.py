@@ -1363,3 +1363,76 @@ def mlprep_packing_efficiency(spark, sf_dir):
             "(total_tokens * 1000000) div (((total_tokens - 1) div 2048 + 1) * 2048)"
         ).cast("long").alias("fill_rate_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# mlprep_quality_resample — per-doc soft sampling by quality weight
+
+_QR_H = "(('0x' || substring(md5('qr:' || doc_id::VARCHAR), 1, 15))::BIGINT)"
+_QR_TOKS = "string_split(text, ' ')"
+_QR_SW = (
+    f"(CAST(len(list_filter({_QR_TOKS}, x -> list_contains(['the', 'a', 'of', 'and', 'is'], x))) AS DOUBLE)"
+    f" / CAST(len({_QR_TOKS}) AS DOUBLE))"
+)
+_QR_Q = (
+    "(0.5 * LEAST(CAST(length(text) AS DOUBLE) / 1000.0, 1.0)"
+    f" + 0.5 * LEAST({_QR_SW} * 10.0, 1.0))"
+)
+
+
+@query(
+    "mlprep_quality_resample",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR({_QR_Q} * 1000000.0 + 0.5) AS BIGINT) AS q_micro,
+             {_QR_H} % 1000000 AS h
+      FROM documents),
+    kept AS (SELECT * FROM scored WHERE h < q_micro)
+    SELECT s.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN s.q_micro ELSE 0 END)
+                AS BIGINT) AS kept_quality_micro_sum,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN s.doc_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM scored s LEFT JOIN kept k ON k.doc_id = s.doc_id
+    GROUP BY s.lang
+    """,
+    doc="quality-weighted soft resampling (the importance-sampling "
+    "curation step between hard filters and uniform sampling): each "
+    "doc's keep probability IS its quality score — accept when "
+    "stable-hash(doc) mod 1e6 < quality_micro, so high-quality docs "
+    "survive proportionally more often, deterministically (no RNG; "
+    "the kept SET is a pure function of the corpus, proven by the "
+    "per-language id-sum checksum). The quality expression is "
+    "text_stats' length/stopword formula quantized to integer "
+    "micros before the comparison, making the acceptance decision "
+    "integer-exact across engines. Narrow map + filter + one "
+    "groups-sized agg — zero corpus shuffles beyond the aggregation",
+)
+def mlprep_quality_resample(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw_hits = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "is"))
+    )
+    sw_ratio = sw_hits.cast("double") / F.size(toks).cast("double")
+    q = 0.5 * F.least(
+        F.length("text").cast("double") / 1000.0, F.lit(1.0)
+    ) + 0.5 * F.least(sw_ratio * 10.0, F.lit(1.0))
+    q_micro = F.floor(q * 1_000_000.0 + 0.5).cast("long")
+    h = hash64(F.concat(F.lit("qr:"), F.col("doc_id").cast("string"))) % 1_000_000
+    scored = docs.select(
+        "doc_id", "lang", q_micro.alias("q_micro"), h.alias("h")
+    ).withColumn("kept", F.col("h") < F.col("q_micro"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("q_micro")).otherwise(0))
+        .cast("long")
+        .alias("kept_quality_micro_sum"),
+        F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0))
+        .cast("long")
+        .alias("kept_id_sum"),
+    )
