@@ -1,3 +1,15 @@
-from chiv_spark.plans.explain import op_counts, physical_plan, pushed_filters, read_schema
+from chiv_spark.plans.explain import (
+    op_counts,
+    physical_plan,
+    pushed_filters,
+    read_schema,
+    unpartitioned_windows,
+)
 
-__all__ = ["op_counts", "physical_plan", "pushed_filters", "read_schema"]
+__all__ = [
+    "op_counts",
+    "physical_plan",
+    "pushed_filters",
+    "read_schema",
+    "unpartitioned_windows",
+]

@@ -55,3 +55,55 @@ def read_schema(df: DataFrame) -> list[str]:
     """ReadSchema structs across the plan's file scans."""
     plan = physical_plan(df)
     return re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+
+
+def unpartitioned_windows(df: DataFrame) -> list[tuple[str, bool]]:
+    """Every Window node in df's OPTIMIZED logical plan whose
+    partitionSpec is empty, as (window_expressions_string,
+    limit_below) pairs.
+
+    Unpartitioned windows are the single-partition scale hazard:
+    Spark's InferWindowGroupLimit does NOT rewrite rank-filters over
+    unpartitioned windows (verified live on 4.1.2 — it fires only
+    with partitionBy), so `row_number().over(Window.orderBy(...))` +
+    `filter(rk <= k)` physically moves the ENTIRE input relation to
+    one task. ``limit_below=True`` means a GlobalLimit sits strictly
+    below the window in the plan — the window provably runs on a
+    bounded (post-limit) relation and is safe at any scale (the
+    seed/re-rank pattern). Everything else must be justified by a
+    documented bounded-relation argument (see
+    tests/test_plans.py::TestWindowAudit's allowlist)."""
+    plan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
+    out: list[tuple[str, bool]] = []
+
+    def children_of(node):
+        ch = node.children()
+        kids = [ch.apply(i) for i in range(ch.size())]
+        try:
+            sq = node.subqueries()
+            kids += [sq.apply(i) for i in range(sq.size())]
+        except Exception:  # noqa: BLE001 — older node types lack subqueries()
+            pass
+        return kids
+
+    def has_limit_below(node) -> bool:
+        stack = children_of(node)
+        while stack:
+            n = stack.pop()
+            if n.nodeName() == "GlobalLimit":
+                return True
+            stack.extend(children_of(n))
+        return False
+
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            out.append(
+                (
+                    node.windowExpressions().mkString("; ")[:200],
+                    has_limit_below(node),
+                )
+            )
+        stack.extend(children_of(node))
+    return out

@@ -417,7 +417,13 @@ def graph_pagerank_3iter(spark, sf_dir):
     "graph (the >= 2 co-order filter keeps it sparse and "
     "scale-stable, same argument as triangle counting); the "
     "existing-edge exclusion is one anti join; a degree cap is the "
-    "documented dial for power-law graphs",
+    "documented dial for power-law graphs. The top-20 is "
+    "orderBy+limit (TakeOrderedAndProject: per-partition top-k, "
+    "driver merges 20 rows per partition) — NOT a global row_number "
+    "window, which would move every candidate pair to one task "
+    "(InferWindowGroupLimit does not fire on unpartitioned windows). "
+    "The (jaccard DESC, x, y) ordering is total, so the rows are "
+    "identical to the oracle's rank filter",
 )
 def graph_link_prediction(spark, sf_dir):
     e = _copurchase_edges(spark, sf_dir)
@@ -446,12 +452,9 @@ def graph_link_prediction(spark, sf_dir):
             / (F.col("dx") + F.col("dy") - F.col("common")),
         )
     )
-    from pyspark.sql.window import Window as _W
-
-    w = _W.orderBy(F.col("jaccard").desc(), "x", "y")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        scored.orderBy(F.col("jaccard").desc(), "x", "y")
+        .limit(20)
         .select(
             F.col("x").alias("node_a"),
             F.col("y").alias("node_b"),

@@ -676,12 +676,19 @@ def text_freq_cms(spark, sf_dir):
     "ln(freq) vs ln(rank) over the top-1000 vocabulary ranks — the "
     "corpus-health diagnostic (natural text sits near -1; template "
     "spam and boilerplate flatten or steepen it). The token table "
-    "collapses to vocabulary size in ONE hash agg; the rank window "
-    "and the regression run on the top-1000 rows only (ordering "
-    "made total by the (freq DESC, w) tiebreak), so the corpus "
-    "itself never sorts. ln() error is sub-ulp per term and the "
-    "slope is det-rounded to 6dp, absorbing cross-engine libm "
-    "differences",
+    "collapses to vocabulary size in ONE hash agg; the top-1000 is "
+    "then taken by orderBy+limit — physically TakeOrderedAndProject "
+    "(per-partition top-k, merged on the driver), so the vocabulary "
+    "never funnels through a single-partition window (Spark's "
+    "InferWindowGroupLimit does NOT rewrite rank-filters over "
+    "unpartitioned windows, so the previous row_number-then-filter "
+    "shape WOULD have single-tasked the whole vocabulary). The rank "
+    "assignment and regression run as a post-limit window on the "
+    "1000-row result only; ordering is made total by the "
+    "(freq DESC, w) tiebreak so the selected rows match the "
+    "oracle's rank filter exactly. ln() error is sub-ulp per term "
+    "and the slope is det-rounded to 6dp, absorbing cross-engine "
+    "libm differences",
 )
 def text_zipf_slope(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
@@ -690,12 +697,13 @@ def text_zipf_slope(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = cnt.select(
+    top = cnt.orderBy(F.col("freq").desc(), "w").limit(1000)
+    ranked = top.select(
         "freq",
         F.row_number()
         .over(Window.orderBy(F.col("freq").desc(), "w"))
         .alias("rank"),
-    ).filter(F.col("rank") <= 1000)
+    )
     lx, ly = F.log(F.col("rank").cast("double")), F.log(F.col("freq").cast("double"))
     fit = ranked.agg(
         F.count(F.lit(1)).alias("k"),
@@ -750,9 +758,13 @@ def text_zipf_slope(spark, sf_dir):
     "on the ORDER (co-located, bounded by basket-size^2 per order, "
     "never parts^2); item supports broadcast back onto the "
     "pair-level relation; lift is one exact-integer ratio so the "
-    "ranking is engine-identical. At 100 TB the same shape holds — "
-    "the support threshold (and a basket-size cap for pathological "
-    "orders) are the dials",
+    "ranking is engine-identical, and the top-100 is orderBy+limit "
+    "(TakeOrderedAndProject — the pair relation never funnels "
+    "through an unpartitioned window; the (lift DESC, part_a, "
+    "part_b) ordering is total so rows match the oracle's rank "
+    "filter). At 100 TB the same shape holds — the support "
+    "threshold (and a basket-size cap for pathological orders) are "
+    "the dials",
 )
 def orders_market_basket(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
@@ -780,10 +792,9 @@ def orders_market_basket(spark, sf_dir):
             F.col("n_pair").cast("double") * F.col("n") / (F.col("na") * F.col("nb")),
         )
     )
-    w = Window.orderBy(F.col("lift").desc(), "part_a", "part_b")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 100)
+        scored.orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(100)
         .select(
             "part_a", "part_b",
             F.col("n_pair").cast("long").alias("n_pair"),

@@ -156,6 +156,94 @@ def events_user_rfm(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# events_user_rfm_scalable — skew-safe twin: broadcast cutoffs, no sort
+
+
+@query(
+    "events_user_rfm_scalable",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(ts) AS last_ts,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {duckdb_money_sum('value')} AS monetary
+      FROM events GROUP BY user_id),
+    anchor AS (SELECT MAX(ts) AS now_ts FROM events),
+    rfm AS (
+      SELECT user_id,
+             CAST(date_diff('day', last_ts, now_ts) AS BIGINT) AS recency_days,
+             frequency, monetary,
+             CAST(ROUND(monetary * 100) AS BIGINT) AS cents
+      FROM per_user CROSS JOIN anchor),
+    cuts AS (
+      SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS cr,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS cf,
+             quantile_cont(cents, [0.25, 0.5, 0.75]) AS cm
+      FROM rfm)
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(1 + len(list_filter(cr, c -> recency_days > c)) AS BIGINT)
+             AS r_quartile,
+           CAST(1 + len(list_filter(cf, c -> frequency < c)) AS BIGINT)
+             AS f_quartile,
+           CAST(1 + len(list_filter(cm, c -> cents < c)) AS BIGINT)
+             AS m_quartile
+    FROM rfm CROSS JOIN cuts
+    """,
+    doc="sixth skew-safe twin (r7 verdict task 3): RFM segmentation "
+    "without the three global ntile sorts of events_user_rfm — at "
+    "100 TB the per-user relation is billions of rows and an "
+    "unpartitioned ntile window moves ALL of it to one task "
+    "(InferWindowGroupLimit never fires on unpartitioned windows). "
+    "Here the corpus never sorts: exact interpolated quartile "
+    "cutoffs are one 1-row aggregate (percentile over the integer "
+    "recency/frequency/cents columns — quartile fractions are "
+    "dyadic, so the lerp arithmetic is EXACT in both engines "
+    "regardless of their a+(b-a)f vs (1-f)a+fb formula), broadcast "
+    "back, and the quartile is an array HOF count. CONTRACT (differs "
+    "from ntile only on cutoff ties / n%4 != 0): r_quartile = 1 + "
+    "|{{c in P25/50/75(recency) : recency > c}}| (low recency = 1), "
+    "f/m_quartile = 1 + |{{c : v < c}}| (high value = 1); on "
+    "distinct values with user-count divisible by 4 this equals "
+    "ntile exactly (proven by the generator pytest). Monetary "
+    "quartiles cut on exact integer cents so no float interpolation "
+    "noise can flip a bin",
+)
+def events_user_rfm_scalable(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        money_sum("value").alias("monetary"),
+    )
+    anchor = e.agg(F.max("ts").alias("now_ts"))
+    rfm = per_user.join(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("now_ts", "last_ts").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.round(F.col("monetary") * 100).cast("long").alias("cents"),
+    )
+    cuts = rfm.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias("cr"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias("cf"),
+        F.expr("percentile(cents, array(0.25, 0.5, 0.75))").alias("cm"),
+    )
+    d = rfm.join(F.broadcast(cuts))
+    rq = F.lit(1) + F.size(F.filter("cr", lambda c: F.col("recency_days") > c))
+    fq = F.lit(1) + F.size(F.filter("cf", lambda c: F.col("frequency") < c))
+    mq = F.lit(1) + F.size(F.filter("cm", lambda c: F.col("cents") < c))
+    return d.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        rq.cast("long").alias("r_quartile"),
+        fq.cast("long").alias("f_quartile"),
+        mq.cast("long").alias("m_quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
 # text_keyword_tfidf
 
 _TFIDF_TOPK = 3

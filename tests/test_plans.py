@@ -500,3 +500,94 @@ class TestGlobalShufflePlan:
         assert "hashpartitioning(shard" in plan
         assert "rangepartitioning" not in plan
         assert "Coalesce(1)" not in plan and "SinglePartition" not in plan
+
+
+class TestWindowAudit:
+    """Registry-wide unpartitioned-window audit (r7 verdict task 2).
+
+    InferWindowGroupLimit does NOT rewrite rank-filters over
+    unpartitioned windows (verified live on Spark 4.1.2), so every
+    `Window.orderBy(...)` without partition keys physically funnels
+    its ENTIRE input through one task — a silent 100 TB killer even
+    when a `filter(rk <= k)` follows. This test walks every REGISTRY
+    query's optimized plan and asserts each unpartitioned Window is
+    either (a) post-limit — a GlobalLimit strictly below it bounds
+    the input (the seed / re-rank pattern), or (b) on the explicit
+    allowlist below, each entry carrying its bounded-relation
+    justification. Any new query that sneaks in a corpus-scale
+    unpartitioned window fails this test by name.
+    """
+
+    # name -> why its unpartitioned window input is bounded.
+    # Four justification classes (<= 6 per the r7 verdict bar):
+    #   ECDF      — window runs on the DISTINCT-VALUE (or contingency-
+    #               cell) table, bounded by the value domain, never the
+    #               event stream; pinned individually by
+    #               test_ks_window_runs_on_distinct_values_not_events.
+    #   CALENDAR  — day-grain relation, bounded by elapsed time.
+    #   PARTROWS  — exactly one row per input partition (the
+    #               prefix-sum rowid trick), bounded by task count.
+    #   CONTRACT  — events_user_rfm's exact-ntile tie-splitting is the
+    #               documented contract; events_user_rfm_scalable (the
+    #               sixth skew-safe twin) is the 100 TB path.
+    ALLOWLIST = {
+        "stats_ks_test": "ECDF",
+        "stats_mann_whitney": "ECDF",
+        "stats_chi2_lang_source": "ECDF (lang x source cells)",
+        "mlprep_auc_exact": "ECDF (distinct score values)",
+        "events_revenue_period_over_period": "CALENDAR (day grain)",
+        "transform_global_row_ids": "PARTROWS (one row per partition)",
+        "events_user_rfm": "CONTRACT (scalable twin is the scale path)",
+    }
+
+    def test_no_unallowlisted_corpus_scale_windows(self, spark):
+        from chiv_spark.plans import unpartitioned_windows
+
+        offenders = {}
+        for name in sorted(REGISTRY):
+            df = REGISTRY[name].fn(spark, SF)
+            flagged = [w for w, limited in unpartitioned_windows(df) if not limited]
+            if flagged and name not in self.ALLOWLIST:
+                offenders[name] = flagged
+        assert not offenders, (
+            "corpus-scale unpartitioned Window nodes (use orderBy+limit "
+            "(TakeOrderedAndProject) for global top-k, a partitioned or "
+            "post-limit window otherwise, or add a documented "
+            f"bounded-relation allowlist entry): {offenders}"
+        )
+
+    def test_allowlist_entries_still_have_windows(self, spark):
+        # an allowlist entry whose window disappeared is stale — keep
+        # the list honest so it can't mask future regressions
+        from chiv_spark.plans import unpartitioned_windows
+
+        for name in self.ALLOWLIST:
+            df = REGISTRY[name].fn(spark, SF)
+            flagged = [w for w, limited in unpartitioned_windows(df) if not limited]
+            assert flagged, f"stale allowlist entry: {name}"
+
+    def test_rfm_scalable_twin_no_window_no_sort(self, spark):
+        # the sixth skew-safe twin: cutoffs broadcast, corpus never
+        # sorts, no window at all
+        ops = op_counts(REGISTRY["events_user_rfm_scalable"].fn(spark, SF))
+        assert ops.get("Window", 0) == 0
+        assert ops.get("Sort", 0) == 0
+        assert ops.get("CartesianProduct", 0) == 0
+
+    def test_link_prediction_and_market_basket_topk_no_window(self, spark):
+        # r7 verdict task 1: global top-k via TakeOrderedAndProject
+        # (per-partition top-k + driver merge), not a single-partition
+        # row_number window
+        for name in ("graph_link_prediction", "orders_market_basket"):
+            ops = op_counts(REGISTRY[name].fn(spark, SF))
+            assert ops.get("Window", 0) == 0, name
+            assert ops.get("TakeOrderedAndProject", 0) == 1, name
+
+    def test_zipf_rank_window_is_post_limit(self, spark):
+        from chiv_spark.plans import unpartitioned_windows
+
+        ws = unpartitioned_windows(REGISTRY["text_zipf_slope"].fn(spark, SF))
+        assert ws, "zipf lost its post-limit rank window"
+        assert all(limited for _, limited in ws), ws
+        ops = op_counts(REGISTRY["text_zipf_slope"].fn(spark, SF))
+        assert ops.get("TakeOrderedAndProject", 0) == 1

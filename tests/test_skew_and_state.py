@@ -260,3 +260,58 @@ class TestScalableScd2:
         assert any(
             r[4] is not None and (r[4] - r[3]) > dt.timedelta(days=1) for r in plain
         ), "no cross-bucket span in the generator output"
+
+
+class TestScalableRfm:
+    def _distinct_rfm_events(self, spark, tmp_path, n_users=64):
+        """Generator for the RFM twin equivalence proof: n_users
+        divisible by 4, and every per-user metric (recency day,
+        frequency, monetary) DISTINCT across users — the regime where
+        cutoff quartiles provably equal ntile(4) quartiles. User u
+        emits u events of value u on day u, so frequency=u,
+        monetary=u*u, recency=(n-u) days: three distinct, differently
+        ordered rankings."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 3, 1, 12, 0)
+        rows = []
+        eid = 0
+        for u in range(1, n_users + 1):
+            for i in range(u):
+                eid += 1
+                rows.append(
+                    (u, base + dt.timedelta(days=u, minutes=i), eid,
+                     "click", float(u), "{}")
+                )
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, value double, props string",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_distinct_divisible_equals_ntile(self, spark, tmp_path):
+        """On distinct metrics with user count % 4 == 0 the broadcast-
+        cutoff twin must be ROW-IDENTICAL to the plain three-ntile
+        formulation (interpolated P25/P50/P75 land strictly between
+        the rank-k and rank-k+1 values, so the cutoff count reproduces
+        ntile's equal fourths exactly)."""
+        from chiv_spark.queries import REGISTRY
+
+        sfd = self._distinct_rfm_events(spark, tmp_path)
+        plain = {
+            tuple(r) for r in REGISTRY["events_user_rfm"].fn(spark, sfd).collect()
+        }
+        scal = {
+            tuple(r)
+            for r in REGISTRY["events_user_rfm_scalable"].fn(spark, sfd).collect()
+        }
+        assert plain == scal, "RFM twin diverged from ntile on the distinct/divisible regime"
+        assert len(plain) == 64
+        # each quartile got exactly 16 users on every metric
+        for col in (4, 5, 6):
+            from collections import Counter
+
+            c = Counter(r[col] for r in plain)
+            assert c == {1: 16, 2: 16, 3: 16, 4: 16}, (col, c)
