@@ -208,10 +208,18 @@ def embedding_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: banded LSH bucket equi-join →
     exact cosine ≥ threshold. The only shuffle is on the (band, bits)
-    key; quadratic work happens per-bucket, never globally."""
+    key; quadratic work happens per-bucket, never globally.
+
+    ``bucket_cap`` (r7 verdict task 5): a (band, bits) bucket of m
+    members emits m^2/2 candidate rows, so an adversarial near-dup
+    cluster explodes the band join quadratically. With a cap,
+    oversized buckets are quarantined out of the self-join (members
+    stay eligible via their other bands). Default None = off: output
+    and the DuckDB oracle are unchanged."""
     # materialize buckets before the self-join: the bucket plan is
     # narrow (no exchange), so Spark has no ReusedExchange point and
     # would otherwise evaluate the plane folds twice (~25% of query
@@ -220,7 +228,18 @@ def embedding_neardup(
     dim = _dim(emb, vec_col, dim)
     buckets = _band_sign_buckets(emb, id_col, vec_col, dim).persist()
     buckets.count()
-    a, b = buckets.alias("a"), buckets.alias("b")
+    joinable = buckets
+    if bucket_cap is not None:
+        oversized = (
+            buckets.groupBy("band", "bits")
+            .agg(F.count(F.lit(1)).alias("__m"))
+            .filter(F.col("__m") > int(bucket_cap))
+            .select("band", "bits")
+        )
+        # tiny by construction (pathological buckets only) — broadcast
+        # anti-join off the already-cached bucket relation
+        joinable = buckets.join(F.broadcast(oversized), ["band", "bits"], "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
     cand = (
         a.join(
             b,

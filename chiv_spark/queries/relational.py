@@ -232,15 +232,39 @@ def agg_having(spark, sf_dir):
 
 @query(
     "agg_approx_distinct",
-    None,  # approx_count_distinct (HLL++) has no bit-identical DuckDB twin
-    doc="approximate distinct count (HyperLogLog++) — rows-only check",
+    # DuckDB cannot replay Spark's HLL++ internals, but it CAN assert
+    # the accuracy contract held: exact distinct hash-compared + a
+    # realized-error-within-bound flag the oracle asserts TRUE (the
+    # agg_quantile_approx / events_active_users_mau_approx gating
+    # pattern — r7 verdict task 4 closes the last rows-only row)
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS err_ok
+    FROM lineitem
+    """,
+    doc="approximate distinct count via HyperLogLog++ (rsd=0.02) — "
+    "the sketch path exact COUNT(DISTINCT) cannot take at 100 TB, "
+    "where the HLL register set is a few KB of map-side-mergeable "
+    "state vs a full shuffle of the distinct keys. Gated, not "
+    "hash-matched: the emitted row carries the EXACT distinct count "
+    "(engine-comparable) plus err_ok asserting the realized relative "
+    "error stayed within 5 standard deviations of the configured "
+    "rsd (|approx-exact|*100 <= 10*exact, integer arithmetic — no "
+    "float summation ambiguity), which the oracle asserts TRUE",
 )
 def agg_approx_distinct(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).cast("long").alias("approx_parts"),
+    both = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02)
+        .cast("long")
+        .alias("approx_parts"),
         F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
     )
+    err_ok = (
+        F.abs(F.col("approx_parts") - F.col("exact_parts")) * 100
+        <= 10 * F.col("exact_parts")
+    )
+    return both.select("exact_parts", err_ok.alias("err_ok"))
 
 
 # ------------------------------------------------------------ windows

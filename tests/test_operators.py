@@ -255,3 +255,148 @@ class TestRightSizePartitions:
             assert right_size(df, 10**9).rdd.getNumPartitions() == 8
         finally:
             df.unpersist()
+
+
+class TestBucketCaps:
+    """r7 verdict task 5: the LSH defensive dial. An adversarial
+    near-dup cluster of m docs lands its whole membership in one
+    (band, bucket) key and emits m^2/2 candidate pairs; bucket_cap
+    quarantines oversized buckets out of the band self-join while
+    leaving small-bucket (true pairwise) matches untouched. Default
+    None must leave output byte-identical (oracles unchanged)."""
+
+    @pytest.fixture(scope="class")
+    def adversarial_docs(self, spark):
+        cluster = [
+            (i, "same words repeated in every single document here", "en", "s", 48)
+            for i in range(1, 25)
+        ]
+        pair = [
+            (100, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+            (101, "the quick brown fox jumps over the lazy cat", "en", "s", 43),
+        ]
+        return spark.createDataFrame(
+            cluster + pair,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    def test_minhash_cap_quarantines_cluster_keeps_pair(self, adversarial_docs):
+        uncapped = dedup.minhash_lsh_pairs(adversarial_docs).collect()
+        # the 24-doc cluster explodes quadratically without the cap
+        assert sum(1 for r in uncapped if r.doc_a < 100) == 24 * 23 // 2
+        capped = dedup.minhash_lsh_pairs(adversarial_docs, bucket_cap=10).collect()
+        assert all(r.doc_a >= 100 for r in capped), capped
+        # the genuine small-bucket near-dup pair survives the cap
+        assert any((r.doc_a, r.doc_b) == (100, 101) for r in capped)
+
+    def test_minhash_cap_none_is_identity(self, adversarial_docs):
+        plain = {tuple(r) for r in dedup.minhash_lsh_pairs(adversarial_docs).collect()}
+        explicit = {
+            tuple(r)
+            for r in dedup.minhash_lsh_pairs(adversarial_docs, bucket_cap=None).collect()
+        }
+        assert plain == explicit
+
+    @pytest.fixture(scope="class")
+    def adversarial_emb(self, spark):
+        cluster = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1, 21)]
+        pair = [(100, [0.0, 1.0, 0.1, 0.0]), (101, [0.0, 1.0, 0.11, 0.0])]
+        return spark.createDataFrame(
+            cluster + pair, "vec_id long, embedding array<float>"
+        )
+
+    def test_neardup_cap_quarantines_cluster_keeps_pair(self, adversarial_emb):
+        uncapped = similarity.embedding_neardup(adversarial_emb, threshold=0.9).collect()
+        assert sum(1 for r in uncapped if r.id_a < 100) == 20 * 19 // 2
+        capped = similarity.embedding_neardup(
+            adversarial_emb, threshold=0.9, bucket_cap=10
+        ).collect()
+        assert all(r.id_a >= 100 for r in capped), capped
+        assert any((r.id_a, r.id_b) == (100, 101) for r in capped)
+
+
+class TestIncrementalLsh:
+    """r7 verdict task 6: incremental dedup against a PERSISTED
+    MinHash band index — build the index once per corpus snapshot,
+    then dedup each arriving shard by joining its (delta-only)
+    signatures against the index read back from parquet. The second
+    shard must NOT rebuild the index or re-read the base corpus."""
+
+    BASE = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (2, "completely different words appear here now", "en", "s", 41),
+        (3, "yet another unrelated base document about spark", "en", "s", 47),
+    ]
+    SHARD1 = [
+        (101, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # dup of base 1
+        (102, "fresh content never seen before anywhere at all", "en", "s", 47),
+        (103, "fresh content never seen before anywhere at all", "en", "s", 47),  # dup of 102
+    ]
+    SHARD2 = [
+        (201, "completely different words appear here now", "en", "s", 41),  # dup of base 2
+    ]
+
+    SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+    @pytest.fixture(scope="class")
+    def index_setup(self, spark, tmp_path_factory):
+        root = tmp_path_factory.mktemp("inclsh")
+        base_path = str(root / "base_docs")
+        index_path = str(root / "lsh_index")
+        spark.createDataFrame(self.BASE, self.SCHEMA).write.parquet(base_path)
+        base = spark.read.parquet(base_path)
+        dedup.minhash_band_index(base).write.parquet(index_path)
+        return base_path, index_path
+
+    def _mtimes(self, path):
+        import os
+
+        return {
+            f: os.path.getmtime(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    def test_shard_vs_index_pairs(self, spark, index_setup):
+        _, index_path = index_setup
+        index = spark.read.parquet(index_path)
+        shard1 = spark.createDataFrame(self.SHARD1, self.SCHEMA)
+        pairs = {
+            (r.doc_a, r.doc_b): r.est_jaccard
+            for r in dedup.incremental_lsh_pairs(shard1, index).collect()
+        }
+        assert pairs.get((1, 101)) == 1.0  # delta vs base exact dup
+        assert pairs.get((102, 103)) == 1.0  # within-shard dup
+        # base-base pairs never reported, distinct docs never pair
+        assert all(a >= 101 or b >= 101 for a, b in pairs)
+        assert not any({a, b} & {2, 3} for a, b in pairs)
+
+    def test_second_shard_reuses_index_no_rebuild(self, spark, index_setup):
+        base_path, index_path = index_setup
+        before = self._mtimes(index_path)
+        index = spark.read.parquet(index_path)
+        shard2 = spark.createDataFrame(self.SHARD2, self.SCHEMA)
+        out = dedup.incremental_lsh_pairs(shard2, index)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the job reads the persisted index, never the base corpus text
+        assert "lsh_index" in plan, plan[:1200]
+        assert "base_docs" not in plan, plan[:1200]
+        rows = {(r.doc_a, r.doc_b): r.est_jaccard for r in out.collect()}
+        assert rows.get((2, 201)) == 1.0
+        assert self._mtimes(index_path) == before, "index was rewritten"
+
+    def test_matches_full_recompute_restricted_to_delta(self, spark, index_setup):
+        _, index_path = index_setup
+        index = spark.read.parquet(index_path)
+        base = spark.createDataFrame(self.BASE, self.SCHEMA)
+        shard1 = spark.createDataFrame(self.SHARD1, self.SCHEMA)
+        inc = {
+            tuple(r)
+            for r in dedup.incremental_lsh_pairs(shard1, index).collect()
+        }
+        full = {
+            tuple(r)
+            for r in dedup.minhash_lsh_pairs(base.unionByName(shard1)).collect()
+            if r.doc_a >= 101 or r.doc_b >= 101
+        }
+        assert inc == full

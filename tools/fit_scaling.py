@@ -149,7 +149,14 @@ def _archive_walls(spark) -> list[tuple[str, list[int], list[float]]]:
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if a in PLAN] or list(PLAN)
+    # 'archive' is a selector, not a PLAN query: strip it before
+    # resolving names so `fit_scaling.py archive` runs ONLY the
+    # archive benches; fall back to the full PLAN only when no
+    # selectors at all were given.
+    selectors = [a for a in sys.argv[1:] if a != "archive"]
+    names = (
+        [a for a in selectors if a in PLAN] if sys.argv[1:] else list(PLAN)
+    )
     do_archive = not sys.argv[1:] or "archive" in sys.argv[1:]
     spark = get_spark("fit-scaling")
     spark.sparkContext.setLogLevel("ERROR")

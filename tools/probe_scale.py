@@ -29,12 +29,15 @@ DEFAULT_QUERIES = ["dedup_ngram_jaccard", "embedding_neardup", "dedup_clusters"]
 PROBE_DIR = "/tmp/chiv-probe-10x"
 
 
-def build_replicas(spark, sf_dir: str, probe_dir: str) -> None:
+def build_replicas(spark, sf_dir: str, probe_dir: str, scale: int = 10) -> None:
+    """Adversarial near-dup replica: every doc + (scale-1) variants,
+    every embedding duplicated verbatim x scale. scale=100 gives the
+    third decade used by tools/fit_decade3.py."""
     shutil.rmtree(probe_dir, ignore_errors=True)
     os.makedirs(probe_dir)
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
     reps = None
-    for i in range(10):
+    for i in range(scale):
         r = docs.select(
             (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
             F.when(F.lit(i) == 0, F.col("text"))
@@ -49,7 +52,7 @@ def build_replicas(spark, sf_dir: str, probe_dir: str) -> None:
     emb = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
     extra = [c for c in emb.columns if c != "vec_id"]  # embedding, label, ...
     er = None
-    for i in range(10):
+    for i in range(scale):
         r = emb.select((F.col("vec_id") + i * 1_000_000).alias("vec_id"), *extra)
         er = r if er is None else er.unionByName(r)
     er.write.mode("overwrite").parquet(f"{probe_dir}/embeddings.parquet")
