@@ -467,8 +467,9 @@ def pq_adc_topk(
     from per-query lookup tables without ever touching the raw
     corpus vectors.
 
-    Codebooks are trained deterministically on a 1-in-4 stable-hash
-    SAMPLE of the corpus (r6 verdict task 3 — at 100 TB codebook
+    Codebooks are trained deterministically on a 1-in-TRAIN_SAMPLE_MOD
+    (= 1-in-2) stable-hash SAMPLE of the corpus (r6 verdict task 3 —
+    the DuckDB oracle uses the same % 2 = 0 fate; at 100 TB codebook
     training must not scan every subvector; only the final encode
     does): the ``n_codes`` sampled vectors with the lowest stable
     hash (a TakeOrderedAndProject, never a corpus-wide window)

@@ -180,8 +180,16 @@ def bpe_apply(wrapped: Column, merges: Column) -> Column:
     the adjacent wrapped pair ``\\x01a\\x02\\x01b\\x02`` with the
     wrapped merged symbol ``\\x01ab\\x02`` — exactly the Sennrich
     reference apply loop, as a JVM string fold (no UDF; linear in
-    bytes × merges)."""
-    return F.aggregate(
+    bytes × merges).
+
+    PRECONDITION (asserted at runtime): every merge operand is a
+    SINGLE char, i.e. each entry is exactly 2 chars. That holds for
+    the char-pair tables text_bpe_first_merges produces; if the merge
+    learner is ever extended past the first round (where an operand
+    can itself be a multi-char merged symbol), the substring(x,1,1)/
+    substring(x,2,1) pattern split below would silently mis-tokenize
+    — the raise_error branch turns that into a loud job failure."""
+    applied = F.aggregate(
         merges,
         wrapped,
         lambda acc, x: F.replace(
@@ -195,6 +203,15 @@ def bpe_apply(wrapped: Column, merges: Column) -> Column:
             ),
             F.concat(F.lit(BPE_SOT), x, F.lit(BPE_EOT)),
         ),
+    )
+    # a same-branch when(assert_true...) gets constant-folded away;
+    # raise_error in a genuinely distinct branch survives optimization
+    return F.when(
+        F.forall(merges, lambda x: F.length(x) == 2), applied
+    ).otherwise(
+        F.raise_error(
+            F.lit("bpe_apply: merge entries must be 2-char single-char-operand pairs")
+        ).cast("string")
     )
 
 

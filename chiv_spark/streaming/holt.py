@@ -123,12 +123,15 @@ def run_streaming_holt(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    events = stream.select(
+    events = stream.filter(F.col("value").isNotNull()).select(
         "user_id",
         "event_id",
         F.col("value").cast("double").alias("value"),
         F.unix_micros("ts").alias("ts_us"),
     )
+    # value IS NOT NULL pins the contract against the batch twin and
+    # the shared oracle (which propagate/skip NULLs): without it the
+    # pandas float() coercion would fold a NULL in as NaN
     smoothed = events.groupBy("user_id").applyInPandasWithState(
         _holt,
         outputStructType=HOLT_SCHEMA,

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from chiv_spark.plans import op_counts
@@ -273,3 +275,15 @@ class TestBpeApply:
             got = [s.rstrip(BPE_EOT) for s in got]
             assert got == expect, (txt, merges, got, expect)
             assert row["n"] == len(expect)
+
+
+def test_bpe_apply_rejects_multichar_merge_operands(spark):
+    """bpe_apply's pattern split assumes single-char operands; a
+    multi-char entry (what a multi-round merge learner would emit)
+    must fail the job loudly instead of silently mis-tokenizing."""
+    from chiv_spark.operators.text import bpe_apply, bpe_wrap
+
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    bad = df.select(bpe_apply(bpe_wrap("text"), F.array(F.lit("abc"))).alias("x"))
+    with pytest.raises(Exception, match="bpe_apply"):
+        bad.collect()
