@@ -158,6 +158,60 @@ def cosine_topk(
     )
 
 
+def filtered_cosine_topk(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    filter_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Metadata-FILTERED exact vector search: per query, the top-k
+    cosine neighbors among corpus vectors sharing the query's
+    ``filter_col`` value (the filtered-ANN production shape — search
+    within a language / domain / tenant).
+
+    Unlike cosine_topk's broadcast nested loop over the whole corpus,
+    the filter attribute becomes the JOIN KEY: a hash equi-join on
+    filter_col touches only the matching stratum per query, so at
+    100 TB with a selective filter the scan cost is the stratum, not
+    the corpus, and Catalyst can push a dynamic filter/broadcast on
+    the (tiny) query-side key set into the corpus scan. The per-query
+    ranking window is partitioned by query_id (bounded input per
+    partition — never a global window)."""
+    dim = _dim(emb, vec_col, dim)
+    q = query_ids.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm_fixed(vec_col, dim).alias("qn"),
+        F.col(filter_col).alias("__flt"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        l2_norm_fixed(vec_col, dim).alias("cn"),
+        F.col(filter_col).alias("__flt"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__flt")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot_fixed("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__flt").alias(filter_col),
+            F.col("rank").cast("int").alias("rank"),
+            det_round(F.col("cosine"), 6).alias("cosine"),
+        )
+    )
+
+
 def _lsh_buckets(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -394,6 +394,39 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "ann_filtered_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 10),
+    scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                      list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                      (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine
+               FROM q JOIN embeddings c
+                 ON q.label = c.label AND q.vec_id != c.vec_id),
+    ranked AS (SELECT query_id, neighbor_id, label, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, label, CAST(rank AS INTEGER) AS rank,
+           (FLOOR(cosine * 1000000.0 + 0.5) / 1000000.0) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="metadata-FILTERED exact vector search: per query, top-3 cosine "
+    "neighbors among corpus vectors sharing the query's label — the "
+    "filtered-ANN production shape (search within a language / domain "
+    "/ tenant). The filter attribute is the JOIN KEY (hash equi-join, "
+    "stratum-sized scan), not a post-hoc predicate over an "
+    "unfiltered all-pairs loop; ranking windows are query-partitioned "
+    "(never global). Same exact fixed-dim cosine arithmetic as "
+    "ann_cosine_topk, det-rounded ranks tiebroken on neighbor_id",
+)
+def ann_filtered_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.filtered_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=3, filter_col="label", dim=EMB_DIM
+    )
+
+
+@query(
     "ann_lsh_topk",
     f"""
     WITH {_LSH_CTES},

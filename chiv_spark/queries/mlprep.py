@@ -126,6 +126,71 @@ def embedding_normalize(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_sq8",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+          FROM e),
+    q AS (SELECT vec_id, scale,
+                 list_transform(v, x -> FLOOR(x / scale + 0.5)) AS codes,
+                 list_transform(v, x -> abs(x - FLOOR(x / scale + 0.5) * scale)) AS errs
+          FROM s WHERE scale > 0)
+    SELECT vec_id,
+           (FLOOR(scale * 1000000000.0 + 0.5) / 1000000000.0) AS scale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_abs_sum,
+           (FLOOR(list_max(errs) * 1000000000.0 + 0.5) / 1000000000.0) AS max_abs_err
+    FROM q
+    """,
+    doc="int8 scalar quantization of the embedding column (the cheap "
+    "4x-compression tier below PQ: per-vector symmetric scale = "
+    "max|x|/127, code = round-half-up(x/scale) in [-127,127]) with "
+    "its reconstruction-error report — the storage/recall dial a "
+    "100 TB vector pipeline tunes before dropping to product "
+    "quantization. Codes are INTEGERS, so code_sum / code_abs_sum "
+    "are order-free exact in any engine and aggregation order; "
+    "scale and max_abs_err are single per-element IEEE chains "
+    "(array order, no folded float sums) det-rounded at 9dp. The "
+    "whole operator is one narrow projection — no shuffle, no UDF, "
+    "linear scan at any scale",
+)
+def embedding_sq8(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale_expr = F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0
+    d = emb.select("vec_id", v.alias("v"), scale_expr.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    code = lambda x: F.floor(x / F.col("scale") + 0.5)  # noqa: E731
+    codes = F.transform("v", code)
+    errs = F.transform("v", lambda x: F.abs(x - code(x) * F.col("scale")))
+    # rounding happens in a SEPARATE projection: putting
+    # det_round(scale).alias("scale") in the same select would make
+    # Spark's lateral-column-alias resolution rebind the `scale`
+    # reference inside `errs` to the ROUNDED alias (verified live —
+    # a 1e-9-level silent divergence from the oracle)
+    raw = d.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("code_sum"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, x: a + F.abs(x).cast("long")
+        ).alias("code_abs_sum"),
+        F.array_max(errs).alias("max_err_raw"),
+    )
+    return raw.select(
+        "vec_id",
+        det_round(F.col("scale"), 9).alias("scale"),
+        "code_sum",
+        "code_abs_sum",
+        det_round(F.col("max_err_raw"), 9).alias("max_abs_err"),
+    )
+
+
 # the capstone oracle composes the clean-corpus oracle verbatim so the
 # two stay in lockstep (a nested WITH is valid DuckDB); llm is fully
 # imported above, so its registry entry exists at module-build time
@@ -1056,6 +1121,75 @@ def mlprep_auc_exact(spark, sf_dir):
         - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0
     ) / (F.col("n_pos").cast("double") * F.col("n_neg"))
     return agg.select("n_pos", "n_neg", det_round(auc).alias("auc"))
+
+
+# --------------------------------------------------------------------------
+# mlprep_calibration_bins — score calibration curve
+
+#: fixed "trained" purchase-propensity model: p = sigmoid(a + b*ln(1+value))
+_CAL_A, _CAL_B = -2.0, 0.5
+
+
+@query(
+    "mlprep_calibration_bins",
+    f"""
+    WITH scored AS (
+      SELECT event_type,
+             (FLOOR((1.0 / (1.0 + exp(-({_CAL_A} + {_CAL_B} * ln(1.0 + value)))))
+                    * 1000000.0 + 0.5) / 1000000.0) AS p
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(p * 10.0) AS BIGINT), 9) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM scored)
+    SELECT bin,
+           (bin / 10.0) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           {duckdb_det_round('CAST(SUM(pos) AS DOUBLE) / COUNT(*)')} AS pos_rate
+    FROM binned GROUP BY bin
+    """,
+    doc="model-calibration curve (reliability diagram data): the fixed "
+    "purchase-propensity score p = sigmoid(-2 + 0.5*ln(1+value)) on "
+    "the purchase-vs-click population (the mlprep_auc_exact cohort), "
+    "bucketed into 10 fixed-width probability bins with per-bin "
+    "count, positive count and realized positive rate — a calibrated "
+    "model has pos_rate tracking bin_lo+0.05. Engine determinism: "
+    "the score is one per-row IEEE ln/exp chain DET-ROUNDED at 6dp "
+    "BEFORE binning (so a sub-ulp libm divergence cannot flip a bin "
+    "edge), and every aggregate is an integer count — the only float "
+    "outputs are one exact division and the bin literal. One "
+    "hash-agg over 10 groups, no window, no sort: linear at any "
+    "scale",
+)
+def mlprep_calibration_bins(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    )
+    z = F.lit(_CAL_A) + F.lit(_CAL_B) * F.log(F.lit(1.0) + F.col("value"))
+    p = det_round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    binned = e.select(
+        F.least(F.floor(p * 10.0), F.lit(9).cast("long")).cast("long").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            det_round(F.sum("pos").cast("double") / F.count(F.lit(1))).alias(
+                "pos_rate"
+            ),
+        )
+        .select(
+            "bin",
+            (F.col("bin") / 10.0).alias("bin_lo"),
+            "n",
+            "n_pos",
+            "pos_rate",
+        )
+    )
 
 
 # --------------------------------------------------------------------------

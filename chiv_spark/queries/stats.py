@@ -330,6 +330,55 @@ def dedup_canonical_docs(spark, sf_dir):
     return kept.unionByName(singles)
 
 
+#: split fate hashed on the CLUSTER id (not the doc id) — the whole
+#: point of leakage-safe splitting
+_LSP_FATE = (
+    "((('0x' || substring(md5('lsp:' || cluster_id::VARCHAR), 1, 15))::BIGINT) % 100)"
+)
+
+
+@query(
+    "split_leakage_safe",
+    f"""{_CLUSTER_CTES},
+    clusters AS (SELECT src AS doc_id, MIN(dst) AS cid FROM reach GROUP BY src),
+    assigned AS (
+      SELECT d.doc_id, CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN clusters c USING (doc_id))
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_LSP_FATE} < 80 THEN 'train'
+                WHEN {_LSP_FATE} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+    doc="LEAKAGE-SAFE train/val/test split: the 80/10/10 hash fate is "
+    "a pure function of the near-dup CLUSTER id (min doc_id of the "
+    "MinHash-LSH connected component; singletons are their own "
+    "cluster), so two near-duplicate documents can NEVER straddle "
+    "splits — the eval-contamination failure mode of the plain "
+    "per-doc split_train_val_test, where a test doc's near-twin "
+    "sits in train and inflates eval. Composes dedup_clusters "
+    "(iterative min-label propagation, 1-3 rounds on near-clique "
+    "components); the split assignment itself is one broadcast-free "
+    "left join + a hash expression — no sort, no window, no extra "
+    "wide shuffle past what clustering already did. Leakage absence "
+    "is asserted pairwise by tests/test_mining.py",
+)
+def split_leakage_safe(spark, sf_dir):
+    from chiv_spark.functions.hashing import hash64
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cl = dedup_clusters(spark, sf_dir)
+    assigned = docs.join(cl, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").cast("long").alias("cluster_id"),
+    )
+    h = hash64(F.concat(F.lit("lsp:"), F.col("cluster_id").cast("string"))) % 100
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return assigned.select("doc_id", "cluster_id", split.alias("split"))
+
+
 @query(
     "stats_ab_ztest",
     """

@@ -227,3 +227,53 @@ class TestHeavyHittersSketch:
         assert {w for w, _ in exact} == {"hh0", "hh1", "hh2"}
         # the sketch really did prune: candidates far below the vocab
         assert cand.count() < 2003
+
+
+class TestLeakageSafeSplit:
+    def test_near_dup_pairs_never_straddle_splits(self, spark, tmp_path):
+        """The leakage guarantee, asserted pairwise: every MinHash-LSH
+        near-dup pair must land in the SAME split, and every cluster
+        must map to exactly one split — on a corpus constructed so
+        that a naive per-doc hash split would straddle (near-dup ids
+        are far apart, so their doc-level fates differ)."""
+        from chiv_spark.operators import dedup
+
+        rows = []
+        # 12 near-dup families of 3 docs each, ids deliberately spread
+        # so per-doc hash fates disagree within a family
+        for fam in range(12):
+            base = f"family {fam} text about topic{fam} alpha beta gamma delta epsilon"
+            for j, off in enumerate((0, 10_000, 20_000)):
+                suffix = "" if j == 0 else f" v{j}"
+                rows.append((fam + 1 + off, base + suffix, "en", "s", len(base)))
+        # plus unrelated singletons
+        for i in range(200, 220):
+            rows.append((i, f"singleton doc {i} unique words here {i * 7}", "en", "s", 30))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        sfd = str(tmp_path)
+
+        split = {
+            r.doc_id: (r.cluster_id, r.split)
+            for r in REGISTRY["split_leakage_safe"].fn(spark, sfd).collect()
+        }
+        assert len(split) == len(rows)
+        # pairwise: every near-dup pair shares a split
+        pairs = dedup.minhash_lsh_pairs(
+            spark.read.parquet(str(tmp_path / "documents.parquet"))
+        ).collect()
+        assert pairs, "generator produced no near-dup pairs"
+        for r in pairs:
+            assert split[r.doc_a][1] == split[r.doc_b][1], (r.doc_a, r.doc_b)
+        # cluster-level: one split per cluster id
+        from collections import defaultdict
+
+        by_cluster = defaultdict(set)
+        for _doc, (cid, s) in split.items():
+            by_cluster[cid].add(s)
+        assert all(len(s) == 1 for s in by_cluster.values())
+        # the test would be vacuous if every split came out equal:
+        # with 12 families + 20 singletons expect >= 2 distinct splits
+        assert len({s for _, (_, s) in split.items()}) >= 2
