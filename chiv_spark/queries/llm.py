@@ -150,6 +150,98 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
 
 
+#: registry demonstration cap for the LSH bucket-size dial — small
+#: enough to bite on sf0.01's organic dup clusters
+_LSH_CAP = 3
+
+
+@query(
+    "dedup_minhash_lsh_capped",
+    f"""
+    WITH {_MINHASH_CTES},
+    bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
+                FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
+    bands AS (SELECT doc_id, band,
+                     (('0x' || substring(md5(band::VARCHAR || ':' || sig_str), 1, 15))::BIGINT) AS bh
+              FROM bandsig),
+    ok AS (SELECT band, bh FROM bands GROUP BY band, bh
+           HAVING COUNT(*) <= {_LSH_CAP}),
+    capped AS (SELECT b.* FROM bands b JOIN ok USING (band, bh)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM capped a JOIN capped b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    est AS (SELECT c.doc_a, c.doc_b,
+                   AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+            GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, CAST(est_jaccard AS DOUBLE) AS est_jaccard
+    FROM est WHERE est_jaccard >= 0.5
+    """,
+    doc=f"bucket-CAPPED MinHash-LSH (the r7-task-5 defensive dial, "
+    f"oracle-verified, cap={_LSH_CAP} so it bites on sf0.01's organic "
+    "dup clusters): (band, bucket) keys above the cap are quarantined "
+    "out of the band self-join — an adversarial near-dup cluster of m "
+    "docs would otherwise emit m^2/2 candidate rows from ONE bucket "
+    "(the 100x probe OOMed the uncapped embedding analog; "
+    "SCALING.md round-8). Quarantined members stay eligible through "
+    "their other, unsaturated bands, and verbatim mega-clusters "
+    "remain covered by the exact-dup fingerprint path. Oracle "
+    "replicates the cap exactly (HAVING count <= cap on the bucket "
+    "relation), so the recall trade is pinned, not hidden",
+)
+def dedup_minhash_lsh_capped(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), bucket_cap=_LSH_CAP
+    )
+
+
+@query(
+    "dedup_lsh_bucket_report",
+    f"""
+    WITH {_MINHASH_CTES},
+    bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
+                FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
+    bands AS (SELECT doc_id, band,
+                     (('0x' || substring(md5(band::VARCHAR || ':' || sig_str), 1, 15))::BIGINT) AS bh
+              FROM bandsig),
+    bsize AS (SELECT band, bh, COUNT(*) AS m FROM bands GROUP BY band, bh)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(m AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM bsize GROUP BY band, m
+    """,
+    doc="LSH bucket-size distribution per band: how many buckets of "
+    "each membership size exist and how many candidate pairs "
+    "(m*(m-1)/2 per bucket) each size class implies — the audit a "
+    "production pipeline reads to SET the bucket_cap dial (the "
+    "histogram's heavy tail is exactly the quarantine set) and to "
+    "monitor for adversarial near-dup floods between runs. Pure "
+    "integer arithmetic over two hash aggs on the bounded bucket "
+    "relation (4 rows per doc) — no joins, no window, no float",
+)
+def dedup_lsh_bucket_report(spark, sf_dir):
+    bands = dedup.minhash_band_index(t(spark, sf_dir, "documents"))
+    bsize = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        bsize.groupBy("band", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("candidate_pairs"),
+        )
+        .select(
+            F.col("band").cast("long").alias("band"),
+            F.col("m").cast("long").alias("bucket_size"),
+            "n_buckets",
+            "candidate_pairs",
+        )
+    )
+
+
 #: stable-hash shard fate for the incremental-dedup split (1-in-10
 #: of the corpus plays the "newly arrived shard")
 _INC_FATE = "((('0x' || substring(md5('inc:' || doc_id::VARCHAR), 1, 15))::BIGINT) % 10)"

@@ -19,7 +19,7 @@ from chiv_spark.functions.detmath import det_round, duckdb_det_round
 from chiv_spark.functions.hashing import duckdb_hash64, hash64
 from chiv_spark.functions.vectors import l2_norm_fixed
 from chiv_spark.queries.base import query, t
-from chiv_spark.queries.llm import EMB_DIM
+from chiv_spark.queries.llm import EMB_DIM, _FP as _DOC_FP, _TOKS as _DOC_TOKS
 
 #: SQL twin of hash64(concat('smp:', doc_id)) — shared literal salt
 _H = "(('0x' || substring(md5('smp:' || doc_id::VARCHAR), 1, 15))::BIGINT)"
@@ -1570,3 +1570,81 @@ def mlprep_quality_resample(spark, sf_dir):
         .cast("long")
         .alias("kept_id_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# mlprep_dataset_card — one-row corpus summary (data governance)
+
+
+@query(
+    "mlprep_dataset_card",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len({_DOC_TOKS}) AS BIGINT) AS ntok,
+             {_DOC_FP} AS fp
+      FROM documents),
+    grp AS (SELECT fp, COUNT(*) AS sz FROM tok GROUP BY fp),
+    dup AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+                   CAST(COALESCE(SUM(sz - 1), 0) AS BIGINT) AS n_dup_docs
+            FROM grp WHERE sz > 1),
+    lang_rank AS (SELECT lang, COUNT(*) AS n FROM tok GROUP BY lang),
+    top AS (SELECT lang AS top_lang FROM lang_rank ORDER BY n DESC, lang LIMIT 1),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+             (FLOOR(quantile_cont(n_chars, 0.5) * 1000000.0 + 0.5) / 1000000.0)
+               AS p50_chars
+      FROM tok)
+    SELECT b.n_docs, b.n_langs, b.total_chars, b.total_tokens, b.p50_chars,
+           d.n_dup_groups, d.n_dup_docs, t.top_lang
+    FROM base b CROSS JOIN dup d CROSS JOIN top t
+    """,
+    doc="one-row DATASET CARD for the corpus — the governance summary "
+    "every training-data release ships: doc/language/char/token "
+    "totals, exact median doc length, exact-duplicate group and "
+    "surplus-doc counts (fingerprint groupBy), and the dominant "
+    "language (count argmax, tie broken lexicographically via "
+    "orderBy+limit — TakeOrderedAndProject, no window). Everything "
+    "is integer counts except the median (percentile parity pinned "
+    "by agg_percentile_exact); three bounded aggregates broadcast-"
+    "crossed into one row — each input pass is a single hash agg, "
+    "nothing quadratic, nothing corpus-sorted",
+)
+def mlprep_dataset_card(spark, sf_dir):
+    from chiv_spark.operators.text import fingerprints
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("ntok"),
+    )
+    base = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        det_round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+    )
+    grp = (
+        fingerprints(docs)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > 1)
+    )
+    dup = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_groups"),
+        F.coalesce(F.sum(F.col("sz") - 1), F.lit(0)).cast("long").alias("n_dup_docs"),
+    )
+    top = (
+        tok.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    return base.crossJoin(F.broadcast(dup)).crossJoin(F.broadcast(top))
