@@ -88,6 +88,12 @@ HEADLINE = [
     # round 7: the production ANN layout — IVFADC with exact re-rank
     # (coarse assign + residual PQ + 6-probe ADC + top-50 exact pass)
     "ann_ivfpq_topk",
+    # round 8: the growing-corpus production shapes — delta-vs-index
+    # incremental dedup, cluster-fate leakage-safe splitting (composes
+    # connected components), and stratum-keyed filtered vector search
+    "dedup_incremental_lsh",
+    "split_leakage_safe",
+    "ann_filtered_topk",
 ]
 
 
