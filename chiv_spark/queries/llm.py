@@ -11,6 +11,8 @@ DuckDB's list_dot_product), or integer-quantized arithmetic.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import functions as F
 
 from chiv_spark.functions.hashing import duckdb_hash64, hash64
@@ -247,9 +249,9 @@ def dedup_lsh_bucket_report(spark, sf_dir):
 _INC_FATE = "((('0x' || substring(md5('inc:' || doc_id::VARCHAR), 1, 15))::BIGINT) % 10)"
 
 
-@query(
-    "dedup_incremental_lsh",
-    f"""
+#: shared by the batch query and its streaming twin (one availableNow
+#: batch sees the whole delta slice, so both produce this relation)
+_INC_LSH_ORACLE = f"""
     WITH {_MINHASH_CTES},
     bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
                        string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
@@ -274,7 +276,12 @@ _INC_FATE = "((('0x' || substring(md5('inc:' || doc_id::VARCHAR), 1, 15))::BIGIN
             GROUP BY c.doc_a, c.doc_b)
     SELECT doc_a, doc_b, CAST(est_jaccard AS DOUBLE) AS est_jaccard
     FROM est WHERE est_jaccard >= 0.5
-    """,
+    """
+
+
+@query(
+    "dedup_incremental_lsh",
+    _INC_LSH_ORACLE,
     doc="incremental MinHash-LSH dedup (r7 verdict task 6) — the "
     "production shape for a GROWING corpus: a newly arrived shard "
     "(the 1-in-10 stable-hash fate slice of documents, playing the "
@@ -302,6 +309,39 @@ def dedup_incremental_lsh(spark, sf_dir):
     # the base slice so the query stays self-contained per sf_dir
     index = dedup.minhash_band_index(base)
     return dedup.incremental_lsh_pairs(delta, index)
+
+
+@query(
+    "streaming_incremental_dedup",
+    _INC_LSH_ORACLE,
+    doc="streaming twin of dedup_incremental_lsh — the shape a "
+    "production ingest pipeline actually runs: arriving document "
+    "batches are deduped via foreachBatch against the PERSISTED "
+    "band-signature index parquet (written once from the base "
+    "slice), then each batch's own signatures are appended to the "
+    "index so later batches catch cross-batch near-dups through the "
+    "index, never a cross-batch join (per-batch index-fold proven "
+    "by tests/test_streaming.py::TestIncrementalDedupStream "
+    "with maxFilesPerTrigger=1 over two shard files). All "
+    "batch-function work is JVM DataFrame API; under availableNow "
+    "the single batch sees the whole delta slice, so the relation "
+    "equals the batch twin's and the oracle is shared verbatim",
+)
+def streaming_incremental_dedup(spark, sf_dir):
+    from chiv_spark.streaming.dedup_index import incremental_dedup_stream
+
+    docs = t(spark, sf_dir, "documents")
+    fate = hash64(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10
+    base = docs.filter(fate != 0)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    work = tempfile.mkdtemp(prefix="chiv-incdedup-")
+    return incremental_dedup_stream(
+        spark, base, stream, work, delta_predicate=(fate == 0)
+    )
 
 
 @query(

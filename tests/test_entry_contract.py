@@ -61,12 +61,11 @@ class TestContractShape:
         os_ = entry_mod.oracle_sql()
         assert len(qs) >= 45
         assert set(os_) <= set(qs)
-        # rows-only entries are the documented non-SQL-expressible ops
-        # (round 2 gave the three streaming queries exact batch-twin
-        # oracles; round 4 gave multimodal_features a sha256-derived
-        # oracle — only the HLL sketch remains inherently
-        # non-SQL-expressible)
-        assert set(qs) - set(os_) == {"agg_approx_distinct"}
+        # zero rows-only entries since round 8: the last holdout
+        # (agg_approx_distinct's HLL sketch) is now boolean-gated —
+        # exact COUNT(DISTINCT) hash-compared plus an integer
+        # realized-error bound the oracle asserts TRUE
+        assert set(qs) == set(os_)
 
     def test_registry_docs(self):
         for name, spec in REGISTRY.items():

@@ -291,3 +291,39 @@ class TestStreamingHolt:
         }
         assert streamed == batch
         assert len(streamed) > 0
+
+
+class TestIncrementalDedupStream:
+    def test_cross_batch_pairs_via_index_fold(self, spark, tmp_path):
+        """Two shard files under maxFilesPerTrigger=1 -> two
+        microbatches. Docs 10 and 20 arrive in DIFFERENT batches with
+        identical text: their pair can only surface if the earlier
+        batch's signatures were folded into the persisted index before
+        the later batch joined against it (order-insensitive: either
+        processing order leaves one batch 'later')."""
+        from chiv_spark.streaming.dedup_index import incremental_dedup_stream
+
+        text = " ".join(f"w{i}" for i in range(10))
+        other = " ".join(f"x{i}" for i in range(10))
+        schema = "doc_id long, text string"
+        base = spark.createDataFrame([(1, text), (2, other)], schema)
+        shards = tmp_path / "shards"
+        spark.createDataFrame([(10, text)], schema).coalesce(1).write.parquet(
+            str(shards / "part0")
+        )
+        spark.createDataFrame([(20, text)], schema).coalesce(1).write.parquet(
+            str(shards / "part1")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+        work = tmp_path / "work"
+        out = incremental_dedup_stream(spark, base, stream, str(work))
+        got = {(r.doc_a, r.doc_b, r.est_jaccard) for r in out.collect()}
+        assert got == {(1, 10, 1.0), (1, 20, 1.0), (10, 20, 1.0)}
+        # the index now holds base AND both deltas (4 band rows each)
+        idx = spark.read.parquet(str(work / "index"))
+        assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 2, 10, 20}
+        assert idx.count() == 16
