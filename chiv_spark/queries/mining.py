@@ -889,3 +889,110 @@ def mining_item_knn(spark, sf_dir):
             det_round(F.col("cosine")).alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_dsir_importance
+
+#: hashed-feature space size and the target domain of the importance
+#: weights, shared as literals with the oracle SQL
+_DSIR_B = 256
+_DSIR_TARGET = "en"
+
+
+@query(
+    "text_dsir_importance",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+    bk AS (SELECT doc_id, lang, ({duckdb_hash64('w')} % {_DSIR_B}) AS b FROM toks),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bk GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bk WHERE lang = '{_DSIR_TARGET}' GROUP BY b),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tr,
+                   CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS BIGINT) AS tt
+            FROM bk),
+    lr AS (SELECT r.b,
+                  CAST(FLOOR(ln(
+                    (CAST(COALESCE(t2.ct, 0) + 1 AS DOUBLE) * CAST(tot.tr + {_DSIR_B} AS DOUBLE)) /
+                    (CAST(r.cr + 1 AS DOUBLE) * CAST(tot.tt + {_DSIR_B} AS DOUBLE))
+                  ) * 1000000.0 + 0.5) AS BIGINT) AS lrm
+           FROM raw r LEFT JOIN tgt t2 ON r.b = t2.b CROSS JOIN tot),
+    nb AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM bk GROUP BY doc_id, b),
+    score AS (SELECT nb.doc_id, CAST(SUM(nb.n * lr.lrm) AS BIGINT) AS score_micro
+              FROM nb JOIN lr ON nb.b = lr.b GROUP BY nb.doc_id)
+    SELECT s.doc_id, d.lang, s.score_micro,
+           CAST(s.score_micro / 1000000.0 AS DOUBLE) AS log_weight
+    FROM score s JOIN documents d ON s.doc_id = d.doc_id
+    ORDER BY s.score_micro DESC, s.doc_id
+    LIMIT 200
+    """,
+    doc="DSIR-style importance scoring (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling' — "
+    "public arXiv:2302.03169): rank raw docs by how much more likely "
+    "their hashed unigram features are under the TARGET domain "
+    "(lang='en' plays the high-quality target corpus) than under the "
+    "raw corpus. Per-bucket add-one-smoothed log-likelihood ratios "
+    "are computed once on the 256-row bucket relation (ONE "
+    "transcendental each — ln is cross-engine bit-consistent here) "
+    "and integer-quantized to micro-nats, so each doc's score is an "
+    "order-free exact integer multiply-sum over its bucket counts — "
+    "no float accumulation anywhere. The bucket tables broadcast "
+    "(256 rows regardless of corpus size); top-200 selection is "
+    "orderBy+limit (TakeOrderedAndProject, total ordering via doc_id "
+    "tiebreak) — at 100 TB the only wide shuffles are the two "
+    "hash-aggs over (doc_id, bucket) and bucket",
+)
+def text_dsir_importance(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", "lang", (hash64(F.col("w")) % _DSIR_B).alias("b"))
+    raw = bucketed.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        bucketed.filter(F.col("lang") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tot = bucketed.agg(
+        F.count(F.lit(1)).cast("long").alias("tr"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET, 1).otherwise(0))
+        .cast("long")
+        .alias("tt"),
+    )
+    # identical IEEE op order to the oracle: (num_a * num_b) / (den_a
+    # * den_b), ONE ln, then the det-floor micro-nat quantization
+    lrm = (
+        F.floor(
+            F.log(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    * (F.col("tr") + _DSIR_B).cast("double")
+                )
+                / (
+                    (F.col("cr") + 1).cast("double")
+                    * (F.col("tt") + _DSIR_B).cast("double")
+                )
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("lrm")
+    )
+    lr = raw.join(tgt, "b", "left").join(F.broadcast(tot)).select("b", lrm)
+    nb = bucketed.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    score = (
+        nb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("lrm")).cast("long").alias("score_micro"))
+    )
+    return (
+        score.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "score_micro",
+            (F.col("score_micro") / 1000000.0).cast("double").alias("log_weight"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(200)
+    )

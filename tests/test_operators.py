@@ -168,10 +168,12 @@ class TestApproxDistinctBounds:
         (the sketch itself is deterministic for fixed input)."""
         from chiv_spark.queries import REGISTRY
 
+        # since round 8 the query itself carries the gate: err_ok is
+        # the integer-arithmetic |approx-exact|*100 <= 10*exact bound
+        # (5*rsd), which the DuckDB oracle asserts TRUE
         row = REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).first()
-        approx, exact = row["approx_parts"], row["exact_parts"]
-        assert exact > 0
-        assert abs(approx - exact) / exact <= 0.10
+        assert row["exact_parts"] > 0
+        assert row["err_ok"] is True
 
 
 class TestApproxPercentileBounds:
