@@ -296,6 +296,70 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_quarantine_rescue(
+    docs: DataFrame,
+    bucket_cap: int,
+    reps: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Stage-2 recall recovery for quarantined LSH buckets (the
+    bucket_cap's one honest gap, SCALING.md round-8): a saturated
+    (band, bh) bucket of NON-verbatim near-dups loses its pairs when
+    `minhash_lsh_pairs(bucket_cap=...)` quarantines it, unless other
+    bands happen to catch them. This stage re-reports mega-cluster
+    MEMBERSHIP at bounded cost: per saturated bucket, pick ``reps``
+    stable-hash representatives and pair every member against each
+    representative — m*reps rows per bucket instead of m^2/2, linear
+    in the cluster size. The output is the star-schema view of the
+    cluster (member ↔ representative edges with estimated Jaccard),
+    which is exactly what downstream keep-one-per-cluster dedup needs;
+    the full m^2 pair set was never required.
+
+    Plan shape: one extra pass over the banded relation (already built
+    for stage 1), a broadcast semi-join against the tiny saturated-
+    bucket list, a PARTITIONED window (per-bucket row_number — never
+    a global sort) to pick representatives, and one m×reps equi-join
+    on (band, bh). Estimates come from the carried mh0..15 signature
+    columns — raw text is never touched."""
+    banded = minhash_band_index(docs)
+    oversized = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .filter(F.col("__m") > int(bucket_cap))
+        .select("band", "bh")
+    )
+    # saturated buckets are pathological-few by construction: broadcast
+    members = banded.join(F.broadcast(oversized), ["band", "bh"], "left_semi")
+    from pyspark.sql.window import Window
+
+    rep_order = hash64(F.concat(F.lit("rep:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("band", "bh").orderBy(rep_order.asc(), F.col("doc_id").asc())
+    rep_rows = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(reps))
+        .drop("__rk")
+    )
+    a, b = members.alias("a"), rep_rows.alias("b")
+    est = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).selectExpr(
+        "least(a.doc_id, b.doc_id) AS doc_a",
+        "greatest(a.doc_id, b.doc_id) AS doc_b",
+        f"(({_MATCH_EXPR}) / {float(NUM_PERMS)}D) AS est_jaccard",
+    )
+    # distinct: rep-rep pairs appear twice (each side as the member),
+    # and a pair can sit in several saturated buckets — the estimate
+    # is a pure signature function so duplicates carry equal values
+    return (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+        .select("doc_a", "doc_b", F.col("est_jaccard").cast("double").alias("est_jaccard"))
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """60-bit SimHash per document from distinct-token hashes.
 
@@ -336,27 +400,38 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = SIM_MAX_HAMMING) -> DataFrame:
-    """Hamming-≤k SimHash pairs via the pigeonhole chunk equi-join:
-    split the 60-bit signature into 4×15-bit chunks; any pair within
-    Hamming distance 3 must agree on ≥1 chunk. Join on (chunk_index,
-    chunk_value), verify with bit_count(xor) — linear in candidates."""
-    sig = simhash_signatures(docs)
-    # single SQL text (one py4j round-trip; identical plan to the
-    # Column-built version: chunk-explode → self equi-join → distinct
-    # → bit_count verify)
-    return docs.sparkSession.sql(
+def hamming_chunk_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    chunks: int = SIM_CHUNKS,
+    chunk_bits: int = SIM_CHUNK_BITS,
+    max_hamming: int = SIM_MAX_HAMMING,
+) -> DataFrame:
+    """Hamming-≤k pairs over ANY integer signature column via the
+    pigeonhole chunk equi-join: split the signature into ``chunks``
+    chunks of ``chunk_bits`` bits; any pair within Hamming distance
+    chunks-1 must agree exactly on ≥1 chunk. Join on (chunk_index,
+    chunk_value), verify with bit_count(xor) — linear in candidates,
+    never an all-pairs cross join. Shared by text SimHash
+    (simhash_pairs) and image perceptual-hash dedup
+    (queries/llm.py dedup_image_phash): both are 60-bit signatures
+    under the 4×15-bit layout. Single SQL text (one py4j round-trip;
+    identical plan to the Column-built version: chunk-explode → self
+    equi-join → distinct → bit_count verify). Returns
+    (doc_a, doc_b, hamming) keyed by ``id_col``'s values."""
+    return sig.sparkSession.sql(
         f"""
         WITH chunked AS (
-            SELECT doc_id, simhash, ci,
-                   (simhash div shiftleft(1L, ci * {SIM_CHUNK_BITS}))
-                       % {1 << SIM_CHUNK_BITS} AS chunk
+            SELECT {id_col} AS doc_id, {sig_col} AS sig, ci,
+                   ({sig_col} div shiftleft(1L, ci * {chunk_bits}))
+                       % {1 << chunk_bits} AS chunk
             FROM {{sig}}
-            LATERAL VIEW explode(sequence(0, {SIM_CHUNKS - 1})) AS ci
+            LATERAL VIEW explode(sequence(0, {chunks - 1})) AS ci
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                            a.simhash AS sim_a, b.simhash AS sim_b
+                            a.sig AS sim_a, b.sig AS sim_b
             FROM chunked a
             JOIN chunked b
               ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id
@@ -367,6 +442,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIM_MAX_HAMMING) -> DataFr
         WHERE bit_count(sim_a ^ sim_b) <= {max_hamming}
         """,
         sig=sig,
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIM_MAX_HAMMING) -> DataFrame:
+    """Hamming-≤k SimHash pairs via the pigeonhole chunk equi-join:
+    split the 60-bit signature into 4×15-bit chunks; any pair within
+    Hamming distance 3 must agree on ≥1 chunk. Join on (chunk_index,
+    chunk_value), verify with bit_count(xor) — linear in candidates."""
+    return hamming_chunk_pairs(
+        simhash_signatures(docs), max_hamming=max_hamming
     )
 
 

@@ -67,11 +67,16 @@ def unpartitioned_windows(df: DataFrame) -> list[tuple[str, bool]]:
     unpartitioned windows (verified live on 4.1.2 — it fires only
     with partitionBy), so `row_number().over(Window.orderBy(...))` +
     `filter(rk <= k)` physically moves the ENTIRE input relation to
-    one task. ``limit_below=True`` means a GlobalLimit sits strictly
-    below the window in the plan — the window provably runs on a
+    one task. ``limit_below=True`` means a GlobalLimit bounds EVERY
+    leaf path below the window — the window provably runs on a
     bounded (post-limit) relation and is safe at any scale (the
-    seed/re-rank pattern). Everything else must be justified by a
-    documented bounded-relation argument (see
+    seed/re-rank pattern). Every-path matters: a window over
+    ``join(corpus, limited_seed)`` is still corpus-scale through the
+    non-limited branch, so an any-descendant check would
+    false-negative exactly the hazard this audit exists to catch —
+    binary nodes (Join/Union) count as bounded only when ALL their
+    children are. Everything else must be justified by a documented
+    bounded-relation argument (see
     tests/test_plans.py::TestWindowAudit's allowlist)."""
     plan = df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001
     out: list[tuple[str, bool]] = []
@@ -87,13 +92,23 @@ def unpartitioned_windows(df: DataFrame) -> list[tuple[str, bool]]:
         return kids
 
     def has_limit_below(node) -> bool:
-        stack = children_of(node)
-        while stack:
-            n = stack.pop()
+        # a node is bounded iff every root→leaf path under it passes
+        # through a GlobalLimit: GlobalLimit → True regardless of
+        # subtree; leaf → False; any other node → ALL children bounded
+        # (an unlimited join/union branch keeps corpus-scale rows
+        # flowing to the window no matter what the other side does)
+        def bounded(n) -> bool:
             if n.nodeName() == "GlobalLimit":
                 return True
-            stack.extend(children_of(n))
-        return False
+            kids = n.children()
+            if kids.size() == 0:
+                return False
+            return all(bounded(kids.apply(i)) for i in range(kids.size()))
+
+        kids = node.children()
+        if kids.size() == 0:
+            return False
+        return all(bounded(kids.apply(i)) for i in range(kids.size()))
 
     stack = [plan]
     while stack:

@@ -233,7 +233,10 @@ def dedup_lsh_bucket_report(spark, sf_dir):
         bsize.groupBy("band", "m")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_buckets"),
-            F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("candidate_pairs"),
+            # `div`, not `/`: Spark's / on longs is double division, so
+            # the sum would be a float fold (exact only under 2^53);
+            # integer div keeps the whole report bigint like the oracle
+            F.expr("sum((m * (m - 1)) div 2)").cast("long").alias("candidate_pairs"),
         )
         .select(
             F.col("band").cast("long").alias("band"),
@@ -241,6 +244,70 @@ def dedup_lsh_bucket_report(spark, sf_dir):
             "n_buckets",
             "candidate_pairs",
         )
+    )
+
+
+#: representatives per quarantined bucket for the stage-2 rescue
+_RESCUE_REPS = 2
+
+
+@query(
+    "dedup_lsh_quarantine_rescue",
+    f"""
+    WITH {_MINHASH_CTES},
+    bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
+                FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
+    bands AS (SELECT doc_id, band,
+                     (('0x' || substring(md5(band::VARCHAR || ':' || sig_str), 1, 15))::BIGINT) AS bh
+              FROM bandsig),
+    sat AS (SELECT band, bh FROM bands GROUP BY band, bh
+            HAVING COUNT(*) > {_LSH_CAP}),
+    members AS (SELECT b.doc_id, b.band, b.bh FROM bands b JOIN sat USING (band, bh)),
+    ranked AS (SELECT doc_id, band, bh,
+                      row_number() OVER (
+                          PARTITION BY band, bh
+                          ORDER BY (('0x' || substring(md5('rep:' || doc_id::VARCHAR), 1, 15))::BIGINT),
+                                   doc_id) AS rk
+               FROM members),
+    reps AS (SELECT doc_id, band, bh FROM ranked WHERE rk <= {_RESCUE_REPS}),
+    cand AS (SELECT DISTINCT LEAST(m.doc_id, r.doc_id) AS doc_a,
+                             GREATEST(m.doc_id, r.doc_id) AS doc_b
+             FROM members m JOIN reps r
+               ON m.band = r.band AND m.bh = r.bh AND m.doc_id <> r.doc_id),
+    est AS (SELECT c.doc_a, c.doc_b,
+                   AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+            GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, CAST(est_jaccard AS DOUBLE) AS est_jaccard
+    FROM est WHERE est_jaccard >= 0.5
+    """,
+    doc="stage-2 recall recovery for quarantined LSH buckets (r8 "
+    "verdict task 3 — the bucket_cap dial's one honest gap): a "
+    "saturated (band, bucket) of NON-verbatim near-dups loses its "
+    f"pairs under dedup_minhash_lsh_capped (cap={_LSH_CAP}) unless "
+    "other bands catch them. This stage re-reports mega-cluster "
+    f"membership at bounded cost: {_RESCUE_REPS} stable-hash "
+    "representatives per saturated bucket, every member paired "
+    "against each rep — m*reps rows per bucket, linear in cluster "
+    "size, vs the m^2/2 the cap exists to prevent. The star view "
+    "(member-rep edges + est Jaccard) is what keep-one-per-cluster "
+    "dedup consumes; the full pair set was never needed. Plan: "
+    "broadcast semi-join vs the tiny saturated list, PARTITIONED "
+    "per-bucket window for rep selection (never a global sort), one "
+    "m x reps equi-join on carried signatures — raw text untouched. "
+    "Oracle states the two-stage contract verbatim (HAVING > cap, "
+    "row_number rep pick, member x rep join). Recovery over what "
+    "the capped stage drops is proven by tests/test_operators.py::"
+    "TestQuarantineRescue on an adversarial non-verbatim cluster",
+)
+def dedup_lsh_quarantine_rescue(spark, sf_dir):
+    return dedup.lsh_quarantine_rescue(
+        t(spark, sf_dir, "documents"),
+        bucket_cap=_LSH_CAP,
+        reps=_RESCUE_REPS,
     )
 
 

