@@ -94,6 +94,11 @@ HEADLINE = [
     "dedup_incremental_lsh",
     "split_leakage_safe",
     "ann_filtered_topk",
+    # round 9: perceptual-hash image dedup (real PNG codec round-trip
+    # feeding the Hamming-chunk join) and the stage-2 quarantined-
+    # bucket rescue (the bucket_cap dial's recall-recovery pass)
+    "dedup_image_phash",
+    "dedup_lsh_quarantine_rescue",
 ]
 
 

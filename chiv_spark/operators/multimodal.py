@@ -531,6 +531,109 @@ def png_resize_features(
     return ids.select("media_id").mapInPandas(run, JPEG_FEATURE_SCHEMA)
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+#: dHash grid: images resize to DHASH_W x DHASH_H, each row yields
+#: DHASH_W-1 adjacent-pixel comparisons -> (DHASH_W-1)*DHASH_H = 60
+#: bits, matching the SimHash Hamming-chunk join's 4x15-bit layout
+DHASH_W = 11
+DHASH_H = 6
+#: synthetic near-dup structure: ids in the same group share base
+#: pixels and differ only by a small per-id brightness offset
+DHASH_GROUPS = 12
+DHASH_BRIGHT_MOD = 8
+
+
+def image_dhash(
+    ids: DataFrame,
+    groups: int = DHASH_GROUPS,
+    dst_w: int = DHASH_W,
+    dst_h: int = DHASH_H,
+) -> DataFrame:
+    """60-bit perceptual difference-hash (dHash) per image via the
+    REAL PNG codec path on the executors: per media_id a grayscale
+    2*dst_w × 2*dst_h source image is PNG-encoded, resized with
+    :func:`formats.png.resize_png` (decode → numpy nearest-neighbor →
+    re-encode), decoded again, and hashed — bit (y*(w-1)+x) is set
+    iff pixel(x,y) > pixel(x+1,y) on the resized grid. dHash is the
+    image analog of SimHash: brightness shifts, gamma tweaks, and
+    re-encodes barely move it, so Hamming-close signatures mean
+    perceptually-duplicate images.
+
+    Synthetic corpus structure (the image libs for real photos are
+    not in this container; the CODEC path is real): ids in the same
+    ``media_id % groups`` group share hash-derived base pixels and
+    differ by a per-id brightness offset — a NON-verbatim near-dup
+    (different bytes, same perceptual content), the image twin of the
+    suffix-varied text clusters. Brightness shifts flip a comparison
+    only at the mod-256 wrap, so same-group signatures sit a few bits
+    apart and different groups are ~30 bits apart.
+
+    Nearest-neighbor at exactly 2× picks source index 2i, so the
+    resized grid equals the even-coordinate source pixels — the
+    closed form the DuckDB oracle computes without a codec (the
+    multimodal_jpeg_features oracle pattern). Any PNG filter,
+    inflate, or resample defect surfaces as a signature mismatch."""
+    from chiv_spark.pyship import ensure_shipped
+
+    ensure_shipped(ids.sparkSession)
+    src_w, src_h = 2 * dst_w, 2 * dst_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+        import pandas as _pd
+
+        from chiv_spark.formats.png import decode_png, encode_png, resize_png
+
+        def h64(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        base_cache: dict[int, "np.ndarray"] = {}
+
+        def base(gid: int) -> "np.ndarray":
+            if gid not in base_cache:
+                px = np.array(
+                    [
+                        [h64(f"img:{gid}:{x}:{y}") % 256 for x in range(src_w)]
+                        for y in range(src_h)
+                    ],
+                    dtype=np.int64,
+                )
+                base_cache[gid] = px
+            return base_cache[gid]
+
+        def one(mid: int) -> int:
+            delta = h64(f"bright:{mid}") % DHASH_BRIGHT_MOD
+            img = ((base(mid % groups) + delta) % 256).astype(np.uint8)
+            resized = resize_png(
+                encode_png(src_w, src_h, 1, img.tobytes()), dst_w, dst_h
+            )
+            w, h, _ch, raw = decode_png(resized)
+            grid = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).astype(np.int64)
+            bits = grid[:, :-1] > grid[:, 1:]  # (h, w-1) comparisons
+            weights = 1 << (
+                np.arange(h * (w - 1), dtype=np.int64).reshape(h, w - 1)
+            )
+            return int((bits * weights).sum())
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [one(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    return ids.select("media_id").mapInPandas(run, DHASH_SCHEMA)
+
+
 AUDIO_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

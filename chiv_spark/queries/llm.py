@@ -442,6 +442,79 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(t(spark, sf_dir, "documents"))
 
 
+def _dhash_px(x_expr: str, y_expr: str) -> str:
+    """DuckDB closed form of one SOURCE-image pixel: hash-derived base
+    value per (group, x, y) plus the per-id brightness offset, mod 256
+    — exactly what multimodal.image_dhash synthesizes before encoding."""
+    base = duckdb_hash64(
+        f"'img:' || (media_id % {multimodal.DHASH_GROUPS})::VARCHAR"
+        f" || ':' || ({x_expr})::VARCHAR || ':' || ({y_expr})::VARCHAR"
+    )
+    bright = duckdb_hash64("'bright:' || media_id::VARCHAR")
+    return f"(({base} % 256 + {bright} % {multimodal.DHASH_BRIGHT_MOD}) % 256)"
+
+
+@query(
+    "dedup_image_phash",
+    # closed-form oracle (the multimodal_jpeg_features pattern): the
+    # engine PNG-encodes a 22x12 hash-derived grayscale image, resizes
+    # it through the real codec (decode -> nearest-neighbor -> encode
+    # -> decode), and dHashes the 11x6 result; nearest-neighbor at
+    # exactly 2x picks source index 2i, so the oracle computes the
+    # same 60 comparison bits directly from the even-coordinate pixel
+    # closed form — no codec — then the same pigeonhole-exact
+    # Hamming<=3 pair set. Any PNG filter/inflate/resample defect
+    # surfaces as a signature (hence pair-set) mismatch.
+    f"""
+    WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 60),
+    bits AS (
+      SELECT media_id,
+             CASE WHEN {_dhash_px("2 * gx.x", "2 * gy.y")}
+                       > {_dhash_px("2 * gx.x + 2", "2 * gy.y")}
+                  THEN (1::BIGINT << CAST(gy.y * 10 + gx.x AS INT))
+                  ELSE 0 END AS v
+      FROM m, UNNEST(range(0, 10)) AS gx(x), UNNEST(range(0, 6)) AS gy(y)),
+    sig AS (SELECT media_id, CAST(SUM(v) AS BIGINT) AS dhash
+            FROM bits GROUP BY media_id),
+    chunks AS (SELECT unnest(range(4)) AS ci),
+    chunked AS (SELECT media_id, dhash, ci,
+                       (dhash // (1::BIGINT << CAST(ci * 15 AS INT))) % 32768 AS chunk
+                FROM sig CROSS JOIN chunks),
+    cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                    a.dhash AS ha, b.dhash AS hb
+             FROM chunked a JOIN chunked b
+               ON a.ci = b.ci AND a.chunk = b.chunk AND a.media_id < b.media_id)
+    SELECT media_a, media_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+    doc="image near-dup dedup via 60-bit perceptual difference-hash "
+    "(dHash) — the image analog of MinHash that any multimodal corpus "
+    "build needs (r8 verdict task 1): REAL PNG codec round-trip on "
+    "the executors (encode -> resize_png's decode/nearest-neighbor/"
+    "re-encode -> decode) feeds per-image dHash signatures into the "
+    "SAME pigeonhole Hamming-chunk equi-join as text SimHash "
+    "(dedup.hamming_chunk_pairs, 4x15-bit chunks, Hamming<=3 exact "
+    "by pigeonhole) — an equi-join on (chunk_index, chunk_value), "
+    "never an all-pairs image comparison. Near-dup structure is "
+    "non-verbatim (same group = same base pixels, different per-id "
+    "brightness -> different PNG bytes), so byte-level exact dedup "
+    "cannot catch these; Hamming-close dHash does. Arrow-batched "
+    "mapInPandas for the codec stage, JVM-side join for the pair "
+    "stage; per-image cost is constant so the stage scales linearly "
+    "with the corpus",
+)
+def dedup_image_phash(spark, sf_dir):
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    sig = multimodal.image_dhash(ids)
+    return dedup.hamming_chunk_pairs(
+        sig, id_col="media_id", sig_col="dhash"
+    ).selectExpr("doc_a AS media_a", "doc_b AS media_b", "hamming")
+
+
 #: shingles appearing in more docs than this are dropped from the Jaccard
 #: universe (stop-word n-grams: no near-dup signal, quadratic join cost).
 #: Shared as a literal with the oracle SQL below.

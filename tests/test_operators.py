@@ -494,3 +494,53 @@ class TestQuarantineRescue:
             key = (r.doc_a, r.doc_b)
             if key in plain:  # same signature function, same estimate
                 assert r.est_jaccard == plain[key]
+
+
+class TestImageDhash:
+    """r8 verdict task 1: perceptual-hash image near-dedup. The codec
+    path is real (PNG encode -> resize_png -> decode on executors);
+    near-dups are NON-verbatim (same base pixels, per-id brightness
+    offset -> different PNG bytes), so only Hamming-close dHash — not
+    byte equality — can pair them."""
+
+    def test_pairs_match_bruteforce_hamming(self, spark):
+        ids = spark.range(0, 36).selectExpr("id AS media_id")
+        sig = {r.media_id: r.dhash for r in multimodal.image_dhash(ids).collect()}
+        assert len(sig) == 36
+        assert all(0 <= s < (1 << 60) for s in sig.values())
+        expect = {
+            (a, b, bin(sig[a] ^ sig[b]).count("1"))
+            for a in sig
+            for b in sig
+            if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+        }
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in dedup.hamming_chunk_pairs(
+                multimodal.image_dhash(ids), id_col="media_id", sig_col="dhash"
+            ).collect()
+        }
+        # pigeonhole chunk join is EXACT for Hamming <= chunks-1
+        assert got == expect
+        assert expect, "corpus produced no near-dup pairs — test vacuous"
+
+    def test_same_group_near_cross_group_far(self, spark):
+        ids = spark.range(0, 36).selectExpr("id AS media_id")
+        sig = {r.media_id: r.dhash for r in multimodal.image_dhash(ids).collect()}
+        groups = multimodal.DHASH_GROUPS
+        same = [
+            bin(sig[a] ^ sig[b]).count("1")
+            for a in sig
+            for b in sig
+            if a < b and a % groups == b % groups
+        ]
+        cross = [
+            bin(sig[a] ^ sig[b]).count("1")
+            for a in sig
+            for b in sig
+            if a < b and a % groups != b % groups
+        ]
+        # brightness shifts flip comparisons only at mod-256 wrap;
+        # unrelated images disagree on ~half their 60 bits
+        assert max(same) < min(cross)
+        assert min(cross) > 10
