@@ -95,10 +95,12 @@ HEADLINE = [
     "split_leakage_safe",
     "ann_filtered_topk",
     # round 9: perceptual-hash image dedup (real PNG codec round-trip
-    # feeding the Hamming-chunk join) and the stage-2 quarantined-
-    # bucket rescue (the bucket_cap dial's recall-recovery pass)
+    # feeding the Hamming-chunk join), the stage-2 quarantined-bucket
+    # rescue (the bucket_cap dial's recall-recovery pass), and the
+    # embedding twin of delta-vs-index incremental dedup
     "dedup_image_phash",
     "dedup_lsh_quarantine_rescue",
+    "dedup_incremental_embed",
 ]
 
 

@@ -192,7 +192,10 @@ _MATCH_EXPR = " + ".join(
 
 
 def incremental_lsh_pairs(
-    delta_docs: DataFrame, index: DataFrame, threshold: float = 0.5
+    delta_docs: DataFrame | None,
+    index: DataFrame,
+    threshold: float = 0.5,
+    delta_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: estimate-Jaccard pairs between
     a NEW document shard and an existing corpus represented by its
@@ -206,8 +209,10 @@ def incremental_lsh_pairs(
     Corpus-internal pairs are intentionally absent (they were
     resolved when their shards arrived). doc_ids must be disjoint
     between shard and index (enforced upstream by id allocation).
+    Pass ``delta_index`` to reuse an already-built shard index (the
+    streaming fold builds it once for the join AND the index append).
     Output pairs are oriented doc_a < doc_b like minhash_lsh_pairs."""
-    dsig = minhash_band_index(delta_docs)
+    dsig = delta_index if delta_index is not None else minhash_band_index(delta_docs)
     a = dsig.alias("a")
     est_cols = [
         F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),

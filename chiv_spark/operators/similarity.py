@@ -328,6 +328,100 @@ def embedding_neardup(
     )
 
 
+def embedding_band_index(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, band, bits, embedding, norm): the PERSISTABLE relation of
+    the embedding near-dup tier — banded random-hyperplane sign
+    buckets with the vector and its precomputed L2 norm carried along,
+    NEARDUP_BANDS rows per vector. Write it once per corpus snapshot
+    and join arriving vector shards against it
+    (incremental_neardup_pairs) instead of re-hashing the whole corpus
+    per shard — the embedding twin of dedup.minhash_band_index.
+    Carrying the vector costs dim*8 bytes per (id, band) row in the
+    band-join shuffle — cheaper than re-shuffling the corpus embedding
+    table to join it back onto candidates, and it makes the exact
+    cosine verify a single inline expression on the joined row."""
+    dim = _dim(emb, vec_col, dim)
+    buckets = _band_sign_buckets(emb, id_col, vec_col, dim)
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("embedding"),
+        l2_norm_fixed(vec_col, dim).alias("norm"),
+    )
+    return buckets.join(vecs, "id")
+
+
+def incremental_neardup_pairs(
+    delta_emb: DataFrame | None,
+    index: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    delta_index: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental embedding near-dup detection: exact-cosine pairs
+    between a NEW vector shard and an existing corpus represented by
+    its persisted band index (embedding_band_index output, read back
+    from parquet), plus pairs WITHIN the new shard — the embedding
+    twin of dedup.incremental_lsh_pairs, sharing its contract: only
+    the delta is sign-hashed (O(|delta|)); the corpus contributes the
+    pre-computed index relation to one (band, bits) equi-join and its
+    raw embedding table is never re-read. Corpus-internal pairs are
+    intentionally absent (resolved when their shards arrived); ids
+    must be disjoint between shard and index. Pass ``delta_index`` to
+    reuse an already-built shard index (the streaming fold builds it
+    once for the join AND the index append). Output is oriented
+    id_a < id_b like embedding_neardup, cosine det-rounded to 6."""
+    if delta_index is None:
+        dim = _dim(delta_emb, vec_col, dim)
+        delta_index = embedding_band_index(delta_emb, id_col, vec_col, dim)
+    elif dim is None:
+        raise ValueError("dim is required when delta_index is precomputed")
+    a = delta_index.select(
+        F.col("id").alias("id_l"),
+        F.col("band"),
+        F.col("bits"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+
+    def side_b(rel: DataFrame) -> DataFrame:
+        return rel.select(
+            F.col("id").alias("id_r"),
+            F.col("band"),
+            F.col("bits"),
+            F.col("embedding").alias("vb"),
+            F.col("norm").alias("nb"),
+        )
+
+    cos = (dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias("cosine")
+    pair_cols = [
+        F.least(F.col("id_l"), F.col("id_r")).alias("id_a"),
+        F.greatest(F.col("id_l"), F.col("id_r")).alias("id_b"),
+        cos,
+    ]
+    vs_index = a.join(side_b(index), ["band", "bits"]).select(*pair_cols)
+    vs_self = a.join(
+        side_b(delta_index),
+        ["band", "bits"],
+    ).filter(F.col("id_l") < F.col("id_r")).select(*pair_cols)
+    # distinct AFTER rounding: a pair colliding in both bands carries
+    # a bit-identical cosine (same inline expression), so the rounded
+    # triple dedupes exactly — no candidate join-back needed since
+    # both sides carry their vectors
+    return (
+        vs_index.unionByName(vs_self)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", det_round(F.col("cosine"), 6).alias("cosine"))
+        .distinct()
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 8,

@@ -642,6 +642,100 @@ def embedding_neardup(spark, sf_dir):
     )
 
 
+#: stable-hash shard fate for the incremental EMBEDDING dedup split
+#: (1-in-10 of the vectors play the "newly arrived shard")
+_INC_EMB_FATE = "((('0x' || substring(md5('incv:' || vec_id::VARCHAR), 1, 15))::BIGINT) % 10)"
+
+#: shared by the batch query and its streaming twin (one availableNow
+#: batch sees the whole delta slice, so both produce this relation)
+_INC_EMB_ORACLE = f"""
+    WITH {_BAND_CTES},
+    fate AS (SELECT vec_id, {_INC_EMB_FATE} AS f FROM embeddings),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bandbits a JOIN bandbits b
+               ON a.band = b.band AND a.bits = b.bits AND a.id < b.id),
+    delta_cand AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN fate fa ON fa.vec_id = c.id_a
+      JOIN fate fb ON fb.vec_id = c.id_b
+      WHERE fa.f = 0 OR fb.f = 0),
+    pairs AS (SELECT c.id_a, c.id_b, {_COS} AS cosine
+              FROM delta_cand c
+              JOIN embeddings a ON a.vec_id = c.id_a
+              JOIN embeddings b ON b.vec_id = c.id_b)
+    SELECT id_a, id_b, (FLOOR(cosine * 1000000.0 + 0.5) / 1000000.0) AS cosine
+    FROM pairs WHERE cosine >= 0.3
+    """
+
+
+@query(
+    "dedup_incremental_embed",
+    _INC_EMB_ORACLE,
+    doc="incremental EMBEDDING near-dup dedup (r8 verdict task 5) — "
+    "the vector twin of dedup_incremental_lsh: a newly arrived vector "
+    "shard (1-in-10 stable-hash fate slice of embeddings) is deduped "
+    "against the existing corpus via its persisted random-hyperplane "
+    "band index (similarity.embedding_band_index: id, band, bits, "
+    "embedding, norm — built once per corpus snapshot, parquet-"
+    "persistable) plus within-shard self-pairs. Only the delta is "
+    "sign-hashed (one Arrow-batched integer matmul, O(|delta|)); the "
+    "corpus contributes the pre-computed index to one (band, bits) "
+    "equi-join, and because both sides carry vector+norm the exact "
+    "cosine verify is a single inline expression on the joined row — "
+    "no candidate join-back, no corpus re-read (index non-rebuild "
+    "proven by tests/test_streaming.py::TestIncrementalEmbedDedup). "
+    "Oracle = full-corpus banded-LSH recompute restricted to delta-"
+    "involving pairs (base-base pairs intentionally absent: resolved "
+    "when their shards arrived)",
+)
+def dedup_incremental_embed(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    fate = hash64(F.concat(F.lit("incv:"), F.col("vec_id").cast("string"))) % 10
+    delta = emb.filter(fate == 0)
+    base = emb.filter(fate != 0)
+    # in production the index is READ BACK from parquet (see the
+    # TestIncrementalEmbedDedup round-trip); here it is built in-plan
+    # from the base slice so the query stays self-contained per sf_dir
+    index = similarity.embedding_band_index(base, dim=EMB_DIM)
+    return similarity.incremental_neardup_pairs(
+        delta, index, threshold=0.3, dim=EMB_DIM
+    )
+
+
+@query(
+    "streaming_incremental_embed",
+    _INC_EMB_ORACLE,
+    doc="streaming twin of dedup_incremental_embed — arriving vector "
+    "batches are deduped via foreachBatch against the persisted "
+    "hyperplane band index (written once from the base slice, "
+    "BUCKETED on pmod(bits, P) so each batch joins a partition-"
+    "pruned scan), then each batch's signatures are folded into the "
+    "index under its own src_batch generation so later batches catch "
+    "cross-batch near-dups through the index, never a cross-batch "
+    "join; generation-keyed dynamic partition overwrite makes batch "
+    "replays idempotent (the foreachBatch exactly-once caveat). All "
+    "batch-function work is JVM DataFrame API; under availableNow "
+    "the single batch sees the whole delta slice, so the relation "
+    "equals the batch twin's and the oracle is shared verbatim",
+)
+def streaming_incremental_embed(spark, sf_dir):
+    from chiv_spark.streaming.dedup_index import incremental_embed_dedup_stream
+
+    emb = t(spark, sf_dir, "embeddings")
+    fate = hash64(F.concat(F.lit("incv:"), F.col("vec_id").cast("string"))) % 10
+    base = emb.filter(fate != 0)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    work = tempfile.mkdtemp(prefix="chiv-incembed-")
+    return incremental_embed_dedup_stream(
+        spark, base, stream, work, delta_predicate=(fate == 0), dim=EMB_DIM
+    )
+
+
 @query(
     "ann_cosine_topk",
     f"""

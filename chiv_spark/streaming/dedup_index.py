@@ -1,46 +1,231 @@
-"""Streaming incremental near-dup detection against a persisted
-MinHash band index.
+"""Streaming incremental near-dup detection against a persisted,
+BUCKETED band index — text MinHash and embedding hyperplane variants
+over one shared fold harness.
 
-The streaming form of the round-8 ``dedup_incremental_lsh`` batch
-query — the shape a production ingest pipeline actually runs: document
-shards ARRIVE as a stream; each microbatch is deduped against the
-corpus's persisted band-signature index (``minhash_band_index``
-parquet) plus within-batch self-pairs, and then the batch's own
-signatures are FOLDED INTO the index so every later batch sees them.
-Cross-batch near-dup pairs are therefore caught through the index, not
-through any cross-batch join — per-arrival cost stays O(|batch| +
-matching index buckets) and the raw corpus text is never re-read.
+The streaming form of the batch ``dedup_incremental_lsh`` /
+``dedup_incremental_embed`` queries — the shape a production ingest
+pipeline actually runs: document (or vector) shards ARRIVE as a
+stream; each microbatch is deduped against the corpus's persisted
+band-signature index plus within-batch self-pairs, and then the
+batch's own signatures are FOLDED INTO the index so every later batch
+sees them. Cross-batch near-dup pairs are therefore caught through
+the index, not through any cross-batch join — per-arrival cost stays
+O(|batch| + matching index buckets) and the raw corpus is never
+re-read.
 
 Why ``foreachBatch`` and not a stream-stream/stream-static join: the
 MinHash signature of an arriving document is a shingle-explode →
 16-way min aggregation, and Structured Streaming cannot place a
 stateful aggregation below a join without unsupported-operation
-errors; more fundamentally the index UPDATE (append this batch's
-signatures) is a side effect no declarative streaming join expresses.
-``foreachBatch`` is the documented escape hatch for exactly this
-merge-into-index shape (the same reason streaming/cdc.py uses it for
-MERGE semantics). Everything inside the batch function is JVM-side
-DataFrame API — no Python row UDFs, no collect.
+errors; more fundamentally the index UPDATE (fold this batch's
+signatures in) is a side effect no declarative streaming join
+expresses. ``foreachBatch`` is the documented escape hatch for
+exactly this merge-into-index shape (the same reason streaming/cdc.py
+uses it for MERGE semantics). Everything inside the batch function is
+JVM-side DataFrame API — no Python row UDFs; the only collect is the
+bounded touched-bucket list (≤ P_BUCKETS values, the cdc.py
+precedent).
 
-At 100 TB the index relation is hash-partitioned parquet keyed by
-(band, bh); each microbatch's band join prunes to the buckets the
-batch actually touches once the index is bucketed/Z-ordered on bh,
-and the per-batch append is a blind partition write. Under
-``trigger(availableNow=True)`` with the whole delta in one batch the
-result is exactly the batch ``incremental_lsh_pairs`` relation, which
-is how the registry query shares its DuckDB oracle verbatim.
+The 100 TB layout, made real (r8 verdict task 2 — previously asserted
+in prose only):
+
+- **Bucketed**: index rows are written under ``pb = pmod(key,
+  P_BUCKETS)`` directory partitions, so each microbatch's band join
+  reads ONLY the partitions its delta actually touches — the pruned
+  scan is plan-pinned by tests/test_streaming.py::TestIndexLayout
+  (PartitionFilters on pb), not asserted in prose.
+- **Idempotent** (the foreachBatch exactly-once caveat): pairs and
+  index generations are written with dynamic partition overwrite
+  keyed by ``src_batch`` — a replayed microbatch OVERWRITES its own
+  partitions instead of appending twice — and each batch's index read
+  EXCLUDES its own ``src_batch`` so a replay that already folded its
+  signatures does not self-join against them.
+- **Compactable**: every batch appends one small generation per
+  touched bucket; :func:`compact_index` folds all generations into
+  one file per bucket (pairs unchanged, file count drops — pytest'd).
+  The dir-swap is the local-FS stand-in for what a transactional
+  table format (Iceberg/Delta) does natively on object stores.
+
+Under ``trigger(availableNow=True)`` with the whole delta in one
+batch the result equals the corresponding batch query's relation,
+which is how the registry queries share their DuckDB oracles
+verbatim.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from chiv_spark.operators import dedup
+from chiv_spark.operators import dedup, similarity
 
-#: the (doc_a, doc_b, est_jaccard) sink schema, used to seed the
-#: output directory so the post-run read succeeds even if every
-#: arriving batch had an empty delta slice
+#: directory-partition fan-out of the index on pmod(band key, P).
+#: 16 here (tests read partition listings); thousands at 100 TB —
+#: the knob trades listing cost against pruning granularity.
+P_BUCKETS = 16
+
+#: src_batch generation of the pre-stream base index (and of every
+#: row after compaction)
+SEED_BATCH = -1
+
+#: the (doc_a, doc_b, est_jaccard) text sink columns
+PAIR_COLS = ["doc_a", "doc_b", "est_jaccard"]
 PAIR_SCHEMA = "doc_a bigint, doc_b bigint, est_jaccard double"
+
+#: the (id_a, id_b, cosine) embedding sink columns
+EMB_PAIR_COLS = ["id_a", "id_b", "cosine"]
+EMB_PAIR_SCHEMA = "id_a bigint, id_b bigint, cosine double"
+
+
+def _pb(key_col: str) -> Column:
+    return F.pmod(F.col(key_col), F.lit(P_BUCKETS)).cast("int")
+
+
+def write_index_generation(
+    index_rel: DataFrame, key_col: str, index_dir: str, batch_id: int
+) -> None:
+    """Write one index generation under (pb, src_batch) partitions
+    with DYNAMIC partition overwrite: re-writing the same batch_id
+    replaces its own partitions and touches nothing else — the
+    replay-idempotency contract."""
+    (
+        index_rel.withColumn("pb", _pb(key_col))
+        .withColumn("src_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pb", "src_batch")
+        .parquet(index_dir)
+    )
+
+
+def read_index_pruned(
+    spark: SparkSession,
+    index_dir: str,
+    touched_pbs: list[int],
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """The per-batch index relation: only the directory partitions the
+    arriving delta actually touches (partition-pruned scan — the scan
+    carries PartitionFilters on pb, plan-pinned in tests), minus the
+    batch's own generation so a replayed batch never joins against
+    the signatures it already folded in."""
+    idx = spark.read.parquet(index_dir).filter(
+        F.col("pb").isin([int(x) for x in touched_pbs])
+    )
+    if exclude_batch is not None:
+        idx = idx.filter(F.col("src_batch") != int(exclude_batch))
+    return idx
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> tuple[int, int]:
+    """Fold the per-batch generation files into ONE file per pb
+    bucket (src_batch collapses to SEED_BATCH). Run between stream
+    restarts: a steady ingest appends one small file per touched
+    bucket per batch, and object-store listing/open cost eventually
+    dominates the pruned join. Returns (files_before, files_after).
+
+    The stage-swap via directory rename is the local-FS stand-in for
+    a transactional table format's rewrite commit; the Spark plan is
+    the real thing (one shuffle on pb, one writer task per bucket)."""
+    import glob
+    import os
+    import shutil
+
+    def count_files(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+
+    root = index_dir.rstrip("/")
+    before = count_files(root)
+    compacted = (
+        spark.read.parquet(root)
+        .withColumn("src_batch", F.lit(SEED_BATCH))
+        # each pb lands wholly in one task -> exactly one output file
+        # per bucket directory
+        .repartition(P_BUCKETS, "pb")
+    )
+    staged = root + ".compacting"
+    compacted.write.mode("overwrite").partitionBy("pb", "src_batch").parquet(staged)
+    old = root + ".precompact"
+    os.rename(root, old)
+    os.rename(staged, root)
+    shutil.rmtree(old)
+    return before, count_files(root)
+
+
+def index_fold_stream(
+    spark: SparkSession,
+    base_rel: DataFrame,
+    stream: DataFrame,
+    work_dir: str,
+    *,
+    index_builder: Callable[[DataFrame], DataFrame],
+    pairs_builder: Callable[[DataFrame, DataFrame], DataFrame],
+    key_col: str,
+    pair_cols: list[str],
+    pair_schema: str,
+    delta_predicate: Column | None = None,
+) -> DataFrame:
+    """Run a bounded streaming incremental-dedup job over the shared
+    fold harness.
+
+    ``base_rel``: the already-resident corpus; its index is written
+    to ``<work_dir>/index`` ONCE before the stream starts (in
+    production the index already exists — tests assert the original
+    generation survives every batch untouched). ``index_builder``
+    maps raw rows to the persistable index relation (must contain
+    ``key_col``); ``pairs_builder`` maps (delta_index, pruned_index)
+    to the pair relation. ``delta_predicate``: optional per-batch
+    filter (the registry queries stream the full table and carve out
+    the 1-in-10 delta fate slice; a real ingest stream carries only
+    new rows and passes None).
+
+    Returns the accumulated pair relation read back from the sink."""
+    work = work_dir.rstrip("/")
+    index_dir = f"{work}/index"
+    out_dir = f"{work}/pairs"
+    ckpt_dir = f"{work}/ckpt"
+
+    write_index_generation(index_builder(base_rel), key_col, index_dir, SEED_BATCH)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df if delta_predicate is None else batch_df.filter(delta_predicate)
+        # built once, used twice (band join + index fold); delta-sized
+        dsig = index_builder(delta).persist()
+        touched = [
+            r.pb for r in dsig.select(_pb(key_col).alias("pb")).distinct().collect()
+        ]
+        if touched:
+            index = read_index_pruned(
+                spark, index_dir, touched, exclude_batch=batch_id
+            )
+            pairs = pairs_builder(dsig, index)
+            (
+                pairs.withColumn("src_batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("src_batch")
+                .parquet(out_dir)
+            )
+            # AFTER the pairs action: fold this batch's signatures into
+            # the index so later batches dedup against them (folding
+            # first would double-count within-batch self-pairs — and
+            # the exclude_batch guard above keeps even a replay clean)
+            write_index_generation(dsig, key_col, index_dir, batch_id)
+        dsig.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out_dir).select(*pair_cols)
+    except Exception:  # noqa: BLE001 — no batch produced pairs: empty sink
+        return spark.createDataFrame([], pair_schema)
 
 
 def incremental_dedup_stream(
@@ -51,45 +236,49 @@ def incremental_dedup_stream(
     delta_predicate: Column | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Run the bounded streaming incremental dedup job.
-
-    ``base_docs``: the already-resident corpus; its band index is
-    written to ``<work_dir>/index`` ONCE before the stream starts
-    (in production the index already exists — tests assert the
-    original index files survive every batch untouched).
-    ``doc_stream``: a streaming DataFrame of arriving document rows
-    (``doc_id``, ``text``, ...). ``delta_predicate``: optional filter
-    applied per batch (the registry query streams the full documents
-    file and carves out the 1-in-10 delta fate slice with it; a real
-    ingest stream carries only new docs and passes None).
-
-    Returns the accumulated pair relation read back from the sink.
-    """
-    work = work_dir.rstrip("/")
-    index_dir = f"{work}/index"
-    out_dir = f"{work}/pairs"
-    ckpt_dir = f"{work}/ckpt"
-
-    dedup.minhash_band_index(base_docs).write.parquet(index_dir)
-    spark.createDataFrame([], PAIR_SCHEMA).write.parquet(out_dir)
-
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
-        delta = batch_df if delta_predicate is None else batch_df.filter(delta_predicate)
-        # fresh read per batch: picks up every prior batch's appended
-        # signatures (file listing happens at read time)
-        index = spark.read.parquet(index_dir)
-        pairs = dedup.incremental_lsh_pairs(delta, index, threshold=threshold)
-        pairs.write.mode("append").parquet(out_dir)
-        # AFTER the pairs action: fold this batch's signatures into
-        # the index so later batches dedup against them (appending
-        # first would double-count within-batch self-pairs)
-        dedup.minhash_band_index(delta).write.mode("append").parquet(index_dir)
-
-    q = (
-        doc_stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
+    """Text variant: MinHash band index (dedup.minhash_band_index),
+    pairs via dedup.incremental_lsh_pairs on the pruned index."""
+    return index_fold_stream(
+        spark,
+        base_docs,
+        doc_stream,
+        work_dir,
+        index_builder=dedup.minhash_band_index,
+        pairs_builder=lambda dsig, index: dedup.incremental_lsh_pairs(
+            None, index, threshold=threshold, delta_index=dsig
+        ),
+        key_col="bh",
+        pair_cols=PAIR_COLS,
+        pair_schema=PAIR_SCHEMA,
+        delta_predicate=delta_predicate,
     )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir)
+
+
+def incremental_embed_dedup_stream(
+    spark: SparkSession,
+    base_emb: DataFrame,
+    emb_stream: DataFrame,
+    work_dir: str,
+    delta_predicate: Column | None = None,
+    threshold: float = 0.3,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding variant: random-hyperplane band index
+    (similarity.embedding_band_index), pairs via
+    similarity.incremental_neardup_pairs on the pruned index."""
+    if dim is None:
+        dim = len(base_emb.select("embedding").first()[0])
+    return index_fold_stream(
+        spark,
+        base_emb,
+        emb_stream,
+        work_dir,
+        index_builder=lambda rel: similarity.embedding_band_index(rel, dim=dim),
+        pairs_builder=lambda dsig, index: similarity.incremental_neardup_pairs(
+            None, index, threshold=threshold, dim=dim, delta_index=dsig
+        ),
+        key_col="bits",
+        pair_cols=EMB_PAIR_COLS,
+        pair_schema=EMB_PAIR_SCHEMA,
+        delta_predicate=delta_predicate,
+    )

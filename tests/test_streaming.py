@@ -327,3 +327,207 @@ class TestIncrementalDedupStream:
         idx = spark.read.parquet(str(work / "index"))
         assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 2, 10, 20}
         assert idx.count() == 16
+
+
+class TestIndexLayout:
+    """r8 verdict task 2 + the r8 foreachBatch-idempotency advice: the
+    dedup index's 100 TB claims made mechanical. (a) the per-batch
+    index read is a PARTITION-PRUNED scan (PartitionFilters on pb in
+    the physical plan, not a full-index read); (b) a replayed
+    microbatch overwrites its own generation instead of appending
+    (pairs and index byte-stable across a replay); (c) compaction
+    folds per-batch generation files into one per bucket with the
+    pair relation unchanged."""
+
+    def _seed(self, spark, tmp_path):
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import (
+            SEED_BATCH,
+            write_index_generation,
+        )
+
+        text = " ".join(f"w{i}" for i in range(10))
+        other = " ".join(f"x{i}" for i in range(10))
+        base = spark.createDataFrame(
+            [(1, text), (2, other)], "doc_id long, text string"
+        )
+        index_dir = str(tmp_path / "index")
+        write_index_generation(
+            dedup.minhash_band_index(base), "bh", index_dir, SEED_BATCH
+        )
+        return index_dir, text
+
+    def test_pruned_scan_plan_pinned(self, spark, tmp_path):
+        import re
+
+        from chiv_spark.plans import physical_plan
+        from chiv_spark.streaming.dedup_index import read_index_pruned
+
+        index_dir, _ = self._seed(spark, tmp_path)
+        pruned = read_index_pruned(spark, index_dir, [3, 7], exclude_batch=5)
+        plan = physical_plan(pruned)
+        # partition pruning reaches the scan: pb is a directory key,
+        # so the IN filter must appear under PartitionFilters (file
+        # skipping), not PushedFilters (row-group skipping)
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m, plan[:800]
+        assert "pb" in m.group(1) and "IN" in m.group(1).upper(), m.group(1)
+        assert "src_batch" in m.group(1), m.group(1)
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import (
+            read_index_pruned,
+            write_index_generation,
+        )
+
+        index_dir, text = self._seed(spark, tmp_path)
+        delta = spark.createDataFrame([(10, text)], "doc_id long, text string")
+        dsig = dedup.minhash_band_index(delta)
+
+        def run_batch():
+            touched = [
+                r.pb
+                for r in dsig.select(
+                    F.pmod(F.col("bh"), F.lit(16)).cast("int").alias("pb")
+                )
+                .distinct()
+                .collect()
+            ]
+            idx = read_index_pruned(spark, index_dir, touched, exclude_batch=7)
+            pairs = dedup.incremental_lsh_pairs(None, idx, delta_index=dsig)
+            got = {tuple(r) for r in pairs.collect()}
+            write_index_generation(dsig, "bh", index_dir, 7)
+            return got
+
+        first = run_batch()
+        assert first == {(1, 10, 1.0)}
+        # replay: the index already holds batch 7's generation; the
+        # exclude_batch guard keeps the join clean and the dynamic
+        # overwrite replaces (not duplicates) the generation
+        second = run_batch()
+        assert second == first
+        idx_rows = spark.read.parquet(index_dir)
+        assert idx_rows.count() == 3 * 4  # base(2) + delta(1), 4 bands each
+        assert (
+            idx_rows.filter(F.col("src_batch") == 7)
+            .select("doc_id")
+            .distinct()
+            .count()
+            == 1
+        )
+
+    def test_compaction_shrinks_files_keeps_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import (
+            compact_index,
+            write_index_generation,
+        )
+
+        index_dir, text = self._seed(spark, tmp_path)
+        # simulate a steady ingest: five one-doc generations
+        for bid in range(5):
+            d = spark.createDataFrame(
+                [(100 + bid, f"{text} extra{bid}")], "doc_id long, text string"
+            )
+            write_index_generation(dedup.minhash_band_index(d), "bh", index_dir, bid)
+        before_rows = {
+            tuple(r)
+            for r in spark.read.parquet(index_dir).drop("src_batch").collect()
+        }
+        n_before, n_after = compact_index(spark, index_dir)
+        assert n_after < n_before
+        after = spark.read.parquet(index_dir)
+        after_rows = {tuple(r) for r in after.drop("src_batch").collect()}
+        assert after_rows == before_rows  # compaction moves bytes, not data
+        from chiv_spark.streaming.dedup_index import SEED_BATCH
+
+        assert after.select("src_batch").distinct().collect()[0][0] == SEED_BATCH
+
+
+class TestIncrementalEmbedDedup:
+    """r8 verdict task 5: the embedding twin of the index fold. Two
+    vector shards under maxFilesPerTrigger=1 -> two microbatches;
+    near-identical vectors arriving in DIFFERENT batches can only
+    pair if the earlier batch's signatures were folded into the
+    persisted index. The base generation's files must survive every
+    batch untouched (no index rebuild)."""
+
+    def test_cross_batch_pairs_and_index_untouched(self, spark, tmp_path):
+        import glob
+        import os
+
+        from chiv_spark.streaming.dedup_index import (
+            incremental_embed_dedup_stream,
+        )
+
+        dim = 4
+        schema = "vec_id long, embedding array<float>"
+        base = spark.createDataFrame(
+            [(1, [1.0, 0.02, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])], schema
+        )
+        shards = tmp_path / "shards"
+        spark.createDataFrame([(10, [1.0, 0.01, 0.0, 0.0])], schema).coalesce(
+            1
+        ).write.parquet(str(shards / "part0"))
+        spark.createDataFrame([(20, [1.0, 0.03, 0.0, 0.0])], schema).coalesce(
+            1
+        ).write.parquet(str(shards / "part1"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+        work = tmp_path / "work"
+        index_dir = work / "index"
+
+        out = incremental_embed_dedup_stream(
+            spark, base, stream, str(work), threshold=0.9, dim=dim
+        )
+        got = {(r.id_a, r.id_b) for r in out.collect()}
+        # 10 pairs with base vector 1 (vs index), 20 pairs with 1 (vs
+        # index) AND with 10 (cross-batch, via the folded index)
+        assert got == {(1, 10), (1, 20), (10, 20)}
+        # the base generation (src_batch=-1) survives both batches
+        # untouched and each batch folded its OWN generation in — the
+        # index was appended to, never rebuilt
+        seed_files = sorted(
+            glob.glob(
+                str(index_dir / "**" / "src_batch=-1" / "*.parquet"),
+                recursive=True,
+            )
+        )
+        assert seed_files, "seed generation missing"
+        assert all(os.path.exists(f) for f in seed_files)
+        idx = spark.read.parquet(str(index_dir))
+        assert {r[0] for r in idx.select("src_batch").distinct().collect()} == {
+            -1,
+            0,
+            1,
+        }
+        assert {r[0] for r in idx.select("id").distinct().collect()} == {1, 2, 10, 20}
+
+    def test_batch_matches_streaming_relation(self, spark):
+        from chiv_spark.operators import similarity
+
+        schema = "vec_id long, embedding array<float>"
+        rows = [
+            (i, [1.0 + 0.001 * i, 0.5, 0.0, 0.0]) for i in range(1, 6)
+        ] + [(9, [0.0, 0.0, 0.0, 1.0])]
+        emb = spark.createDataFrame(rows, schema)
+        base = emb.filter("vec_id <= 3")
+        delta = emb.filter("vec_id > 3")
+        index = similarity.embedding_band_index(base, dim=4)
+        inc = similarity.incremental_neardup_pairs(delta, index, threshold=0.9, dim=4)
+        got = {(r.id_a, r.id_b) for r in inc.collect()}
+        full = {
+            (r.id_a, r.id_b)
+            for r in similarity.embedding_neardup(emb, threshold=0.9, dim=4).collect()
+            if r.id_a > 3 or r.id_b > 3
+        }
+        assert got == full
+        assert got, "no delta-involving pairs — test vacuous"

@@ -65,6 +65,15 @@ PLAN: dict[str, tuple[list[str], str]] = {
     # degree, never parts^2)
     "mining_item_knn": ([SF001, SF01, SF1], "lineitem"),
     "graph_link_prediction": ([SF001, SF01, SF1], "lineitem"),
+    # round 9 (r8 verdict task 6): fitted exponents for the three r8
+    # bench additions, plus the r9 rescue stage and the embedding
+    # index fold (the 10x replica is adversarial for all of them:
+    # variant groups saturate LSH buckets and multiply true pairs)
+    "split_leakage_safe": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_incremental_lsh": ([SF01, SF1, PROBE_DIR], "documents"),
+    "ann_filtered_topk": ([SF01, SF1, PROBE_DIR], "embeddings"),
+    "dedup_lsh_quarantine_rescue": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_incremental_embed": ([SF01, SF1, PROBE_DIR], "embeddings"),
 }
 
 # single-object archive sinks (executor-side formatting since r6):
