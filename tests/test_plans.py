@@ -602,3 +602,113 @@ class TestWindowAudit:
         assert all(limited for _, limited in ws), ws
         ops = op_counts(REGISTRY["text_zipf_slope"].fn(spark, SF))
         assert ops.get("TakeOrderedAndProject", 0) == 1
+
+
+class TestJoinAudit:
+    """Registry-wide join-plan audit (r8 verdict task 4) — the window
+    audit's pattern applied to joins, so future scale-killer join
+    shapes fail at commit time, not judge time.
+
+    Two tiers, matching the physical reality on a 1000-executor
+    cluster:
+
+    - ``CartesianProduct`` — BOTH sides shuffled, |A|x|B| row
+      explosion with corpus-scale inputs — is banned outright. The
+      registry contains ZERO today, so there is no allowlist to rot:
+      any appearance is a regression by definition (an intentional
+      cross of two bounded relations should broadcast its small side
+      and plan as BroadcastNestedLoopJoin instead).
+    - ``BroadcastNestedLoopJoin`` is broadcast-BOUNDED by
+      construction (the build side must fit the broadcast threshold /
+      an explicit broadcast() of a provably tiny relation), so it is
+      not banned — but every query planning one must appear in
+      BNLJ_OK below with its bounded-side class, so a NEW nested-loop
+      shape fails by name until its tiny-side argument is recorded.
+
+    Classes: SCALAR = 1-row global-stat/cutoff compose (the corpus
+    side streams once past a single broadcast row); TINY = bounded
+    broadcast relation (query seeds, codebooks, centroids, merge
+    rules — size fixed by a constant, not the corpus); CROSS = the
+    intentional cross/theta-join operators themselves (SURVEY §2.3
+    J4), whose contract IS the nested loop.
+    """
+
+    BNLJ_OK = {
+        "ann_cosine_topk": "TINY (broadcast query vectors)",
+        "ann_ivf_multiprobe": "TINY (broadcast centroids + queries)",
+        "ann_ivf_topk": "TINY (broadcast centroids + queries)",
+        "ann_ivfpq_recall_at_5": "SCALAR (recall gate total)",
+        "ann_pq_recall_at_5": "SCALAR (recall gate total)",
+        "ann_recall_at_5": "SCALAR+TINY (gate total, query seeds)",
+        "embedding_centroid_assign": "TINY (broadcast k x dim centroids)",
+        "embedding_kmeans_2iter": "TINY (broadcast centroids per round)",
+        "events_funnel_windowed": "SCALAR (funnel step totals)",
+        "events_type_overlap_approx": "SCALAR (per-type sketch rows)",
+        "events_user_rfm": "SCALAR (quartile cutoff row)",
+        "events_user_rfm_scalable": "SCALAR (broadcast exact cutoffs)",
+        "join_cross": "CROSS (the cross-join operator itself)",
+        "join_interval_bucketed": "CROSS (residual range predicate)",
+        "join_range_theta": "CROSS (the theta-join operator itself)",
+        "mlprep_class_weights": "SCALAR (global N row)",
+        "mlprep_dataset_card": "SCALAR (1-row card composes)",
+        "mlprep_domain_mixture": "SCALAR (global total rows)",
+        "orders_market_basket": "SCALAR (global basket count)",
+        "q22_dormant_customers": "SCALAR (avg-balance subquery)",
+        "quality_constraint_report": "SCALAR (per-check total rows)",
+        "quality_k_anonymity": "SCALAR (global threshold row)",
+        "quality_l_diversity": "SCALAR (global threshold row)",
+        "sample_negative_pairs": "TINY (bounded candidate sample)",
+        "stats_benford_digits": "SCALAR (global count row)",
+        "stats_chi_square": "SCALAR (marginal total rows)",
+        "subquery_scalar": "SCALAR (the scalar-subquery operator)",
+        "text_bigram_pmi": "SCALAR (corpus token total)",
+        "text_bm25_topk": "TINY+SCALAR (query terms, N row)",
+        "text_bpe_encode": "TINY (broadcast merge rules)",
+        "text_dsir_importance": "SCALAR (bucket-table norm row)",
+        "text_freq_cms": "SCALAR (sketch width/depth compose)",
+        "text_heavy_hitters": "SCALAR (threshold row)",
+        "text_keyword_tfidf": "SCALAR (corpus doc-count row)",
+        "text_lm_perplexity": "SCALAR (vocab-size row)",
+    }
+
+    @pytest.fixture(scope="class")
+    def join_ops(self, spark):
+        # one registry-wide plan-build pass shared by all assertions
+        return {
+            name: op_counts(REGISTRY[name].fn(spark, SF))
+            for name in sorted(REGISTRY)
+        }
+
+    def test_no_cartesian_products_anywhere(self, join_ops):
+        offenders = {
+            n: ops["CartesianProduct"]
+            for n, ops in join_ops.items()
+            if ops.get("CartesianProduct", 0) > 0
+        }
+        assert not offenders, (
+            "CartesianProduct shuffles BOTH corpus-scale sides — "
+            "broadcast the provably-small side (BroadcastNestedLoopJoin) "
+            f"and register it in BNLJ_OK instead: {offenders}"
+        )
+
+    def test_nested_loop_joins_are_registered(self, join_ops):
+        offenders = {
+            n: ops["BroadcastNestedLoopJoin"]
+            for n, ops in join_ops.items()
+            if ops.get("BroadcastNestedLoopJoin", 0) > 0 and n not in self.BNLJ_OK
+        }
+        assert not offenders, (
+            "new BroadcastNestedLoopJoin shapes need a documented "
+            "bounded-broadcast-side entry in BNLJ_OK (SCALAR / TINY / "
+            f"CROSS): {offenders}"
+        )
+
+    def test_bnlj_registry_not_stale(self, join_ops):
+        # an entry whose nested loop disappeared is stale — keep the
+        # list honest so it can't mask future regressions
+        stale = [
+            n
+            for n in self.BNLJ_OK
+            if join_ops.get(n, {}).get("BroadcastNestedLoopJoin", 0) == 0
+        ]
+        assert not stale, f"stale BNLJ_OK entries: {stale}"
