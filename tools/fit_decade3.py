@@ -79,6 +79,16 @@ PIPELINES = {
         ),
         "documents",
     ),
+    # round 9: the stage-2 rescue at the exact replica where the
+    # UNCAPPED pair join was unbounded (OOM at 8 g, 38-min abort at
+    # 48 g) — membership star edges must come back in seconds because
+    # the per-bucket cost is m*reps, never m^2/2
+    f"dedup_lsh_rescue_cap{CAP}": (
+        lambda s, d: dedup_ops.lsh_quarantine_rescue(
+            read_table(s, d, "documents"), bucket_cap=CAP, reps=2
+        ),
+        "documents",
+    ),
 }
 
 
