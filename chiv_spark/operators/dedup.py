@@ -212,6 +212,8 @@ def incremental_lsh_pairs(
     Pass ``delta_index`` to reuse an already-built shard index (the
     streaming fold builds it once for the join AND the index append).
     Output pairs are oriented doc_a < doc_b like minhash_lsh_pairs."""
+    if delta_docs is None and delta_index is None:
+        raise ValueError("pass delta_docs or delta_index")
     dsig = delta_index if delta_index is not None else minhash_band_index(delta_docs)
     a = dsig.alias("a")
     est_cols = [
@@ -219,9 +221,16 @@ def incremental_lsh_pairs(
         F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         F.expr(f"(({_MATCH_EXPR}) / {float(NUM_PERMS)}D)").alias("est_jaccard"),
     ]
+    # doc_id inequality: ids are disjoint by contract, but a replayed
+    # microbatch whose index fold was compacted under its feet (losing
+    # the src_batch exclude guard) would otherwise join its own folded
+    # signatures and emit corrupt (d, d, 1.0) self-pairs — cheap
+    # invariant insurance, not a behavior change
     vs_index = a.join(
         index.alias("b"),
-        (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
     ).select(*est_cols)
     vs_self = a.join(
         dsig.alias("b"),
@@ -425,6 +434,13 @@ def hamming_chunk_pairs(
     identical plan to the Column-built version: chunk-explode → self
     equi-join → distinct → bit_count verify). Returns
     (doc_a, doc_b, hamming) keyed by ``id_col``'s values."""
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"of chunks-1={chunks - 1}: pairs at distance >= {chunks} can "
+            "disagree on every chunk and would be silently lost — raise "
+            "chunks (more, narrower chunks) instead"
+        )
     return sig.sparkSession.sql(
         f"""
         WITH chunked AS (

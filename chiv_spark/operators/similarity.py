@@ -377,6 +377,8 @@ def incremental_neardup_pairs(
     reuse an already-built shard index (the streaming fold builds it
     once for the join AND the index append). Output is oriented
     id_a < id_b like embedding_neardup, cosine det-rounded to 6."""
+    if delta_emb is None and delta_index is None:
+        raise ValueError("pass delta_emb or delta_index")
     if delta_index is None:
         dim = _dim(delta_emb, vec_col, dim)
         delta_index = embedding_band_index(delta_emb, id_col, vec_col, dim)
@@ -405,7 +407,16 @@ def incremental_neardup_pairs(
         F.greatest(F.col("id_l"), F.col("id_r")).alias("id_b"),
         cos,
     ]
-    vs_index = a.join(side_b(index), ["band", "bits"]).select(*pair_cols)
+    # id inequality: ids are disjoint by contract, but a replayed
+    # microbatch whose index fold was compacted under its feet (losing
+    # the src_batch exclude guard) would otherwise join its own folded
+    # signatures and emit corrupt (v, v, 1.0) self-pairs — cheap
+    # invariant insurance, not a behavior change
+    vs_index = (
+        a.join(side_b(index), ["band", "bits"])
+        .filter(F.col("id_l") != F.col("id_r"))
+        .select(*pair_cols)
+    )
     vs_self = a.join(
         side_b(delta_index),
         ["band", "bits"],

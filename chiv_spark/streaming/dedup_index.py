@@ -83,6 +83,46 @@ def _pb(key_col: str) -> Column:
     return F.pmod(F.col(key_col), F.lit(P_BUCKETS)).cast("int")
 
 
+def _tombstone_dir(index_dir: str) -> str:
+    import os
+
+    # the leading underscore makes the directory INVISIBLE to Spark's
+    # partition discovery (same convention as _SUCCESS/_metadata), so
+    # tombstones can live inside the index root without polluting the
+    # data scan
+    return os.path.join(index_dir.rstrip("/"), "_tombstones")
+
+
+def write_tombstones(spark: SparkSession, index_dir: str, doc_ids, id_col: str = "doc_id") -> None:
+    """Record source-doc deletion requests (GDPR-style forget) against
+    the index: a tombstoned id is excluded from every subsequent
+    read_index_pruned scan immediately, and its signature rows are
+    physically dropped at the next compact_index. ``doc_ids`` is a
+    one-column DataFrame or an iterable of ints. Append-only — a
+    tombstone file is tiny (8 bytes/id) and consumed by compaction."""
+    rel = (
+        doc_ids
+        if isinstance(doc_ids, DataFrame)
+        else spark.createDataFrame([(int(d),) for d in doc_ids], f"{id_col} bigint")
+    )
+    (
+        rel.selectExpr(f"CAST({id_col} AS BIGINT) AS doc_id")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(_tombstone_dir(index_dir))
+    )
+
+
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The pending (not-yet-compacted) deletion set, or None."""
+    import os
+
+    d = _tombstone_dir(index_dir)
+    if not os.path.isdir(d):
+        return None
+    return spark.read.parquet(d).select("doc_id").distinct()
+
+
 def write_index_generation(
     index_rel: DataFrame, key_col: str, index_dir: str, batch_id: int
 ) -> None:
@@ -105,26 +145,67 @@ def read_index_pruned(
     index_dir: str,
     touched_pbs: list[int],
     exclude_batch: int | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """The per-batch index relation: only the directory partitions the
     arriving delta actually touches (partition-pruned scan — the scan
     carries PartitionFilters on pb, plan-pinned in tests), minus the
     batch's own generation so a replayed batch never joins against
-    the signatures it already folded in."""
+    the signatures it already folded in, minus any tombstoned ids
+    (pending deletions take effect at read time, before compaction
+    physically drops them). The tombstone set is broadcast: deletion
+    requests are tiny relative to the corpus by nature."""
     idx = spark.read.parquet(index_dir).filter(
         F.col("pb").isin([int(x) for x in touched_pbs])
     )
     if exclude_batch is not None:
         idx = idx.filter(F.col("src_batch") != int(exclude_batch))
+    tomb = read_tombstones(spark, index_dir)
+    if tomb is not None:
+        idx = idx.join(
+            F.broadcast(tomb.withColumnRenamed("doc_id", id_col)),
+            id_col,
+            "left_anti",
+        )
     return idx
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> tuple[int, int]:
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    committed_through: int | None = None,
+    id_col: str = "doc_id",
+) -> tuple[int, int]:
     """Fold the per-batch generation files into ONE file per pb
-    bucket (src_batch collapses to SEED_BATCH). Run between stream
+    bucket and physically drop tombstoned ids. Run between stream
     restarts: a steady ingest appends one small file per touched
     bucket per batch, and object-store listing/open cost eventually
     dominates the pruned join. Returns (files_before, files_after).
+
+    ``committed_through`` governs the replay guard (the
+    exclude_batch filter in read_index_pruned keys on src_batch):
+
+    - an int: only generations with ``src_batch <= committed_through``
+      collapse to SEED_BATCH; newer generations keep their src_batch
+      so a batch that folded its signatures but whose checkpoint
+      commit hadn't landed when the crash hit can still replay
+      without self-joining its own signatures. This is the
+      always-safe mode — pass the last batch id the checkpoint
+      shows committed.
+    - None (default): ALL generations collapse. Requires a
+      cleanly-committed checkpoint (no in-flight batch) — the
+      documented between-stream-restarts window. Even if violated,
+      the id-inequality guard in the vs-index joins
+      (dedup.incremental_lsh_pairs / similarity.incremental_neardup_
+      pairs) keeps a replayed batch from emitting self-pairs; the
+      residual effect is duplicate cross-pair rows, not corruption.
+
+    Pending tombstones are applied (rows dropped) and then consumed:
+    cleared in full-collapse mode; RETAINED in partial mode, because
+    a replayed uncommitted batch would re-fold its generation —
+    including any tombstoned id's rows — after this compaction, and
+    only the surviving tombstone keeps reads guarded until the next
+    full collapse.
 
     The stage-swap via directory rename is the local-FS stand-in for
     a transactional table format's rewrite commit; the Spark plan is
@@ -138,15 +219,31 @@ def compact_index(spark: SparkSession, index_dir: str) -> tuple[int, int]:
 
     root = index_dir.rstrip("/")
     before = count_files(root)
-    compacted = (
-        spark.read.parquet(root)
-        .withColumn("src_batch", F.lit(SEED_BATCH))
-        # each pb lands wholly in one task -> exactly one output file
-        # per bucket directory
-        .repartition(P_BUCKETS, "pb")
-    )
+    rows = spark.read.parquet(root)
+    if committed_through is None:
+        rows = rows.withColumn("src_batch", F.lit(SEED_BATCH))
+    else:
+        rows = rows.withColumn(
+            "src_batch",
+            F.when(
+                F.col("src_batch") <= int(committed_through), F.lit(SEED_BATCH)
+            ).otherwise(F.col("src_batch")),
+        )
+    tomb = read_tombstones(spark, root)
+    if tomb is not None:
+        rows = rows.join(
+            F.broadcast(tomb.withColumnRenamed("doc_id", id_col)),
+            id_col,
+            "left_anti",
+        )
+    # each pb lands wholly in one task -> one output file per
+    # (pb, src_batch) directory; full collapse = one file per bucket
+    compacted = rows.repartition(P_BUCKETS, "pb")
     staged = root + ".compacting"
     compacted.write.mode("overwrite").partitionBy("pb", "src_batch").parquet(staged)
+    if tomb is not None and committed_through is not None:
+        # carry unconsumed tombstones into the new root (see docstring)
+        shutil.copytree(_tombstone_dir(root), _tombstone_dir(staged))
     old = root + ".precompact"
     os.rename(root, old)
     os.rename(staged, root)
@@ -166,6 +263,7 @@ def index_fold_stream(
     pair_cols: list[str],
     pair_schema: str,
     delta_predicate: Column | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Run a bounded streaming incremental-dedup job over the shared
     fold harness.
@@ -198,7 +296,7 @@ def index_fold_stream(
         ]
         if touched:
             index = read_index_pruned(
-                spark, index_dir, touched, exclude_batch=batch_id
+                spark, index_dir, touched, exclude_batch=batch_id, id_col=id_col
             )
             pairs = pairs_builder(dsig, index)
             (
@@ -222,10 +320,14 @@ def index_fold_stream(
         .start()
     )
     q.awaitTermination()
-    try:
-        return spark.read.parquet(out_dir).select(*pair_cols)
-    except Exception:  # noqa: BLE001 — no batch produced pairs: empty sink
+    import os
+
+    # explicit missing-sink check, not a bare except: an unreadable or
+    # corrupt sink must RAISE, never silently report "no duplicates"
+    # (infrastructure failure masquerading as a clean result)
+    if not os.path.isdir(out_dir):
         return spark.createDataFrame([], pair_schema)
+    return spark.read.parquet(out_dir).select(*pair_cols)
 
 
 def incremental_dedup_stream(
@@ -281,4 +383,5 @@ def incremental_embed_dedup_stream(
         pair_cols=EMB_PAIR_COLS,
         pair_schema=EMB_PAIR_SCHEMA,
         delta_predicate=delta_predicate,
+        id_col="id",
     )

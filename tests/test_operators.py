@@ -544,3 +544,33 @@ class TestImageDhash:
         # unrelated images disagree on ~half their 60 bits
         assert max(same) < min(cross)
         assert min(cross) > 10
+
+
+class TestAdviceGuardsR10:
+    """Round-10 ADVICE preconditions: loud failures instead of opaque
+    crashes (both-None incremental calls) or silent recall loss
+    (max_hamming past the pigeonhole guarantee)."""
+
+    def test_incremental_lsh_both_none_raises(self, spark):
+        idx = spark.createDataFrame([], "doc_id long, band int, bh long")
+        with pytest.raises(ValueError, match="delta_docs or delta_index"):
+            dedup.incremental_lsh_pairs(None, idx)
+
+    def test_incremental_neardup_both_none_raises(self, spark):
+        from chiv_spark.operators import similarity
+
+        idx = spark.createDataFrame(
+            [], "id long, band int, bits long, embedding array<double>, norm double"
+        )
+        with pytest.raises(ValueError, match="delta_emb or delta_index"):
+            similarity.incremental_neardup_pairs(None, idx, dim=4)
+
+    def test_hamming_past_pigeonhole_raises(self, spark):
+        sig = spark.createDataFrame([(1, 7), (2, 8)], "doc_id long, simhash long")
+        with pytest.raises(ValueError, match="pigeonhole"):
+            dedup.hamming_chunk_pairs(sig, chunks=4, max_hamming=4)
+
+    def test_hamming_at_pigeonhole_bound_ok(self, spark):
+        sig = spark.createDataFrame([(1, 7), (2, 7)], "doc_id long, simhash long")
+        got = dedup.hamming_chunk_pairs(sig, chunks=4, max_hamming=3).collect()
+        assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 0)]

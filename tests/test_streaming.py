@@ -448,6 +448,101 @@ class TestIndexLayout:
 
         assert after.select("src_batch").distinct().collect()[0][0] == SEED_BATCH
 
+    def test_partial_compaction_preserves_replay_guard(self, spark, tmp_path):
+        """committed_through=N collapses only generations <= N: a
+        crashed-uncommitted batch's generation keeps its src_batch so
+        read_index_pruned's exclude_batch guard still bites on replay
+        (the r10 ADVICE compaction/replay hazard)."""
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import (
+            SEED_BATCH,
+            compact_index,
+            write_index_generation,
+        )
+
+        index_dir, text = self._seed(spark, tmp_path)
+        for bid in range(3):
+            d = spark.createDataFrame(
+                [(100 + bid, f"{text} extra{bid}")], "doc_id long, text string"
+            )
+            write_index_generation(dedup.minhash_band_index(d), "bh", index_dir, bid)
+        # batch 2 folded its index but its checkpoint never committed
+        compact_index(spark, index_dir, committed_through=1)
+        gens = {
+            r.src_batch
+            for r in spark.read.parquet(index_dir).select("src_batch").distinct().collect()
+        }
+        assert gens == {SEED_BATCH, 2}
+        # replayed batch 2 excludes its own surviving generation
+        from chiv_spark.streaming.dedup_index import read_index_pruned
+
+        idx = read_index_pruned(spark, index_dir, list(range(16)), exclude_batch=2)
+        assert idx.filter(F.col("doc_id") == 102).count() == 0
+        assert idx.filter(F.col("doc_id") == 101).count() > 0
+
+    def test_vs_index_join_never_self_pairs(self, spark, tmp_path):
+        """Even when the exclude_batch guard is DEFEATED (full
+        compaction between fold and checkpoint commit — the ADVICE
+        crash window), the doc-id inequality on the vs-index join
+        keeps the replayed batch from pairing a doc with itself."""
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import (
+            compact_index,
+            read_index_pruned,
+            write_index_generation,
+        )
+
+        index_dir, text = self._seed(spark, tmp_path)
+        delta = spark.createDataFrame([(10, text)], "doc_id long, text string")
+        dsig = dedup.minhash_band_index(delta)
+        write_index_generation(dsig, "bh", index_dir, 7)
+        compact_index(spark, index_dir)  # batch 7's rows now SEED_BATCH
+        idx = read_index_pruned(spark, index_dir, list(range(16)), exclude_batch=7)
+        pairs = dedup.incremental_lsh_pairs(None, idx, delta_index=dsig).collect()
+        assert all(r.doc_a != r.doc_b for r in pairs)
+        assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 10)}
+
+    def test_tombstone_delete_then_compact(self, spark, tmp_path):
+        """GDPR-style forget: a tombstoned doc stops matching
+        IMMEDIATELY (read-time anti-join) and its rows are physically
+        dropped at compaction, after which the tombstone is consumed."""
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import (
+            compact_index,
+            read_index_pruned,
+            read_tombstones,
+            write_index_generation,
+            write_tombstones,
+        )
+
+        index_dir, text = self._seed(spark, tmp_path)
+        delta = spark.createDataFrame([(10, text)], "doc_id long, text string")
+        dsig = dedup.minhash_band_index(delta)
+
+        def pairs_now():
+            idx = read_index_pruned(spark, index_dir, list(range(16)))
+            return {
+                (r.doc_a, r.doc_b)
+                for r in dedup.incremental_lsh_pairs(None, idx, delta_index=dsig).collect()
+            }
+
+        assert pairs_now() == {(1, 10)}  # doc 1 is the near-dup of the delta
+        write_tombstones(spark, index_dir, [1])
+        assert pairs_now() == set()  # effective before any rewrite
+        rows_before = spark.read.parquet(index_dir).count()
+        compact_index(spark, index_dir)
+        after = spark.read.parquet(index_dir)
+        assert after.count() == rows_before - 4  # doc 1's 4 band rows dropped
+        assert after.filter(F.col("doc_id") == 1).count() == 0
+        assert read_tombstones(spark, index_dir) is None  # consumed
+        assert pairs_now() == set()  # still gone post-compaction
+
 
 class TestIncrementalEmbedDedup:
     """r8 verdict task 5: the embedding twin of the index fold. Two
