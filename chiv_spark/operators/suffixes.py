@@ -1,0 +1,230 @@
+"""Distributed suffix ranking and ExactSubstr-style dedup spans.
+
+The full operator behind Lee et al. 2022's ExactSubstr criterion
+("Deduplicating Training Data Makes Language Models Better", §4.1 —
+the suffix-array dedup used by RefinedWeb/SlimPajama): for every
+document, the length of its LONGEST token span that also occurs at
+some other (doc, position) site in the corpus, at ANY length — not
+the fixed-8-token-window approximation of
+``queries/curation.py::dedup_repeated_ngrams``.
+
+Algorithm — prefix doubling (Manber–Myers), re-expressed as Spark
+relational rounds instead of the sequential radix-sort formulation:
+
+1. Tokenize to a positions relation ``(doc_id, pos, tok)`` — one
+   narrow explode, ~1 row per corpus token.
+2. ``rank_1`` = dense rank of the token itself, computed with the
+   two-pass zipWithIndex ranking of :mod:`chiv_spark.operators.rowids`
+   over the DISTINCT token table (never a single-partition window).
+3. Round ``j`` (shift ``k = 2^j``): each suffix's sort key for its
+   first ``2k`` tokens is the pair ``(rank_k[p], rank_k[p + k])``,
+   with out-of-range treated as a sentinel that sorts first (a
+   shorter suffix is a strict prefix of a longer one and orders
+   before it). The ``p + k`` lookup is a per-document ``lead(rank,
+   k)`` window — partitioned by doc_id, bounded by document length,
+   NOT a join. Pairs are re-densified to ``rank_{2k}`` via the same
+   distributed ranking over the distinct-pair table (range-partition
+   on the pair columns directly — no arithmetic packing, so ranks
+   never overflow bigint at any corpus size). Each round is a
+   constant number of exchanges; ``ceil(log2(maxlen))`` rounds total,
+   with an early exit once all ranks are distinct.
+4. The final table orders the multiset of ALL suffixes; equal ranks
+   are exactly the identical-suffix groups. The maximum repeated
+   span starting at a suffix is its longest common prefix (LCP) with
+   its nearest neighbors in this order — LCP against any farther
+   suffix can only be shorter (standard suffix-array property), so
+   only adjacent rank groups are ever compared: never all pairs, and
+   the plan carries no cartesian product.
+5. Adjacent-group LCPs come from the saved per-round rank tables by
+   the classic O(log n) descent: starting at offset 0, for L =
+   2^J .. 1 halving, if ``rank_L`` agrees at the current offsets the
+   common prefix extends by L. Each step is two equi-joins of the
+   (rank, rank+1) representative-pair relation against the round-L
+   table keyed on ``(doc_id, pos + lcp_so_far)``; the final value is
+   clipped at the shorter remaining length (out-of-range positions
+   compare as padded sentinels — agreement past a document end is
+   only possible when both ends coincide, so the clip is exact).
+6. Per-doc ``max_rep_span`` = max over the doc's suffixes of
+   (within-group full-length duplicate, LCP with predecessor group,
+   LCP with successor group); a ``keep`` verdict thresholds it.
+
+Cost at 100 TB: every stage is linear in corpus tokens; the loop is
+O(log maxlen) rounds of {one per-doc window shuffle, one distinct
+aggregate, one range exchange over distinct pairs, one join-back},
+and the LCP phase is O(log maxlen) equi-joins over one row per rank
+group. Intermediate rank tables are pinned with eager
+localCheckpoints (the rowids.py precedent): each round's output
+feeds both the next round and the LCP descent, and re-deriving a
+round would re-run every round before it. Peak extra storage is the
+J ≈ log2(maxlen) saved rank tables (n rows × 3 longs each) — the
+textbook n·log n space of prefix doubling; at 100 TB spill them to a
+scratch table instead of executor memory (same plan shape).
+
+Determinism: ranks are dense integers fully determined by the token
+sequences, so ``max_rep_span`` is exact and engine-independent — the
+DuckDB oracle states the O(n·maxlen²) quadratic formulation (every
+(position, length) window, counted corpus-wide) and must agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chiv_spark.operators.rowids import assign_global_row_ids
+
+#: out-of-range rank sentinel — sorts before every real rank (real
+#: ranks start at 1), encoding "suffix ended" < any continuation
+END_RANK = 0
+
+
+def token_positions(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, tok) with pos 0-based; one row per corpus token."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+
+
+def _dense_rank_by(rel: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Distinct rows of ``cols`` ranked 1..m in lexicographic order —
+    the scalable dense-rank building block (range exchange + two-pass
+    offsets, no single-partition window). Returns (cols..., id_col)."""
+    return assign_global_row_ids(rel.select(*cols).distinct(), cols, id_col=id_col)
+
+
+def suffix_rank_tables(positions: DataFrame) -> tuple[list[tuple[int, DataFrame]], int]:
+    """Run prefix doubling to convergence.
+
+    Returns ``(tables, maxlen)`` where ``tables`` is the ascending
+    list of ``(L, rank_table)`` — ``rank_table`` = (doc_id, pos, r)
+    ranking every suffix by its first ``L`` tokens (dense, 1-based;
+    equal r ⇔ equal padded L-prefix). The last table's L ≥ maxlen,
+    so its ranks order full suffixes. Each table is pinned with an
+    eager localCheckpoint (consumed twice: next round + LCP descent).
+    """
+    n_pos, maxlen = (
+        positions.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .agg(F.sum("dl").alias("n"), F.max("dl").alias("m"))
+        .collect()[0]
+    )
+    # rank by first token: dense rank of the token string
+    tok_ranks = _dense_rank_by(positions, ["tok"], "r")
+    r1 = (
+        positions.join(tok_ranks, "tok")
+        .select("doc_id", "pos", "r")
+        .localCheckpoint(eager=True)
+    )
+    tables: list[tuple[int, DataFrame]] = [(1, r1)]
+    k = 1
+    cur = r1
+    prev_groups = tok_ranks.count()
+    while k < maxlen:
+        lead = Window.partitionBy("doc_id").orderBy("pos")
+        paired = cur.select(
+            "doc_id",
+            "pos",
+            "r",
+            F.coalesce(F.lead("r", k).over(lead), F.lit(END_RANK)).alias("r2"),
+        )
+        pair_ranks = _dense_rank_by(paired, ["r", "r2"], "nr")
+        nxt = (
+            paired.join(pair_ranks, ["r", "r2"])
+            .select("doc_id", "pos", F.col("nr").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        k *= 2
+        tables.append((k, nxt))
+        cur = nxt
+        groups = pair_ranks.count()
+        # early exit on a STABLE partition, not just all-distinct: if no
+        # rank group split this round, groups agreeing on k tokens agree
+        # on k more at every multiple (induction along positions), so
+        # the partition is final. All-distinct is the special case
+        # groups == n_pos; the stable test also converges when exact-dup
+        # docs hold identical full suffixes that never separate.
+        if groups == prev_groups:
+            break
+        prev_groups = groups
+    return tables, int(maxlen)
+
+
+def _adjacent_group_lcp(
+    tables: list[tuple[int, DataFrame]], final: DataFrame
+) -> DataFrame:
+    """(r, lcp): exact LCP between rank group ``r`` and group ``r+1``
+    of the final suffix order, via the log-descent over the saved
+    rank tables. One representative per group suffices — group
+    members are identical suffixes."""
+    rem = F.col("len") - F.col("pos")  # tokens remaining from pos
+    # any member represents its group; min (doc,pos) keeps it deterministic
+    reps = final.groupBy("r").agg(
+        F.min(F.struct("doc_id", "pos", "len")).alias("s")
+    ).select("r", F.col("s.doc_id").alias("doc_id"), F.col("s.pos").alias("pos"), F.col("s.len").alias("len"))
+    a = reps.select("r", F.col("doc_id").alias("da"), F.col("pos").alias("pa"), rem.alias("rem_a"))
+    b = reps.select(
+        (F.col("r") - 1).alias("r"),
+        F.col("doc_id").alias("db"),
+        F.col("pos").alias("pb"),
+        rem.alias("rem_b"),
+    )
+    pairs = a.join(b, "r").withColumn("lcp", F.lit(0))
+    for L, tab in reversed(tables):
+        ta = tab.select(F.col("doc_id").alias("da"), F.col("pos").alias("ka"), F.col("r").alias("ra"))
+        tb = tab.select(F.col("doc_id").alias("db"), F.col("pos").alias("kb"), F.col("r").alias("rb"))
+        pairs = (
+            pairs.withColumn("ka", F.col("pa") + F.col("lcp"))
+            .withColumn("kb", F.col("pb") + F.col("lcp"))
+            .join(ta, ["da", "ka"], "left")
+            .join(tb, ["db", "kb"], "left")
+            # null ≡ "suffix ended": two ended suffixes agree (the final
+            # clip at min(rem) bounds any overshoot exactly)
+            .withColumn(
+                "lcp",
+                F.when(
+                    F.coalesce("ra", F.lit(END_RANK)) == F.coalesce("rb", F.lit(END_RANK)),
+                    F.col("lcp") + L,
+                ).otherwise(F.col("lcp")),
+            )
+            .drop("ka", "kb", "ra", "rb")
+        )
+    return pairs.select("r", F.least("lcp", "rem_a", "rem_b").alias("lcp"))
+
+
+def max_repeated_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, max_rep_span): per document, the length of
+    its longest token span occurring at ≥2 distinct (doc, position)
+    sites corpus-wide (within-document repeats count — a doc that
+    stutters its own content is exactly what ExactSubstr trims)."""
+    positions = token_positions(docs)
+    tables, _ = suffix_rank_tables(positions)
+    _, final_tab = tables[-1]
+    lens = positions.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    final = final_tab.join(lens, "doc_id")
+
+    group_sizes = final.groupBy("r").agg(F.count(F.lit(1)).alias("gsz"))
+    lcps = _adjacent_group_lcp(tables, final)
+    pred = lcps.select((F.col("r") + 1).alias("r"), F.col("lcp").alias("lcp_pred"))
+    succ = lcps.select("r", F.col("lcp").alias("lcp_succ"))
+    lrp = (
+        final.join(group_sizes, "r")
+        .join(pred, "r", "left")
+        .join(succ, "r", "left")
+        .select(
+            "doc_id",
+            "len",
+            F.greatest(
+                # an identical twin suffix exists: full remaining length repeats
+                F.when(F.col("gsz") >= 2, F.col("len") - F.col("pos")).otherwise(0),
+                F.coalesce("lcp_pred", F.lit(0)),
+                F.coalesce("lcp_succ", F.lit(0)),
+            ).alias("lrp"),
+        )
+    )
+    return lrp.groupBy("doc_id").agg(
+        F.max("len").cast("long").alias("n_tokens"),
+        F.max("lrp").cast("long").alias("max_rep_span"),
+    )
