@@ -246,6 +246,40 @@ def incremental_lsh_pairs(
     )
 
 
+def crosscorpus_lsh_pairs(
+    corpus_index: DataFrame,
+    ref_index: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs between a large corpus and a FIXED-SIZE
+    reference set, both as minhash_band_index relations — the shape
+    of near-dup eval decontamination: the reference (a benchmark/eval
+    split) is bounded at any corpus scale, so its index is BROADCAST
+    and the corpus side never shuffles — scan, band equi-join against
+    the broadcast, inline estimate, filter. No self-pairs on either
+    side (corpus-corpus dedup is minhash_lsh_pairs' job; ref-ref
+    contamination is meaningless). Returns (doc_id, ref_doc_id,
+    est_jaccard) for estimated Jaccard ≥ threshold."""
+    a = corpus_index.alias("a")
+    est = a.join(
+        F.broadcast(ref_index.alias("b")),
+        (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+    ).selectExpr(
+        "a.doc_id AS doc_id",
+        "b.doc_id AS ref_doc_id",
+        f"(({_MATCH_EXPR}) / {float(NUM_PERMS)}D) AS est_jaccard",
+    )
+    # filter before distinct: multi-band collisions carry identical
+    # estimates (pure signature function), so the triple dedupes exactly
+    return (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+        .select(
+            "doc_id", "ref_doc_id", F.col("est_jaccard").cast("double").alias("est_jaccard")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.5, bucket_cap: int | None = None
 ) -> DataFrame:

@@ -15,6 +15,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from chiv_spark.functions.detmath import det_round, duckdb_det_round
 from chiv_spark.functions.hashing import duckdb_hash64, hash64
 from chiv_spark.operators import dedup, multimodal, similarity, text
 from chiv_spark.queries.base import query, t
@@ -1492,6 +1493,317 @@ _IVFPQ_REG["ann_ivfpq_recall_at_5"] = _IVFPQ_REG["ann_ivfpq_recall_at_5"].__clas
     oracle=_ivfpq_recall_oracle(),
     doc=_IVFPQ_REG["ann_ivfpq_recall_at_5"].doc,
 )
+
+
+# ------------------------------------------------- incremental IVFPQ
+# r9 verdict task 2: the ANN analog of the dedup-index fold — frozen
+# artifacts (cell centroids + PQ codebooks) trained on the resident
+# base; arriving vectors coarse-assigned and residual-encoded against
+# them with NO retraining; the recall gate re-run on the grown index
+# and codebook drift reported.
+
+#: stable-hash arrival fate for the incremental ANN split: 1-in-10 of
+#: the vectors play the "newly arrived shard". vec_id < 8 stays
+#: resident unconditionally — those vectors ARE the cell centroids.
+_H_INCA = duckdb_hash64("'inca:' || vec_id::VARCHAR")
+_IVFPQ_DELTA_WHERE = f"({_H_INCA} % 10 = 0 AND vec_id >= 8)"
+
+
+def _ivfpq_delta_pred():
+    return (
+        hash64(F.concat(F.lit("inca:"), F.col("vec_id").cast("string"))) % 10 == 0
+    ) & (F.col("vec_id") >= 8)
+
+
+def _ivfpq_frozen_ctes(train_where: str) -> str:
+    """The ex→codes CTE chain of the ann_ivfpq_topk oracle with
+    codebook TRAINING (Lloyd sample + seed selection) restricted to
+    ``train_where`` and the chosen code's exact integer quantization
+    error carried as ``qerr`` — the frozen-artifact formulation the
+    three incremental-index oracles share. Assignment/encode still
+    covers every vector; only training is filtered."""
+    return f"""
+    ex AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding::DOUBLE[], 1) AS BIGINT) - 1 AS pos,
+             CAST(ROUND(unnest(embedding::DOUBLE[]) * 1000000.0) AS BIGINT) AS xm
+      FROM embeddings),
+    cents AS (SELECT vec_id AS cell, pos, xm AS cm FROM ex WHERE vec_id < 8),
+    cd AS (SELECT x.vec_id, c.cell, SUM((x.xm - c.cm) * (x.xm - c.cm)) AS d2c
+           FROM ex x JOIN cents c USING (pos)
+           GROUP BY x.vec_id, c.cell),
+    assign AS (SELECT vec_id, cell FROM (
+                 SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2c, cell) AS rn
+                 FROM cd) WHERE rn = 1),
+    rx AS (SELECT x.vec_id, a.cell,
+                  CAST(x.pos // 2 AS INT) AS sub, CAST(x.pos % 2 AS INT) AS dsub,
+                  x.xm - c.cm AS rm
+           FROM ex x JOIN assign a USING (vec_id)
+           JOIN cents c ON c.cell = a.cell AND c.pos = x.pos),
+    smp AS (SELECT * FROM rx WHERE {_H_PQT} % 2 = 0 AND {train_where}),
+    seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c
+              FROM (SELECT vec_id, {_H_PQ} AS h FROM embeddings
+                    WHERE {_H_PQT} % 2 = 0 AND {train_where}
+                    ORDER BY h, vec_id LIMIT 64)),
+    cb0 AS (SELECT s.c, x.sub, x.dsub, x.rm AS cm FROM seeds s JOIN smp x USING (vec_id)),
+    e1 AS (SELECT x.vec_id, x.sub, c.c, SUM((x.rm - c.cm) * (x.rm - c.cm)) AS d2
+           FROM smp x JOIN cb0 c ON c.sub = x.sub AND c.dsub = x.dsub
+           GROUP BY x.vec_id, x.sub, c.c),
+    a1 AS (SELECT vec_id, sub, c FROM (
+             SELECT vec_id, sub, c,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+             FROM e1) WHERE rn = 1),
+    cb1 AS (SELECT a.c, x.sub, x.dsub,
+                   CAST(ROUND(CAST(SUM(x.rm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+            FROM smp x JOIN a1 a ON a.vec_id = x.vec_id AND a.sub = x.sub
+            GROUP BY a.c, x.sub, x.dsub),
+    e2 AS (SELECT x.vec_id, x.cell, x.sub, c.c, SUM((x.rm - c.cm) * (x.rm - c.cm)) AS d2
+           FROM rx x JOIN cb1 c ON c.sub = x.sub AND c.dsub = x.dsub
+           GROUP BY x.vec_id, x.cell, x.sub, c.c),
+    codes AS (SELECT vec_id, cell, sub, c AS code, d2 AS qerr FROM (
+                SELECT vec_id, cell, sub, c, d2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+                FROM e2) WHERE rn = 1)"""
+
+
+_IVFPQ_INC_ORACLE = f"""
+    WITH {_ivfpq_frozen_ctes(f"NOT {_IVFPQ_DELTA_WHERE}")}
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(SUM(qerr) AS BIGINT) AS q_err
+    FROM codes WHERE {_IVFPQ_DELTA_WHERE}
+    GROUP BY vec_id, cell
+    """
+
+
+@query(
+    "ann_ivfpq_incremental",
+    _IVFPQ_INC_ORACLE,
+    doc="incremental IVFPQ index maintenance (r9 verdict task 2): a "
+    "1-in-10 stable-hash arrival slice of the vectors is coarse-"
+    "assigned and residual-encoded against artifacts (8 cell "
+    "centroids + 32 sampled-Lloyd PQ codebooks) trained ONLY on the "
+    "resident base — the frozen-artifact fold a production vector "
+    "index runs per ingest batch, no retraining anywhere in the "
+    "plan. Emits one row per arriving vector: assigned cell + exact "
+    "integer quantization error under the frozen codebooks (the "
+    "per-vector datum ann_ivfpq_drift aggregates). Scale: the delta "
+    "is the only non-broadcast relation in the encode — "
+    "O(|delta| x (n_cells + m x n_codes)) integer ops, corpus "
+    "untouched. Fully hash-matched (assignment is deterministic "
+    "integer math)",
+)
+def ann_ivfpq_incremental(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_incremental_codes(emb, _ivfpq_delta_pred(), dim=EMB_DIM)
+
+
+_IVFPQ_DRIFT_ORACLE = f"""
+    WITH {_ivfpq_frozen_ctes(f"NOT {_IVFPQ_DELTA_WHERE}")},
+    perv AS (SELECT vec_id, SUM(qerr) AS q_err FROM codes GROUP BY vec_id)
+    SELECT CASE WHEN {_IVFPQ_DELTA_WHERE} THEN 'delta' ELSE 'base' END AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(q_err) AS BIGINT) AS sum_q_err,
+           {duckdb_det_round("CAST(SUM(q_err) AS DOUBLE) / COUNT(*)", 6)} AS mean_q_err
+    FROM perv
+    GROUP BY 1
+    """
+
+
+@query(
+    "ann_ivfpq_drift",
+    _IVFPQ_DRIFT_ORACLE,
+    doc="codebook-drift report for the incremental IVFPQ index: both "
+    "cohorts encoded against the SAME base-trained frozen artifacts; "
+    "per-cohort vector count, total and mean exact integer "
+    "quantization error. mean_q_err(delta) vs mean_q_err(base) is "
+    "the residual-growth signal that tells an operator when the "
+    "aging codebooks need retraining — the monitoring query attached "
+    "to every production vector index. Integer sums + one final "
+    "det-rounded division, hash-matched",
+)
+def ann_ivfpq_drift(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    codes = similarity.ivfpq_frozen_codes(emb, train_pred=~_ivfpq_delta_pred(), dim=EMB_DIM)
+    perv = codes.groupBy("vec_id").agg(F.sum("qerr").alias("q_err"))
+    cohort = F.when(_ivfpq_delta_pred(), F.lit("delta")).otherwise(F.lit("base"))
+    return (
+        perv.select(cohort.alias("cohort"), "q_err")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("q_err").cast("long").alias("sum_q_err"),
+            det_round(
+                F.sum("q_err").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_q_err"),
+        )
+    )
+
+
+@query(
+    "streaming_incremental_ivfpq",
+    _IVFPQ_INC_ORACLE,
+    doc="streaming twin of ann_ivfpq_incremental — the frozen "
+    "artifacts (centroids + codebooks, trained once on the resident "
+    "base) are persisted as parquet; arriving vector batches are "
+    "coarse-assigned and residual-encoded against the read-back "
+    "artifacts inside foreachBatch (broadcast-only integer math, no "
+    "retraining) and each batch's code rows land in the codes index "
+    "under (cell, src_batch) directory partitions — cell partitions "
+    "give probe-side partition pruning (plan-pinned), src_batch-keyed "
+    "dynamic overwrite makes batch replays idempotent. Under "
+    "availableNow the single batch sees the whole arrival slice, so "
+    "the relation equals the batch twin's and the oracle is shared "
+    "verbatim",
+)
+def streaming_incremental_ivfpq(spark, sf_dir):
+    from chiv_spark.streaming.ann_index import ivfpq_fold_stream
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(~_ivfpq_delta_pred())
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    work = tempfile.mkdtemp(prefix="chiv-incivfpq-")
+    return ivfpq_fold_stream(
+        spark, base, stream, work, delta_predicate=_ivfpq_delta_pred(), dim=EMB_DIM
+    )
+
+
+def _ivfpq_inc_search_oracle() -> str:
+    """Full IVFADC search (probe → ADC → exact re-rank) over the GROWN
+    index: every vector searchable, artifacts frozen on the base —
+    the ann_ivfpq_topk oracle tail over the train-filtered prefix."""
+    return f"""
+    WITH {_ivfpq_frozen_ctes(f"NOT {_IVFPQ_DELTA_WHERE}")},
+    probes AS (SELECT vec_id AS qid, cell FROM (
+                 SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2c, cell) AS rn
+                 FROM cd WHERE vec_id < 10) WHERE rn <= 6),
+    qrx AS (SELECT x.vec_id AS qid, p.cell,
+                   CAST(x.pos // 2 AS INT) AS sub, CAST(x.pos % 2 AS INT) AS dsub,
+                   x.xm - c.cm AS rm
+            FROM ex x JOIN probes p ON p.qid = x.vec_id
+            JOIN cents c ON c.cell = p.cell AND c.pos = x.pos),
+    lut AS (SELECT q.qid, q.cell, q.sub, c.c, SUM((q.rm - c.cm) * (q.rm - c.cm)) AS qd2
+            FROM qrx q JOIN cb1 c ON c.sub = q.sub AND c.dsub = q.dsub
+            GROUP BY q.qid, q.cell, q.sub, c.c),
+    adc AS (SELECT l.qid, v.vec_id, SUM(l.qd2) AS adc_d2
+            FROM codes v JOIN lut l ON l.cell = v.cell AND l.sub = v.sub AND l.c = v.code
+            WHERE v.vec_id != l.qid
+            GROUP BY l.qid, v.vec_id),
+    cand AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rn
+               FROM adc) WHERE rn <= 50),
+    rer AS (SELECT cnd.qid, cnd.vec_id, SUM((q.xm - v.xm) * (q.xm - v.xm)) AS d2
+            FROM cand cnd
+            JOIN ex q ON q.vec_id = cnd.qid
+            JOIN ex v ON v.vec_id = cnd.vec_id AND v.pos = q.pos
+            GROUP BY cnd.qid, cnd.vec_id),
+    approx AS (
+      SELECT qid AS query_id, vec_id AS neighbor_id
+      FROM (SELECT qid, vec_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank
+            FROM rer) WHERE rank <= 5),
+    ex2 AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding::DOUBLE[], 1) AS BIGINT) AS pos,
+             CAST(ROUND(unnest(embedding::DOUBLE[]) * 1000000.0) AS BIGINT) AS xm
+      FROM embeddings),
+    el2 AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             SUM((q.xm - v.xm) * (q.xm - v.xm)) AS d2
+      FROM ex2 q JOIN ex2 v ON q.pos = v.pos
+      WHERE q.vec_id < 10 AND v.vec_id != q.vec_id
+      GROUP BY q.vec_id, v.vec_id),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, neighbor_id) AS rn
+        FROM el2) WHERE rn <= 5),
+    hits AS (SELECT e.query_id, COUNT(a.neighbor_id) AS n_hits
+             FROM exact e LEFT JOIN approx a
+               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             GROUP BY e.query_id)
+    SELECT query_id, CAST(n_hits AS DOUBLE) / 5.0 AS recall_at_5,
+           (SUM(n_hits) OVER () * 100) >= (95 * 5 * COUNT(*) OVER ()) AS gate_ge_095
+    FROM hits
+    """
+
+
+@query(
+    "ann_ivfpq_incremental_recall",
+    _ivfpq_inc_search_oracle(),
+    doc="the recall gate RE-RUN on the grown incremental index "
+    "(r9 verdict task 2, third leg): queries search the full corpus "
+    "where the arrival slice was folded in against frozen base-"
+    "trained artifacts; per-query recall@5 vs exact integer L2 with "
+    "the same always-on integer >= 0.95 corpus gate as "
+    "ann_ivfpq_recall_at_5 — proof the no-retrain fold did not cost "
+    "search quality. Gate arithmetic is total-hits x 100 vs 95 x "
+    "slots (no float mean), hash-matched end to end",
+)
+def ann_ivfpq_incremental_recall(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
+    )
+    vecs = emb.select("vec_id", micro.alias("vm"))
+    qs = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("vm").alias("qm")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qm", "vm", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window as _W
+
+    scored = (
+        vecs.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            d2.alias("d2"),
+        )
+    )
+    exact = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(_W.partitionBy("query_id").orderBy("d2", "neighbor_id")),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = similarity.ivfpq_topk(
+        emb, k=5, dim=EMB_DIM, train_pred=~_ivfpq_delta_pred()
+    ).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.a_query_id)
+            & (exact.neighbor_id == approx.a_neighbor_id),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_neighbor_id").alias("n_hits"))
+    )
+    w_all = _W.partitionBy()
+    return hits.select(
+        "query_id",
+        (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+        (
+            (F.sum("n_hits").over(w_all) * F.lit(100))
+            >= (F.lit(95) * F.lit(5) * F.count(F.lit(1)).over(w_all))
+        ).alias("gate_ge_095"),
+    )
 
 
 # ---------------------------------------------------------- multimodal

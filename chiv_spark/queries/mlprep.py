@@ -456,6 +456,66 @@ def decontaminate_eval_overlap(spark, sf_dir):
     )
 
 
+def _neardup_decon_oracle() -> str:
+    from chiv_spark.queries.llm import _MINHASH_CTES
+
+    # same banded-MinHash formulation as the dedup_minhash_lsh oracle,
+    # restricted to (train x eval) pairs under the SAME 2% eval fate
+    # as decontaminate_eval_overlap
+    return f"""
+    WITH {_MINHASH_CTES},
+    bandsig AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig_str
+                FROM sig GROUP BY doc_id, CAST(p // 4 AS INT)),
+    bands AS (SELECT doc_id, band,
+                     (('0x' || substring(md5(band::VARCHAR || ':' || sig_str), 1, 15))::BIGINT) AS bh
+              FROM bandsig),
+    fate AS (SELECT doc_id, {_H} % 100 AS f FROM documents),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS ref_doc_id
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.bh = b.bh
+             JOIN fate fa ON fa.doc_id = a.doc_id
+             JOIN fate fb ON fb.doc_id = b.doc_id
+             WHERE fa.f >= 2 AND fb.f < 2),
+    est AS (SELECT c.doc_id, c.ref_doc_id,
+                   AVG(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_id
+            JOIN sig sb ON sb.doc_id = c.ref_doc_id AND sb.p = sa.p
+            GROUP BY c.doc_id, c.ref_doc_id)
+    SELECT doc_id, ref_doc_id, CAST(est_jaccard AS DOUBLE) AS est_jaccard
+    FROM est WHERE est_jaccard >= 0.5
+    """
+
+
+@query(
+    "decontaminate_neardup_eval",
+    _neardup_decon_oracle(),
+    doc="NEAR-DUP eval decontamination (r9 verdict task 3): "
+    "decontaminate_eval_overlap catches exact 4-gram overlap only; a "
+    "PARAPHRASED benchmark item (words dropped/substituted) shares "
+    "few exact n-grams but keeps high shingle-Jaccard, so this pass "
+    "runs banded MinHash-LSH between the training corpus and the "
+    "same 2% hash-fate eval split. The eval side is fixed-size at "
+    "any corpus scale, so its band index is BROADCAST and the corpus "
+    "never shuffles — scan, band equi-join vs broadcast, inline "
+    "16-term signature estimate, filter (operators/dedup.py "
+    "crosscorpus_lsh_pairs). Returns flagged (train doc, eval doc, "
+    "est Jaccard) pairs; paraphrase sensitivity is pinned by tests/"
+    "test_operators.py::TestNeardupDecontamination. Oracle = full banded "
+    "recompute restricted to train x eval pairs (the "
+    "dedup_incremental_lsh pattern)",
+)
+def decontaminate_neardup_eval(spark, sf_dir):
+    from chiv_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))) % 100
+    ev_index = dedup.minhash_band_index(docs.filter(h < 2))
+    train_index = dedup.minhash_band_index(docs.filter(h >= 2))
+    return dedup.crosscorpus_lsh_pairs(train_index, ev_index, threshold=0.5)
+
+
 @query(
     "transform_global_row_ids",
     """

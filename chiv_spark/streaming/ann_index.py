@@ -1,0 +1,121 @@
+"""Streaming incremental IVFPQ index maintenance — the ANN analog of
+the dedup-index fold (streaming/dedup_index.py), r9 verdict task 2.
+
+Production shape: the vector index's FROZEN artifacts (cell
+centroids + PQ codebooks, trained once on the resident base) live as
+parquet; vector shards ARRIVE as a stream and each microbatch is
+coarse-assigned and residual-encoded against the read-back artifacts
+(similarity.ivfpq_encode_against — broadcast-only integer math, no
+retraining, corpus untouched), then its code rows are appended to
+the bucketed codes index. Why ``foreachBatch``: the index APPEND is
+a side effect no declarative streaming operator expresses — the same
+merge-into-index rationale as dedup_index.py and cdc.py; everything
+inside the batch function is JVM DataFrame API.
+
+The 100 TB layout, shared with the dedup index:
+
+- **Bucketed**: code rows land under ``cell`` directory partitions —
+  an ANN probe reads ONLY its probed cells' partitions (the
+  PartitionFilters pruning is plan-pinned by
+  tests/test_streaming.py::TestIvfpqFold).
+- **Idempotent**: codes are written with dynamic partition overwrite
+  keyed by ``src_batch`` — a replayed microbatch overwrites its own
+  generation instead of appending twice (pytest'd).
+- Compaction/tombstones generalize identically (the dedup_index
+  machinery is the reference implementation; cells here play the pb
+  role with natural rather than hashed keys).
+
+Under ``trigger(availableNow=True)`` with the whole delta in one
+batch the accumulated (vec_id, cell, q_err) relation equals the
+batch query ``ann_ivfpq_incremental``'s, which is how the registry
+row shares its DuckDB oracle verbatim.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chiv_spark.operators import similarity
+
+OUT_COLS = ["vec_id", "cell", "q_err"]
+OUT_SCHEMA = "vec_id bigint, cell bigint, q_err bigint"
+
+
+def write_ivfpq_artifacts(
+    base_emb: DataFrame, art_dir: str, dim: int, **kw
+) -> None:
+    """Train on the resident base and persist the frozen artifacts:
+    ``<art_dir>/cents`` (cell, pos, cm) and ``<art_dir>/codebook``
+    (sub, c, cvec) — n_cells × dim and m × n_codes × dim/m integers,
+    KB-sized at any corpus scale."""
+    cents, cb = similarity.ivfpq_artifacts(base_emb, dim=dim, **kw)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{art_dir.rstrip('/')}/cents")
+    cb.coalesce(1).write.mode("overwrite").parquet(f"{art_dir.rstrip('/')}/codebook")
+
+
+def read_codes_pruned(
+    spark: SparkSession, codes_dir: str, cells: list[int]
+) -> DataFrame:
+    """The probe-side codes scan: only the directory partitions of the
+    probed cells (PartitionFilters file skipping, plan-pinned) — what
+    an ANN query reads from the grown index."""
+    return spark.read.parquet(codes_dir).filter(
+        F.col("cell").isin([int(c) for c in cells])
+    )
+
+
+def ivfpq_fold_stream(
+    spark: SparkSession,
+    base_emb: DataFrame,
+    emb_stream: DataFrame,
+    work_dir: str,
+    delta_predicate: Column | None = None,
+    dim: int = 64,
+    m: int = 32,
+) -> DataFrame:
+    """Run a bounded streaming incremental-index job: artifacts
+    written once from ``base_emb``; each microbatch of the stream
+    (optionally carved by ``delta_predicate``) encodes against the
+    read-back artifacts and appends its code rows under
+    (cell, src_batch) partitions with dynamic overwrite. Returns the
+    accumulated per-vector (vec_id, cell, q_err) relation."""
+    work = work_dir.rstrip("/")
+    art_dir = f"{work}/artifacts"
+    codes_dir = f"{work}/codes"
+    ckpt_dir = f"{work}/ckpt"
+
+    write_ivfpq_artifacts(base_emb, art_dir, dim=dim, m=m)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df if delta_predicate is None else batch_df.filter(delta_predicate)
+        # fresh artifact read per batch (tiny files; in production a
+        # retrain job may swap them between batches)
+        cents = spark.read.parquet(f"{art_dir}/cents")
+        cb = spark.read.parquet(f"{art_dir}/codebook")
+        codes = similarity.ivfpq_encode_against(delta, cents, cb, dim=dim, m=m)
+        (
+            codes.groupBy("vec_id", "cell")
+            .agg(F.sum("qerr").cast("long").alias("q_err"))
+            .select("vec_id", F.col("cell").cast("long").alias("cell"), "q_err")
+            .withColumn("src_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "src_batch")
+            .parquet(codes_dir)
+        )
+
+    q = (
+        emb_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # explicit missing-sink check (not a bare except): an unreadable
+    # sink must raise, never silently report an empty index
+    if not os.path.isdir(codes_dir):
+        return spark.createDataFrame([], OUT_SCHEMA)
+    return spark.read.parquet(codes_dir).select(*OUT_COLS)

@@ -574,3 +574,53 @@ class TestAdviceGuardsR10:
         sig = spark.createDataFrame([(1, 7), (2, 7)], "doc_id long, simhash long")
         got = dedup.hamming_chunk_pairs(sig, chunks=4, max_hamming=3).collect()
         assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 0)]
+
+
+class TestNeardupDecontamination:
+    """r10: cross-corpus LSH decontamination — a paraphrased eval item
+    must be flagged by shingle-similarity even though it is not an
+    exact duplicate, with the fixed-size eval side broadcast."""
+
+    BASE = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards brew strong potions beneath the ancient stone tower "
+        "watching silver clouds drift across the evening sky toward "
+        "distant mountains covered in deep winter snow as golden leaves "
+        "fall gently onto the quiet forest floor near the frozen river "
+        "bend where old fishermen tell long stories about patient herons "
+        "standing guard beside shimmering water under pale morning light"
+    )
+
+    def _pairs(self, spark, train_rows):
+        ev = spark.createDataFrame([(9000, self.BASE)], "doc_id long, text string")
+        tr = spark.createDataFrame(train_rows, "doc_id long, text string")
+        return dedup.crosscorpus_lsh_pairs(
+            dedup.minhash_band_index(tr), dedup.minhash_band_index(ev)
+        )
+
+    def test_paraphrase_flagged_unrelated_not(self, spark):
+        toks = self.BASE.split(" ")
+        # paraphrase: three word substitutions spread over 69 tokens
+        # (deterministic under the md5 permutation family: est 0.8125)
+        toks[5], toks[40], toks[60] = "leaps", "beyond", "beneath"
+        para = " ".join(toks)
+        assert para != self.BASE
+        unrelated = " ".join(f"w{i} x{i} y{i}" for i in range(12))
+        got = {
+            (r.doc_id, r.ref_doc_id): r.est_jaccard
+            for r in self._pairs(spark, [(1, para), (2, unrelated)]).collect()
+        }
+        assert (1, 9000) in got and got[(1, 9000)] >= 0.5
+        assert (2, 9000) not in got
+        # and it is NOT an exact duplicate — the exact-dedup pass
+        # (fingerprint group-by) would miss it
+        both = spark.createDataFrame(
+            [(1, para), (9000, self.BASE)], "doc_id long, text string"
+        )
+        assert dedup.exact_duplicates(both).count() == 0
+
+    def test_eval_side_broadcast_plan(self, spark):
+        from chiv_spark.plans import physical_plan
+
+        plan = physical_plan(self._pairs(spark, [(1, self.BASE)]))
+        assert "BroadcastHashJoin" in plan

@@ -626,3 +626,120 @@ class TestIncrementalEmbedDedup:
         }
         assert got == full
         assert got, "no delta-involving pairs — test vacuous"
+
+
+class TestIvfpqFold:
+    """r10: streaming incremental IVFPQ index maintenance — frozen
+    artifacts from the base, per-batch encode against the read-back
+    copies, (cell, src_batch)-partitioned codes sink with pruning and
+    replay idempotency."""
+
+    DIM, M = 4, 2
+
+    def _emb(self, spark, ids):
+        import math
+
+        rows = [
+            (
+                i,
+                [
+                    round(math.sin(i * 7.3 + d) * 0.9, 6)
+                    for d in range(self.DIM)
+                ],
+            )
+            for i in ids
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_fold_equals_batch_and_artifacts_frozen(self, spark, tmp_path):
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import similarity
+        from chiv_spark.streaming.ann_index import ivfpq_fold_stream
+
+        all_ids = list(range(20))
+        emb = self._emb(spark, all_ids)
+        delta_pred = F.col("vec_id") >= 15
+        base = emb.filter(~delta_pred)
+        src = tmp_path / "src"
+        emb.write.parquet(str(src))
+        stream = spark.readStream.schema(emb.schema).parquet(str(src))
+        work = tmp_path / "work"
+        out = ivfpq_fold_stream(
+            spark, base, stream, str(work), delta_predicate=delta_pred, dim=self.DIM, m=self.M
+        )
+        got = {(r.vec_id, r.cell, r.q_err) for r in out.collect()}
+        expect = {
+            (r.vec_id, r.cell, r.q_err)
+            for r in similarity.ivfpq_incremental_codes(
+                emb, delta_pred, dim=self.DIM, m=self.M
+            ).collect()
+        }
+        assert got == expect and len(got) == 5
+        # artifacts were written once, before the stream — one parquet
+        # part file each, and the codes sink is (cell, src_batch)-laid
+        assert len(glob.glob(str(work / "artifacts" / "cents" / "*.parquet"))) == 1
+        assert any(
+            p.startswith("cell=")
+            for p in os.listdir(str(work / "codes"))
+            if not p.startswith("_")
+        )
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import similarity
+        from chiv_spark.streaming.ann_index import write_ivfpq_artifacts
+
+        emb = self._emb(spark, range(20))
+        base = emb.filter(F.col("vec_id") < 15)
+        delta = emb.filter(F.col("vec_id") >= 15)
+        art = str(tmp_path / "art")
+        codes_dir = str(tmp_path / "codes")
+        write_ivfpq_artifacts(base, art, dim=self.DIM, m=self.M)
+        cents = spark.read.parquet(f"{art}/cents")
+        cb = spark.read.parquet(f"{art}/codebook")
+
+        def run_batch():
+            codes = similarity.ivfpq_encode_against(delta, cents, cb, dim=self.DIM, m=self.M)
+            (
+                codes.groupBy("vec_id", "cell")
+                .agg(F.sum("qerr").cast("long").alias("q_err"))
+                .select("vec_id", F.col("cell").cast("long").alias("cell"), "q_err")
+                .withColumn("src_batch", F.lit(7))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell", "src_batch")
+                .parquet(codes_dir)
+            )
+            return {tuple(r) for r in spark.read.parquet(codes_dir).collect()}
+
+        first = run_batch()
+        second = run_batch()  # replay overwrites its own generation
+        assert second == first
+        assert spark.read.parquet(codes_dir).count() == 5
+
+    def test_pruned_codes_scan_plan_pinned(self, spark, tmp_path):
+        import re
+
+        from pyspark.sql import functions as F
+
+        from chiv_spark.plans import physical_plan
+        from chiv_spark.streaming.ann_index import read_codes_pruned
+
+        emb = self._emb(spark, range(20))
+        (
+            emb.select("vec_id", (F.col("vec_id") % 8).cast("long").alias("cell"))
+            .withColumn("q_err", F.lit(0).cast("long"))
+            .withColumn("src_batch", F.lit(0))
+            .write.partitionBy("cell", "src_batch")
+            .parquet(str(tmp_path / "codes"))
+        )
+        pruned = read_codes_pruned(spark, str(tmp_path / "codes"), [2, 5])
+        plan = physical_plan(pruned)
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m, plan[:800]
+        assert "cell" in m.group(1) and "IN" in m.group(1).upper(), m.group(1)
