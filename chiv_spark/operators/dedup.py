@@ -408,6 +408,76 @@ def lsh_quarantine_rescue(
     )
 
 
+def min_label_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Connected components over an undirected pair relation by
+    iterative min-label propagation — extracted verbatim (r10) from
+    queries/stats.py::dedup_clusters so the image tier
+    (dedup_image_canonical) and any future pair source share one
+    implementation. Returns (node, cluster_id) for every node that
+    appears in a pair; singletons are absent (callers anti-join them
+    back, each its own cluster).
+
+    Near-dup components are cliques or near-cliques (every member
+    pairs with most others), so the diameter — and the round count —
+    is 1-3; plain edge propagation beats pointer-jumping
+    (label[label]) here because the jump's extra self-join costs more
+    per round than the rounds it could save. The edge set is
+    right-sized and persisted once up front (each round re-reads it);
+    every intermediate cache block is released before return."""
+    from chiv_spark.plans.partitions import right_size
+
+    p = pairs.select(F.col(a_col).alias("doc_a"), F.col(b_col).alias("doc_b"))
+    edges = (
+        p.union(p.select(F.col("doc_b"), F.col("doc_a"))).toDF("a", "b").distinct()
+    )
+    # materialize the edge set ONCE up front: the count() fully
+    # populates the cache before the loop, so no concurrent subtree
+    # can race it into recomputing the upstream pair plan — and
+    # unlike localCheckpoint, persist() can be released cleanly.
+    edges = edges.persist()
+    n_edges = edges.count()
+    edges_cached = edges
+    edges = right_size(edges_cached, n_edges)
+    labels = (
+        edges.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("label"))
+    )
+    prev = None
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(edges.a)
+            .agg(F.min("label").alias("nmin"))
+            .select(F.col("a").alias("node"), "nmin")
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+        ).persist()
+        n_changed = updated.filter(F.col("changed")).count()
+        new_labels = updated.select("node", "label")
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
+        labels = new_labels
+        if n_changed == 0:
+            break
+    result = labels.select(
+        "node", F.col("label").cast("long").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    edges_cached.unpersist()
+    return result
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """60-bit SimHash per document from distinct-token hashes.
 

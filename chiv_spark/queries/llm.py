@@ -455,19 +455,18 @@ def _dhash_px(x_expr: str, y_expr: str) -> str:
     return f"(({base} % 256 + {bright} % {multimodal.DHASH_BRIGHT_MOD}) % 256)"
 
 
-@query(
-    "dedup_image_phash",
-    # closed-form oracle (the multimodal_jpeg_features pattern): the
-    # engine PNG-encodes a 22x12 hash-derived grayscale image, resizes
-    # it through the real codec (decode -> nearest-neighbor -> encode
-    # -> decode), and dHashes the 11x6 result; nearest-neighbor at
-    # exactly 2x picks source index 2i, so the oracle computes the
-    # same 60 comparison bits directly from the even-coordinate pixel
-    # closed form — no codec — then the same pigeonhole-exact
-    # Hamming<=3 pair set. Any PNG filter/inflate/resample defect
-    # surfaces as a signature (hence pair-set) mismatch.
-    f"""
-    WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 60),
+# closed-form oracle CTEs (the multimodal_jpeg_features pattern): the
+# engine PNG-encodes a 22x12 hash-derived grayscale image, resizes it
+# through the real codec (decode -> nearest-neighbor -> encode ->
+# decode), and dHashes the 11x6 result; nearest-neighbor at exactly 2x
+# picks source index 2i, so the oracle computes the same 60 comparison
+# bits directly from the even-coordinate pixel closed form — no codec
+# — then the same pigeonhole-exact Hamming<=3 pair set. Any PNG
+# filter/inflate/resample defect surfaces as a signature (hence
+# pair-set) mismatch. Shared by dedup_image_phash and its
+# keep-one-per-cluster suffix dedup_image_canonical.
+_IMG_PHASH_CTES = f"""
+    m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 60),
     bits AS (
       SELECT media_id,
              CASE WHEN {_dhash_px("2 * gx.x", "2 * gy.y")}
@@ -484,7 +483,13 @@ def _dhash_px(x_expr: str, y_expr: str) -> str:
     cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
                     a.dhash AS ha, b.dhash AS hb
              FROM chunked a JOIN chunked b
-               ON a.ci = b.ci AND a.chunk = b.chunk AND a.media_id < b.media_id)
+               ON a.ci = b.ci AND a.chunk = b.chunk AND a.media_id < b.media_id)"""
+
+
+@query(
+    "dedup_image_phash",
+    f"""
+    WITH {_IMG_PHASH_CTES}
     SELECT media_a, media_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(ha, hb)) <= 3
     """,
@@ -505,6 +510,10 @@ def _dhash_px(x_expr: str, y_expr: str) -> str:
     "with the corpus",
 )
 def dedup_image_phash(spark, sf_dir):
+    return _image_phash_pairs(spark, sf_dir)
+
+
+def _image_phash_pairs(spark, sf_dir):
     ids = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 60)
@@ -514,6 +523,66 @@ def dedup_image_phash(spark, sf_dir):
     return dedup.hamming_chunk_pairs(
         sig, id_col="media_id", sig_col="dhash"
     ).selectExpr("doc_a AS media_a", "doc_b AS media_b", "hamming")
+
+
+@query(
+    "dedup_image_canonical",
+    f"""
+    WITH RECURSIVE {_IMG_PHASH_CTES},
+    pairs AS (SELECT media_a, media_b FROM cand
+              WHERE bit_count(xor(ha, hb)) <= 3),
+    edges AS (SELECT media_a AS a, media_b AS b FROM pairs
+              UNION SELECT media_b, media_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    clusters AS (SELECT src AS media_id, MIN(dst) AS cluster_id
+                 FROM reach GROUP BY src),
+    sized AS (SELECT cluster_id, COUNT(*) AS csz, MIN(media_id) AS keeper
+              FROM clusters GROUP BY cluster_id)
+    SELECT keeper AS media_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(csz AS BIGINT) AS cluster_size
+    FROM sized
+    UNION ALL
+    SELECT m.media_id, CAST(m.media_id AS BIGINT) AS cluster_id,
+           CAST(1 AS BIGINT) AS cluster_size
+    FROM m WHERE m.media_id NOT IN (SELECT media_id FROM clusters)
+    """,
+    doc="keep-one-per-cluster for the IMAGE tier (r9 verdict task 4): "
+    "composes dedup_image_phash's Hamming<=3 dHash pairs with "
+    "connected components (dedup.min_label_components — the same "
+    "min-label propagation as dedup_clusters) and collapses every "
+    "cluster to its canonical image (lowest media_id), singletons "
+    "kept as their own clusters — so the image tier ends in a "
+    "deduplicated corpus, not just pairs (the dedup_canonical_docs "
+    "pattern). Canonical pick is one groups-sized aggregate on the "
+    "cluster relation; singletons come back by anti join — nothing "
+    "beyond the pair stage's equi-join is super-linear. Oracle "
+    "shares the phash closed-form CTEs verbatim plus the recursive "
+    "reach of the text cluster oracles",
+)
+def dedup_image_canonical(spark, sf_dir):
+    pairs = _image_phash_pairs(spark, sf_dir)
+    cl = dedup.min_label_components(pairs, "media_a", "media_b").select(
+        F.col("node").alias("media_id"), "cluster_id"
+    )
+    sized = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.min("media_id").alias("media_id"),
+    )
+    keepers = sized.select("media_id", F.col("cluster_id").cast("long").alias("cluster_id"), "cluster_size")
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    singles = ids.join(cl, "media_id", "left_anti").select(
+        "media_id",
+        F.col("media_id").cast("long").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return keepers.unionByName(singles)
 
 
 #: shingles appearing in more docs than this are dropped from the Jaccard

@@ -17,7 +17,6 @@ from pyspark.sql.window import Window
 
 from chiv_spark.functions.detmath import det_round, duckdb_det_round
 from chiv_spark.operators import dedup
-from chiv_spark.plans.partitions import right_size
 from chiv_spark.queries.base import query, t
 
 
@@ -220,62 +219,13 @@ _CLUSTER_ORACLE = f"""{_CLUSTER_CTES}
     "(iterative min-label propagation in Spark, recursive CTE oracle)",
 )
 def dedup_clusters(spark, sf_dir):
+    # min-label propagation loop extracted to
+    # dedup.min_label_components (r10, shared with the image tier);
+    # the persist/right_size/round-count rationale lives there
     pairs = dedup.minhash_lsh_pairs(t(spark, sf_dir, "documents")).select("doc_a", "doc_b")
-    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("a", "b").distinct()
-    # materialize the edge set ONCE up front: the count() fully
-    # populates the cache before the loop, so no concurrent subtree
-    # can race it into recomputing the minhash->band->verify plan —
-    # and unlike localCheckpoint, persist() can be released cleanly
-    # once the result is materialized below.
-    edges = edges.persist()
-    n_edges = edges.count()
-    # right-size the cached partitioning (plans/partitions.py: a cache
-    # pins pre-AQE partition counts, and every loop round would
-    # re-spray that many tasks over the usually-small pair list)
-    edges_cached = edges
-    edges = right_size(edges_cached, n_edges)
-    # min-label propagation to fixpoint. Near-dup components are
-    # cliques or near-cliques (every member pairs with most others),
-    # so the diameter — and the round count — is 1-3; plain edge
-    # propagation beats pointer-jumping (label[label]) here because
-    # the jump's extra self-join costs more per round than the rounds
-    # it could save. (Pointer jumping is the right trade on
-    # long-chain graphs; measured both, kept the simple loop.)
-    labels = edges.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("label"))
-    prev = None
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy(edges.a)
-            .agg(F.min("label").alias("nmin"))
-            .select(F.col("a").alias("node"), "nmin")
-        )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("changed"),
-            )
-        ).persist()
-        n_changed = updated.filter(F.col("changed")).count()
-        new_labels = updated.select("node", "label")
-        if prev is not None:
-            prev.unpersist()
-        prev = updated
-        labels = new_labels
-        if n_changed == 0:
-            break
-    # materialize the small final labels (lineage cut), then release
-    # every intermediate cache block — without this, the last loop
-    # round's persist and the edge cache outlive the query
-    result = labels.select(
-        F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id")
-    ).localCheckpoint(eager=True)
-    if prev is not None:
-        prev.unpersist()
-    edges_cached.unpersist()
-    return result
+    return dedup.min_label_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
 
 
 _CANONICAL_ORACLE = f"""{_CLUSTER_CTES},
