@@ -101,6 +101,15 @@ HEADLINE = [
     "dedup_image_phash",
     "dedup_lsh_quarantine_rescue",
     "dedup_incremental_embed",
+    # round 10: the full ExactSubstr suffix-ranking dedup (the
+    # heaviest new tier: log-rounds of iterative exchanges + the LCP
+    # descent), incremental IVFPQ encode against frozen artifacts,
+    # broadcast near-dup eval decontamination, and image
+    # keep-one-per-cluster (phash pairs -> components -> canonical)
+    "dedup_exact_substr",
+    "ann_ivfpq_incremental",
+    "decontaminate_neardup_eval",
+    "dedup_image_canonical",
 ]
 
 
@@ -213,6 +222,39 @@ def main() -> None:
         errors["skew_bench"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
         shutil.rmtree(skew_dir, ignore_errors=True)
+
+    # adversarial-replica rows (r9 verdict task 6): the organic sf0.1
+    # corpus never saturates an LSH bucket, so the rescue stage is
+    # ~free in the uniform numbers above and a regression in it (or in
+    # the delta-vs-index embed fold under dense buckets) would be
+    # invisible round-over-round. Standing 4x near-dup replica of the
+    # benched sf_dir (every doc + 3 variants -> every replica group
+    # saturates cap=3 and hits the rescue path; every embedding
+    # duplicated verbatim -> dense sign-buckets for the delta join).
+    # Generation is untimed, like the hot-key table.
+    replica_dir = tempfile.mkdtemp(prefix="chiv-bench-replica-")
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from probe_scale import build_replicas
+
+        build_replicas(spark, sf_dir, replica_dir, scale=4)
+        for bench_name, qname in (
+            ("dedup_rescue_adversarial_4x", "dedup_lsh_quarantine_rescue"),
+            ("dedup_incremental_embed_adversarial_4x", "dedup_incremental_embed"),
+        ):
+            try:
+                fn = REGISTRY[qname].fn
+
+                def _run(fn=fn):
+                    fn(spark, replica_dir).write.format("noop").mode("overwrite").save()
+
+                timings[bench_name], spread[bench_name] = _bench_one(_run)
+            except Exception as exc:  # noqa: BLE001
+                errors[bench_name] = f"{type(exc).__name__}: {exc}"[:300]
+    except Exception as exc:  # noqa: BLE001
+        errors["replica_bench"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        shutil.rmtree(replica_dir, ignore_errors=True)
 
     # archive throughput — the reference's core operation (extract →
     # format → load, chiv.go:121-143): single-object streaming parity

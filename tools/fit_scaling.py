@@ -74,6 +74,14 @@ PLAN: dict[str, tuple[list[str], str]] = {
     "ann_filtered_topk": ([SF01, SF1, PROBE_DIR], "embeddings"),
     "dedup_lsh_quarantine_rescue": ([SF01, SF1, PROBE_DIR], "documents"),
     "dedup_incremental_embed": ([SF01, SF1, PROBE_DIR], "embeddings"),
+    # round 10: the suffix-ranking ExactSubstr dedup (the 10x replica
+    # is its adversarial shape: every variant group shares full-doc
+    # prefixes, so LCP groups are deep and repeated spans maximal),
+    # the frozen-artifact IVFPQ fold, and the broadcast eval
+    # decontamination
+    "dedup_exact_substr": ([SF01, SF1, PROBE_DIR], "documents"),
+    "ann_ivfpq_incremental": ([SF01, SF1, PROBE_DIR], "embeddings"),
+    "decontaminate_neardup_eval": ([SF01, SF1, PROBE_DIR], "documents"),
 }
 
 # single-object archive sinks (executor-side formatting since r6):
