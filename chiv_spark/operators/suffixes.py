@@ -195,10 +195,12 @@ def _adjacent_group_lcp(
 
 
 def max_repeated_spans(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, max_rep_span): per document, the length of
-    its longest token span occurring at ≥2 distinct (doc, position)
-    sites corpus-wide (within-document repeats count — a doc that
-    stutters its own content is exactly what ExactSubstr trims)."""
+    """(doc_id, n_tokens, max_rep_span, span_pos): per document, the
+    length of its longest token span occurring at ≥2 distinct (doc,
+    position) sites corpus-wide (within-document repeats count — a
+    doc that stutters its own content is exactly what ExactSubstr
+    trims), plus the 0-based position of the LEFTMOST such span (the
+    argmax a trimming pass removes; 0-length spans report pos 0)."""
     positions = token_positions(docs)
     tables, _ = suffix_rank_tables(positions)
     _, final_tab = tables[-1]
@@ -215,6 +217,7 @@ def max_repeated_spans(docs: DataFrame) -> DataFrame:
         .join(succ, "r", "left")
         .select(
             "doc_id",
+            "pos",
             "len",
             F.greatest(
                 # an identical twin suffix exists: full remaining length repeats
@@ -224,7 +227,20 @@ def max_repeated_spans(docs: DataFrame) -> DataFrame:
             ).alias("lrp"),
         )
     )
-    return lrp.groupBy("doc_id").agg(
-        F.max("len").cast("long").alias("n_tokens"),
-        F.max("lrp").cast("long").alias("max_rep_span"),
+    # argmax with leftmost tiebreak: max over (lrp, -pos) structs
+    return (
+        lrp.groupBy("doc_id")
+        .agg(
+            F.max("len").cast("long").alias("n_tokens"),
+            F.max(F.struct(F.col("lrp"), (-F.col("pos")).alias("npos"))).alias("best"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("best.lrp").cast("long").alias("max_rep_span"),
+            F.when(F.col("best.lrp") > 0, -F.col("best.npos"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("span_pos"),
+        )
     )

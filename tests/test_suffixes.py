@@ -113,3 +113,28 @@ class TestMaxRepeatedSpans:
     def test_property_matches_bruteforce(self, spark, data):
         rows = [(i + 1, " ".join(tk)) for i, tk in enumerate(data)]
         assert run(spark, rows) == brute_spans(rows)
+
+
+class TestSpanArgmax:
+    def test_leftmost_maximal_span_and_pos(self, spark):
+        # doc 1: "a b c" repeats at pos 0 and pos 4 (leftmost wins);
+        # doc 2 supplies the cross-doc twin
+        rows = [(1, "a b c z a b c"), (2, "a b c y")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.max_rep_span, r.span_pos) for r in max_repeated_spans(df).collect()}
+        assert got[1] == (3, 0)
+        assert got[2] == (3, 0)
+
+    def test_no_repeat_reports_zero_pos(self, spark):
+        rows = [(1, "q w e r t y")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = max_repeated_spans(df).collect()[0]
+        assert (r.max_rep_span, r.span_pos) == (0, 0)
+
+    def test_interior_span_position(self, spark):
+        # shared run sits INSIDE doc 1 (pos 2) and at the head of doc 2
+        rows = [(1, "x y a b c d z"), (2, "a b c d w")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.max_rep_span, r.span_pos) for r in max_repeated_spans(df).collect()}
+        assert got[1] == (4, 2)
+        assert got[2] == (4, 0)
