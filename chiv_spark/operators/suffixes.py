@@ -122,6 +122,11 @@ def suffix_rank_tables(positions: DataFrame) -> tuple[list[tuple[int, DataFrame]
     k = 1
     cur = r1
     prev_groups = tok_ranks.count()
+    # conservative upper bound on the current rank values; drives the
+    # pack-vs-densify choice below
+    rank_bound = prev_groups
+    last_dense = True
+    PACK_LIMIT = 1 << 62
     while k < maxlen:
         lead = Window.partitionBy("doc_id").orderBy("pos")
         paired = cur.select(
@@ -130,6 +135,32 @@ def suffix_rank_tables(positions: DataFrame) -> tuple[list[tuple[int, DataFrame]
             "r",
             F.coalesce(F.lead("r", k).over(lead), F.lit(END_RANK)).alias("r2"),
         )
+        if rank_bound * (rank_bound + 2) + rank_bound < PACK_LIMIT:
+            # PACK round: the (r, r2) pair maps order-preservingly and
+            # injectively onto r*(B+2) + r2 (multiplier exceeds max r2)
+            # — the whole round is the lead window plus inline
+            # arithmetic, skipping the distinct + range-exchange +
+            # join-back of re-densification. Ranks need not be dense,
+            # only order- and equality-preserving; the bound check
+            # keeps products inside bigint, and once values outgrow it
+            # the next round densifies back to [1, n]. At any corpus
+            # size the loop therefore alternates cheap pack rounds
+            # with exact densify rounds — never overflow, ~half the
+            # exchanges of densify-every-round.
+            nxt = paired.select(
+                "doc_id",
+                "pos",
+                (F.col("r") * F.lit(int(rank_bound + 2)) + F.col("r2")).alias("r"),
+            ).localCheckpoint(eager=True)
+            rank_bound = rank_bound * (rank_bound + 2) + rank_bound
+            k *= 2
+            tables.append((k, nxt))
+            cur = nxt
+            last_dense = False
+            # no distinct count this round: the stable-partition check
+            # runs on densify rounds (counts are monotone, so equality
+            # across a pack+densify span still implies no split)
+            continue
         pair_ranks = _dense_rank_by(paired, ["r", "r2"], "nr")
         nxt = (
             paired.join(pair_ranks, ["r", "r2"])
@@ -139,16 +170,34 @@ def suffix_rank_tables(positions: DataFrame) -> tuple[list[tuple[int, DataFrame]
         k *= 2
         tables.append((k, nxt))
         cur = nxt
+        last_dense = True
         groups = pair_ranks.count()
+        rank_bound = groups
         # early exit on a STABLE partition, not just all-distinct: if no
-        # rank group split this round, groups agreeing on k tokens agree
-        # on k more at every multiple (induction along positions), so
-        # the partition is final. All-distinct is the special case
-        # groups == n_pos; the stable test also converges when exact-dup
-        # docs hold identical full suffixes that never separate.
+        # rank group split since the last densify round, groups agreeing
+        # on k' tokens agree at every multiple (induction along
+        # positions), so the partition is final. All-distinct is the
+        # special case groups == n_pos; the stable test also converges
+        # when exact-dup docs hold identical full suffixes that never
+        # separate. (Counts are monotone nondecreasing, so equality
+        # across any pack rounds in between implies no split at the
+        # intermediate doublings either.)
         if groups == prev_groups:
             break
         prev_groups = groups
+    if not last_dense:
+        # consumers need the FINAL ordering dense (adjacent groups are
+        # r and r+1 in the LCP phase): one extra densify of the packed
+        # values — equality and order preserved, so the table remains a
+        # valid rank_L relation for the descent
+        L, last = tables[-1]
+        fr = _dense_rank_by(last, ["r"], "nr")
+        dense_last = (
+            last.join(fr, "r")
+            .select("doc_id", "pos", F.col("nr").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        tables[-1] = (L, dense_last)
     return tables, int(maxlen)
 
 
