@@ -48,7 +48,9 @@ class TestMinHash:
 
 class TestSimHash:
     def test_exact_dup_zero_distance(self, docs):
-        pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(docs, max_hamming=10).collect()}
+        # max_hamming stays within the 4-chunk pigeonhole guarantee
+        # (the r10 precondition rejects anything beyond chunks-1)
+        pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
         assert pairs.get((1, 4)) == 0
 
     def test_signature_is_60bit(self, docs):

@@ -519,10 +519,11 @@ class TestWindowAudit:
     """
 
     # name -> why its unpartitioned window input is bounded.
-    # Five justification classes, 8 entries: the r7 verdict set a
+    # Five justification classes, 9 entries: the r7 verdict set a
     # "<= 6" bar for the first three classes (ECDF/CALENDAR/PARTROWS,
-    # 6 entries); the r8 CONTRACT class and the r9 GATE class (both
-    # single-entry) are additive on top:
+    # 6 entries); the r8 CONTRACT class (single-entry) and the r9
+    # GATE class (2 entries since r10: the incremental-index recall
+    # gate shares the recall_at_5 shape verbatim) are additive on top:
     #   ECDF      — window runs on the DISTINCT-VALUE (or contingency-
     #               cell) table, bounded by the value domain, never the
     #               event stream; pinned individually by
@@ -549,6 +550,7 @@ class TestWindowAudit:
         "transform_global_row_ids": "PARTROWS (one row per partition)",
         "events_user_rfm": "CONTRACT (scalable twin is the scale path)",
         "ann_ivfpq_recall_at_5": "GATE (one row per limit-seeded query)",
+        "ann_ivfpq_incremental_recall": "GATE (one row per limit-seeded query)",
     }
 
     def test_no_unallowlisted_corpus_scale_windows(self, spark):
@@ -637,6 +639,7 @@ class TestJoinAudit:
         "ann_cosine_topk": "TINY (broadcast query vectors)",
         "ann_ivf_multiprobe": "TINY (broadcast centroids + queries)",
         "ann_ivf_topk": "TINY (broadcast centroids + queries)",
+        "ann_ivfpq_incremental_recall": "SCALAR (recall gate total)",
         "ann_ivfpq_recall_at_5": "SCALAR (recall gate total)",
         "ann_pq_recall_at_5": "SCALAR (recall gate total)",
         "ann_recall_at_5": "SCALAR+TINY (gate total, query seeds)",
