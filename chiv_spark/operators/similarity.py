@@ -433,6 +433,47 @@ def incremental_neardup_pairs(
     )
 
 
+def crosscorpus_neardup_pairs(
+    corpus_index: DataFrame,
+    ref_index: DataFrame,
+    threshold: float = 0.3,
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact-cosine near-dup pairs between a large corpus and a
+    FIXED-SIZE reference set, both as embedding_band_index relations —
+    the embedding twin of dedup.crosscorpus_lsh_pairs (semantic eval
+    decontamination: a reworded benchmark item keeps high embedding
+    cosine even when its shingles changed). The reference side is
+    BROADCAST (eval sets are bounded at any corpus scale) so the
+    corpus never shuffles; both sides carry vector+norm, so the exact
+    cosine verify is one inline expression on the joined row. Returns
+    (vec_id, ref_vec_id, cosine ≥ threshold), cosine det-rounded to 6."""
+    if dim is None:
+        raise ValueError("dim is required (fixed-length codegen dot)")
+    a = corpus_index.select(
+        F.col("id").alias("vec_id"),
+        "band",
+        "bits",
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = ref_index.select(
+        F.col("id").alias("ref_vec_id"),
+        "band",
+        "bits",
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    cos = (dot_fixed("va", "vb", dim) / (F.col("na") * F.col("nb"))).alias("cosine")
+    return (
+        a.join(F.broadcast(b), ["band", "bits"])
+        .select("vec_id", "ref_vec_id", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_id", "ref_vec_id", det_round(F.col("cosine"), 6).alias("cosine"))
+        .distinct()
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 8,

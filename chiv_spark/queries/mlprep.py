@@ -516,6 +516,60 @@ def decontaminate_neardup_eval(spark, sf_dir):
     return dedup.crosscorpus_lsh_pairs(train_index, ev_index, threshold=0.5)
 
 
+#: eval fate for the SEMANTIC decontamination pass (vec_id domain)
+_ESMP_H = "(('0x' || substring(md5('esmp:' || vec_id::VARCHAR), 1, 15))::BIGINT)"
+
+
+def _embed_decon_oracle() -> str:
+    from chiv_spark.queries.llm import _BAND_CTES, _COS
+
+    return f"""
+    WITH {_BAND_CTES},
+    fate AS (SELECT vec_id, {_ESMP_H} % 100 AS f FROM embeddings),
+    cand AS (SELECT DISTINCT a.id AS vec_id, b.id AS ref_vec_id
+             FROM bandbits a
+             JOIN bandbits b ON a.band = b.band AND a.bits = b.bits
+             JOIN fate fa ON fa.vec_id = a.id
+             JOIN fate fb ON fb.vec_id = b.id
+             WHERE fa.f >= 2 AND fb.f < 2),
+    pairs AS (SELECT c.vec_id, c.ref_vec_id, {_COS} AS cosine
+              FROM cand c
+              JOIN embeddings a ON a.vec_id = c.vec_id
+              JOIN embeddings b ON b.vec_id = c.ref_vec_id)
+    SELECT vec_id, ref_vec_id,
+           (FLOOR(cosine * 1000000.0 + 0.5) / 1000000.0) AS cosine
+    FROM pairs WHERE cosine >= 0.3
+    """
+
+
+@query(
+    "decontaminate_embed_eval",
+    _embed_decon_oracle(),
+    doc="SEMANTIC eval decontamination — the embedding twin of "
+    "decontaminate_neardup_eval: a REWORDED benchmark item can lose "
+    "both exact n-grams and shingle-Jaccard yet keep high embedding "
+    "cosine, so this pass runs banded hyperplane LSH between the "
+    "training corpus and a 2% hash-fate eval slice of the vectors. "
+    "The eval band index (id, band, bits, vector, norm) is BROADCAST "
+    "(fixed-size at any corpus scale); the corpus side is one scan + "
+    "band equi-join with the exact cosine verified inline on the "
+    "joined row — no shuffle, no candidate join-back "
+    "(similarity.crosscorpus_neardup_pairs). Oracle = full banded "
+    "recompute restricted to train x eval pairs",
+)
+def decontaminate_embed_eval(spark, sf_dir):
+    from chiv_spark.operators import similarity
+    from chiv_spark.queries.llm import EMB_DIM
+
+    emb = t(spark, sf_dir, "embeddings")
+    h = hash64(F.concat(F.lit("esmp:"), F.col("vec_id").cast("string"))) % 100
+    ev_index = similarity.embedding_band_index(emb.filter(h < 2), dim=EMB_DIM)
+    train_index = similarity.embedding_band_index(emb.filter(h >= 2), dim=EMB_DIM)
+    return similarity.crosscorpus_neardup_pairs(
+        train_index, ev_index, threshold=0.3, dim=EMB_DIM
+    )
+
+
 @query(
     "transform_global_row_ids",
     """

@@ -61,9 +61,52 @@ def read_codes_pruned(
 ) -> DataFrame:
     """The probe-side codes scan: only the directory partitions of the
     probed cells (PartitionFilters file skipping, plan-pinned) — what
-    an ANN query reads from the grown index."""
-    return spark.read.parquet(codes_dir).filter(
+    an ANN query reads from the grown index. Tombstoned (deleted)
+    vectors are anti-joined out immediately, before compaction
+    physically drops them — the dedup index's deletion contract."""
+    from chiv_spark.streaming.dedup_index import read_tombstones
+
+    rel = spark.read.parquet(codes_dir).filter(
         F.col("cell").isin([int(c) for c in cells])
+    )
+    tomb = read_tombstones(spark, codes_dir)
+    if tomb is not None:
+        rel = rel.join(
+            F.broadcast(tomb.withColumnRenamed("doc_id", "vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+    return rel
+
+
+def delete_vectors(spark: SparkSession, codes_dir: str, vec_ids) -> None:
+    """GDPR-style vector deletion against the codes index: tombstoned
+    ids stop appearing in every read_codes_pruned scan immediately and
+    their code rows are physically dropped at compact_codes."""
+    from chiv_spark.streaming.dedup_index import write_tombstones
+
+    write_tombstones(spark, codes_dir, vec_ids, id_col="vec_id")
+
+
+def compact_codes(
+    spark: SparkSession,
+    codes_dir: str,
+    committed_through: int | None = None,
+    n_cells: int = 8,
+) -> tuple[int, int]:
+    """Fold the per-batch code generations into one file per cell and
+    apply pending deletions — the dedup index's compaction lifecycle
+    (streaming/dedup_index.py compact_index) on the (cell, src_batch)
+    layout."""
+    from chiv_spark.streaming.dedup_index import compact_index
+
+    return compact_index(
+        spark,
+        codes_dir,
+        committed_through=committed_through,
+        id_col="vec_id",
+        part_col="cell",
+        n_parts=n_cells,
     )
 
 

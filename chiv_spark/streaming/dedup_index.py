@@ -175,6 +175,8 @@ def compact_index(
     index_dir: str,
     committed_through: int | None = None,
     id_col: str = "doc_id",
+    part_col: str = "pb",
+    n_parts: int = P_BUCKETS,
 ) -> tuple[int, int]:
     """Fold the per-batch generation files into ONE file per pb
     bucket and physically drop tombstoned ids. Run between stream
@@ -236,11 +238,14 @@ def compact_index(
             id_col,
             "left_anti",
         )
-    # each pb lands wholly in one task -> one output file per
-    # (pb, src_batch) directory; full collapse = one file per bucket
-    compacted = rows.repartition(P_BUCKETS, "pb")
+    # each bucket lands wholly in one task -> one output file per
+    # (part_col, src_batch) directory; full collapse = one file per
+    # bucket. part_col/n_parts default to the dedup index's pb layout;
+    # the ANN codes index passes ("cell", n_cells) — same lifecycle,
+    # different bucket key.
+    compacted = rows.repartition(n_parts, part_col)
     staged = root + ".compacting"
-    compacted.write.mode("overwrite").partitionBy("pb", "src_batch").parquet(staged)
+    compacted.write.mode("overwrite").partitionBy(part_col, "src_batch").parquet(staged)
     if tomb is not None and committed_through is not None:
         # carry unconsumed tombstones into the new root (see docstring)
         shutil.copytree(_tombstone_dir(root), _tombstone_dir(staged))

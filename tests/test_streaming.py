@@ -743,3 +743,56 @@ class TestIvfpqFold:
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m, plan[:800]
         assert "cell" in m.group(1) and "IN" in m.group(1).upper(), m.group(1)
+
+
+class TestAnnIndexDeletion:
+    """r10: vector deletion against the codes index — the dedup
+    index's tombstone lifecycle on the (cell, src_batch) layout."""
+
+    def test_delete_then_compact(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from chiv_spark.streaming.ann_index import (
+            compact_codes,
+            delete_vectors,
+            read_codes_pruned,
+        )
+        from chiv_spark.streaming.dedup_index import read_tombstones
+
+        codes_dir = str(tmp_path / "codes")
+        (
+            spark.range(0, 40)
+            .selectExpr(
+                "id AS vec_id",
+                "CAST(id % 8 AS LONG) AS cell",
+                "CAST(id * 11 AS LONG) AS q_err",
+            )
+            .withColumn("src_batch", (F.col("vec_id") % 3).cast("int"))
+            .write.partitionBy("cell", "src_batch")
+            .parquet(codes_dir)
+        )
+        all_cells = list(range(8))
+        assert read_codes_pruned(spark, codes_dir, all_cells).count() == 40
+        delete_vectors(spark, codes_dir, [5, 13])
+        # effective at read time, before any rewrite
+        ids = {r.vec_id for r in read_codes_pruned(spark, codes_dir, all_cells).collect()}
+        assert 5 not in ids and 13 not in ids and len(ids) == 38
+        before, after = compact_codes(spark, codes_dir)
+        assert after <= before
+        rows = spark.read.parquet(codes_dir)
+        assert rows.count() == 38
+        assert rows.filter(F.col("vec_id").isin(5, 13)).count() == 0
+        assert read_tombstones(spark, codes_dir) is None  # consumed
+        # partial mode preserves uncommitted generations AND tombstones
+        delete_vectors(spark, codes_dir, [7])
+        (
+            spark.range(100, 103)
+            .selectExpr("id AS vec_id", "CAST(id % 8 AS LONG) AS cell", "CAST(0 AS LONG) AS q_err")
+            .withColumn("src_batch", F.lit(9))
+            .write.mode("append").partitionBy("cell", "src_batch").parquet(codes_dir)
+        )
+        compact_codes(spark, codes_dir, committed_through=0)
+        after2 = spark.read.parquet(codes_dir)
+        assert {r.src_batch for r in after2.select("src_batch").distinct().collect()} == {-1, 9}
+        assert after2.filter(F.col("vec_id") == 7).count() == 0
+        assert read_tombstones(spark, codes_dir) is not None  # retained
