@@ -570,6 +570,122 @@ def decontaminate_embed_eval(spark, sf_dir):
     )
 
 
+def _dedup_decon_funnel_oracle() -> str:
+    from chiv_spark.queries import curation  # noqa: F401 — registers dedup_exact_substr
+    from chiv_spark.queries.base import REGISTRY
+
+    # compose the three registered oracles verbatim (as embedded
+    # subqueries — their CTE namespaces collide if merged) so the
+    # funnel can never drift from the stages it reports on
+    spans = REGISTRY["dedup_exact_substr"].oracle
+    overlap = REGISTRY["decontaminate_eval_overlap"].oracle
+    neardup = _neardup_decon_oracle()
+    return f"""
+    WITH spans AS (SELECT doc_id, keep FROM ({spans})),
+    ov AS (SELECT DISTINCT doc_id FROM ({overlap})),
+    nd AS (SELECT DISTINCT doc_id FROM ({neardup})),
+    flags AS (
+      SELECT d.doc_id,
+             s.keep AS f1,
+             ({_H} % 100 >= 2) AS f2,
+             (o.doc_id IS NULL) AS f3,
+             (n.doc_id IS NULL) AS f4
+      FROM documents d
+      JOIN spans s USING (doc_id)
+      LEFT JOIN ov o ON o.doc_id = d.doc_id
+      LEFT JOIN nd n ON n.doc_id = d.doc_id),
+    agg AS (
+      SELECT COUNT(*) AS total,
+             COUNT(*) FILTER (WHERE f1) AS s1,
+             COUNT(*) FILTER (WHERE f1 AND f2) AS s2,
+             COUNT(*) FILTER (WHERE f1 AND f2 AND f3) AS s3,
+             COUNT(*) FILTER (WHERE f1 AND f2 AND f3 AND f4) AS s4
+      FROM flags)
+    SELECT stage, CAST(n_surviving AS BIGINT) AS n_surviving,
+           CAST(n_removed AS BIGINT) AS n_removed
+    FROM (
+      SELECT '0_total' AS stage, total AS n_surviving, 0 AS n_removed FROM agg
+      UNION ALL SELECT '1_repeated_spans', s1, total - s1 FROM agg
+      UNION ALL SELECT '2_eval_holdout', s2, s1 - s2 FROM agg
+      UNION ALL SELECT '3_exact_overlap_decon', s3, s2 - s3 FROM agg
+      UNION ALL SELECT '4_neardup_decon', s4, s3 - s4 FROM agg)
+    """
+
+
+@query(
+    "pipeline_dedup_decon_funnel",
+    None,  # oracle attached below (composes three registered oracles)
+    doc="the round-10 curation funnel: per-stage surviving/removed "
+    "counts for the suffix-dedup + decontamination tier — ExactSubstr "
+    "repeated-span gate, eval-holdout removal (the 2% fate slice "
+    "itself), exact 4-gram overlap decontamination, then MinHash "
+    "near-dup decontamination — the report that shows what each new "
+    "stage costs the corpus, complementing pipeline_filter_funnel's "
+    "classic stages. One pass over documents building four boolean "
+    "flags (one join per composed stage, the decon sides broadcast-"
+    "bounded), one conditional-count aggregate unpivoted via stack; "
+    "stage definitions are the registered queries' own relations, so "
+    "report and operators cannot drift",
+)
+def pipeline_dedup_decon_funnel(spark, sf_dir):
+    from chiv_spark.queries.base import REGISTRY
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    spans = REGISTRY["dedup_exact_substr"].fn(spark, sf_dir).select("doc_id", "keep")
+    ov = REGISTRY["decontaminate_eval_overlap"].fn(spark, sf_dir).select("doc_id").distinct()
+    nd = (
+        REGISTRY["decontaminate_neardup_eval"].fn(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+    )
+    fate = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))) % 100
+    flags = (
+        docs.join(spans, "doc_id")
+        .join(ov.withColumn("__ov", F.lit(1)), "doc_id", "left")
+        .join(nd.withColumn("__nd", F.lit(1)), "doc_id", "left")
+        .select(
+            F.col("keep").alias("f1"),
+            (fate >= 2).alias("f2"),
+            F.col("__ov").isNull().alias("f3"),
+            F.col("__nd").isNull().alias("f4"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("f1"), 1)).alias("s1"),
+        F.count(F.when(F.col("f1") & F.col("f2"), 1)).alias("s2"),
+        F.count(F.when(F.col("f1") & F.col("f2") & F.col("f3"), 1)).alias("s3"),
+        F.count(
+            F.when(F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4"), 1)
+        ).alias("s4"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "'0_total', total, 0L, "
+        "'1_repeated_spans', s1, total - s1, "
+        "'2_eval_holdout', s2, s1 - s2, "
+        "'3_exact_overlap_decon', s3, s2 - s3, "
+        "'4_neardup_decon', s4, s3 - s4"
+        ") as (stage, n_surviving, n_removed)"
+    ).selectExpr(
+        "stage",
+        "CAST(n_surviving AS BIGINT) AS n_surviving",
+        "CAST(n_removed AS BIGINT) AS n_removed",
+    )
+
+
+from chiv_spark.queries.base import REGISTRY as _FUNNEL_REG  # noqa: E402
+
+_FUNNEL_REG["pipeline_dedup_decon_funnel"] = _FUNNEL_REG[
+    "pipeline_dedup_decon_funnel"
+].__class__(
+    name="pipeline_dedup_decon_funnel",
+    fn=_FUNNEL_REG["pipeline_dedup_decon_funnel"].fn,
+    oracle=_dedup_decon_funnel_oracle(),
+    doc=_FUNNEL_REG["pipeline_dedup_decon_funnel"].doc,
+)
+
+
 @query(
     "transform_global_row_ids",
     """
