@@ -111,6 +111,16 @@ def suffix_rank_tables(positions: DataFrame) -> tuple[list[tuple[int, DataFrame]
         .agg(F.sum("dl").alias("n"), F.max("dl").alias("m"))
         .collect()[0]
     )
+    if n_pos is None:
+        # empty corpus: the global agg yields NULL n/maxlen, which
+        # would otherwise surface as an opaque int-vs-None TypeError
+        # in the loop bound below — return the degenerate single
+        # (empty) rank table instead, so downstream composition over
+        # a filtered-to-nothing relation stays well-defined
+        empty = positions.select(
+            "doc_id", "pos", F.lit(1).cast("long").alias("r")
+        ).localCheckpoint(eager=True)
+        return [(1, empty)], 0
     # rank by first token: dense rank of the token string
     tok_ranks = _dense_rank_by(positions, ["tok"], "r")
     r1 = (

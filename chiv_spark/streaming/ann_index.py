@@ -64,18 +64,17 @@ def read_codes_pruned(
     an ANN query reads from the grown index. Tombstoned (deleted)
     vectors are anti-joined out immediately, before compaction
     physically drops them — the dedup index's deletion contract."""
-    from chiv_spark.streaming.dedup_index import read_tombstones
+    from chiv_spark.streaming.dedup_index import (
+        anti_join_tombstones,
+        read_tombstones,
+    )
 
     rel = spark.read.parquet(codes_dir).filter(
         F.col("cell").isin([int(c) for c in cells])
     )
     tomb = read_tombstones(spark, codes_dir)
     if tomb is not None:
-        rel = rel.join(
-            F.broadcast(tomb.withColumnRenamed("doc_id", "vec_id")),
-            "vec_id",
-            "left_anti",
-        )
+        rel = anti_join_tombstones(rel, tomb, "vec_id")
     return rel
 
 
@@ -161,4 +160,16 @@ def ivfpq_fold_stream(
     # sink must raise, never silently report an empty index
     if not os.path.isdir(codes_dir):
         return spark.createDataFrame([], OUT_SCHEMA)
-    return spark.read.parquet(codes_dir).select(*OUT_COLS)
+    # pending deletions apply to THIS read too, not only to
+    # read_codes_pruned — a caller that ran delete_vectors mid-stream
+    # must never get tombstoned vectors back (r10 ADVICE)
+    from chiv_spark.streaming.dedup_index import (
+        anti_join_tombstones,
+        read_tombstones,
+    )
+
+    rel = spark.read.parquet(codes_dir)
+    tomb = read_tombstones(spark, codes_dir)
+    if tomb is not None:
+        rel = anti_join_tombstones(rel, tomb, "vec_id")
+    return rel.select(*OUT_COLS)

@@ -93,20 +93,45 @@ def _tombstone_dir(index_dir: str) -> str:
     return os.path.join(index_dir.rstrip("/"), "_tombstones")
 
 
-def write_tombstones(spark: SparkSession, index_dir: str, doc_ids, id_col: str = "doc_id") -> None:
+def write_tombstones(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids,
+    id_col: str = "doc_id",
+    thru: int | None = None,
+) -> None:
     """Record source-doc deletion requests (GDPR-style forget) against
     the index: a tombstoned id is excluded from every subsequent
     read_index_pruned scan immediately, and its signature rows are
     physically dropped at the next compact_index. ``doc_ids`` is a
     one-column DataFrame or an iterable of ints. Append-only — a
-    tombstone file is tiny (8 bytes/id) and consumed by compaction."""
+    tombstone file is tiny and consumed/rewritten by compaction.
+
+    Tombstones are GENERATION-SCOPED (the r10 ADVICE re-ingest fix):
+    each carries a half-open ``(frm, thru]`` src_batch range and
+    suppresses only index rows whose generation falls inside it.
+    ``thru`` defaults to the index's current max src_batch (what the
+    delete can see at request time — a directory listing in a
+    partitioned layout; pass it explicitly to skip the read), so rows
+    legitimately RE-INGESTED for the same id after the delete land in
+    a later generation and are never suppressed or dropped."""
     rel = (
         doc_ids
         if isinstance(doc_ids, DataFrame)
         else spark.createDataFrame([(int(d),) for d in doc_ids], f"{id_col} bigint")
     )
+    if thru is None:
+        try:
+            thru_row = (
+                spark.read.parquet(index_dir).agg(F.max("src_batch")).collect()[0][0]
+            )
+        except Exception:
+            thru_row = None
+        thru = int(thru_row) if thru_row is not None else SEED_BATCH
     (
         rel.selectExpr(f"CAST({id_col} AS BIGINT) AS doc_id")
+        .withColumn("frm", F.lit(int(SEED_BATCH - 1)).cast("long"))
+        .withColumn("thru", F.lit(int(thru)).cast("long"))
         .coalesce(1)
         .write.mode("append")
         .parquet(_tombstone_dir(index_dir))
@@ -114,13 +139,32 @@ def write_tombstones(spark: SparkSession, index_dir: str, doc_ids, id_col: str =
 
 
 def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """The pending (not-yet-compacted) deletion set, or None."""
+    """The pending (not-yet-compacted) deletion set — one row per
+    (doc_id, frm, thru) scope — or None."""
     import os
 
     d = _tombstone_dir(index_dir)
     if not os.path.isdir(d):
         return None
-    return spark.read.parquet(d).select("doc_id").distinct()
+    return spark.read.parquet(d).select("doc_id", "frm", "thru").distinct()
+
+
+def anti_join_tombstones(rel: DataFrame, tomb: DataFrame, id_col: str) -> DataFrame:
+    """Drop rows of ``rel`` (which must carry ``src_batch``) whose id
+    is tombstoned AND whose generation falls inside the tombstone's
+    ``(frm, thru]`` scope. Broadcast anti-join: deletion requests are
+    tiny relative to the corpus by nature."""
+    t = tomb.select(
+        F.col("doc_id").alias("__ts_id"),
+        F.col("frm").alias("__ts_frm"),
+        F.col("thru").alias("__ts_thru"),
+    )
+    cond = (
+        (rel[id_col] == t["__ts_id"])
+        & (rel["src_batch"] > t["__ts_frm"])
+        & (rel["src_batch"] <= t["__ts_thru"])
+    )
+    return rel.join(F.broadcast(t), cond, "left_anti")
 
 
 def write_index_generation(
@@ -152,9 +196,10 @@ def read_index_pruned(
     carries PartitionFilters on pb, plan-pinned in tests), minus the
     batch's own generation so a replayed batch never joins against
     the signatures it already folded in, minus any tombstoned ids
-    (pending deletions take effect at read time, before compaction
-    physically drops them). The tombstone set is broadcast: deletion
-    requests are tiny relative to the corpus by nature."""
+    whose generation falls inside the tombstone's scope (pending
+    deletions take effect at read time, before compaction physically
+    drops them; rows re-ingested AFTER the delete sit past the scope
+    and stay visible)."""
     idx = spark.read.parquet(index_dir).filter(
         F.col("pb").isin([int(x) for x in touched_pbs])
     )
@@ -162,11 +207,7 @@ def read_index_pruned(
         idx = idx.filter(F.col("src_batch") != int(exclude_batch))
     tomb = read_tombstones(spark, index_dir)
     if tomb is not None:
-        idx = idx.join(
-            F.broadcast(tomb.withColumnRenamed("doc_id", id_col)),
-            id_col,
-            "left_anti",
-        )
+        idx = anti_join_tombstones(idx, tomb, id_col)
     return idx
 
 
@@ -202,12 +243,18 @@ def compact_index(
       pairs) keeps a replayed batch from emitting self-pairs; the
       residual effect is duplicate cross-pair rows, not corruption.
 
-    Pending tombstones are applied (rows dropped) and then consumed:
-    cleared in full-collapse mode; RETAINED in partial mode, because
-    a replayed uncommitted batch would re-fold its generation —
-    including any tombstoned id's rows — after this compaction, and
-    only the surviving tombstone keeps reads guarded until the next
-    full collapse.
+    Pending tombstones are applied (rows inside their (frm, thru]
+    generation scope dropped — BEFORE the collapse relabels
+    generations, so a re-ingested id's newer rows are never caught by
+    an older tombstone even once their batch collapses to SEED) and
+    then consumed: cleared in full-collapse mode; in partial mode
+    each tombstone is REWRITTEN with ``frm = max(frm,
+    committed_through)`` — its already-compacted range is spent, but
+    a replayed uncommitted batch in (committed_through, thru] would
+    re-fold its generation — including the tombstoned id's rows —
+    after this compaction, and only the surviving scoped tombstone
+    keeps reads guarded until the next full collapse. A tombstone
+    whose scope empties (frm >= thru) is dropped.
 
     The stage-swap via directory rename is the local-FS stand-in for
     a transactional table format's rewrite commit; the Spark plan is
@@ -222,6 +269,12 @@ def compact_index(
     root = index_dir.rstrip("/")
     before = count_files(root)
     rows = spark.read.parquet(root)
+    # apply deletions on the ORIGINAL generation labels first: the
+    # scope test must see the src_batch each row was folded under,
+    # not the post-collapse SEED label
+    tomb = read_tombstones(spark, root)
+    if tomb is not None:
+        rows = anti_join_tombstones(rows, tomb, id_col)
     if committed_through is None:
         rows = rows.withColumn("src_batch", F.lit(SEED_BATCH))
     else:
@@ -230,13 +283,6 @@ def compact_index(
             F.when(
                 F.col("src_batch") <= int(committed_through), F.lit(SEED_BATCH)
             ).otherwise(F.col("src_batch")),
-        )
-    tomb = read_tombstones(spark, root)
-    if tomb is not None:
-        rows = rows.join(
-            F.broadcast(tomb.withColumnRenamed("doc_id", id_col)),
-            id_col,
-            "left_anti",
         )
     # each bucket lands wholly in one task -> one output file per
     # (part_col, src_batch) directory; full collapse = one file per
@@ -247,8 +293,17 @@ def compact_index(
     staged = root + ".compacting"
     compacted.write.mode("overwrite").partitionBy(part_col, "src_batch").parquet(staged)
     if tomb is not None and committed_through is not None:
-        # carry unconsumed tombstones into the new root (see docstring)
-        shutil.copytree(_tombstone_dir(root), _tombstone_dir(staged))
+        # carry unconsumed tombstones into the new root, with their
+        # already-compacted range spent (see docstring); fully-spent
+        # tombstones drop out here
+        carried = (
+            tomb.withColumn(
+                "frm", F.greatest("frm", F.lit(int(committed_through)).cast("long"))
+            )
+            .filter(F.col("frm") < F.col("thru"))
+        )
+        if carried.limit(1).count() > 0:
+            carried.coalesce(1).write.mode("overwrite").parquet(_tombstone_dir(staged))
     old = root + ".precompact"
     os.rename(root, old)
     os.rename(staged, root)

@@ -543,6 +543,98 @@ class TestIndexLayout:
         assert read_tombstones(spark, index_dir) is None  # consumed
         assert pairs_now() == set()  # still gone post-compaction
 
+    def test_tombstone_scope_allows_reingest(self, spark, tmp_path):
+        """Generation-scoped tombstones (r10 ADVICE): a delete only
+        suppresses rows folded up to the index watermark it saw; the
+        same id legitimately RE-INGESTED afterwards lands in a later
+        generation and is visible immediately, survives partial
+        compaction, and survives full compaction."""
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import (
+            SEED_BATCH,
+            compact_index,
+            read_index_pruned,
+            read_tombstones,
+            write_index_generation,
+            write_tombstones,
+        )
+
+        index_dir, text = self._seed(spark, tmp_path)  # doc 1 @ SEED
+        write_tombstones(spark, index_dir, [1])  # thru = SEED watermark
+        assert (
+            read_index_pruned(spark, index_dir, list(range(16)))
+            .filter(F.col("doc_id") == 1)
+            .count()
+            == 0
+        )
+        # doc 1 re-ingested as batch 3 — past the tombstone's scope
+        d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        write_index_generation(dedup.minhash_band_index(d), "bh", index_dir, 3)
+        vis = read_index_pruned(spark, index_dir, list(range(16))).filter(
+            F.col("doc_id") == 1
+        )
+        assert vis.count() > 0
+        assert {r.src_batch for r in vis.select("src_batch").collect()} == {3}
+        # partial compaction: batch 3 uncommitted -> keeps its label;
+        # the tombstone's (frm, thru] = (-2, -1] range is fully spent
+        # by the collapse of the seed range, so it drops out
+        compact_index(spark, index_dir, committed_through=2)
+        assert read_tombstones(spark, index_dir) is None
+        vis = read_index_pruned(spark, index_dir, list(range(16))).filter(
+            F.col("doc_id") == 1
+        )
+        assert vis.count() > 0
+        # full compaction: re-ingested rows collapse to SEED and remain
+        compact_index(spark, index_dir)
+        vis = read_index_pruned(spark, index_dir, list(range(16))).filter(
+            F.col("doc_id") == 1
+        )
+        assert vis.count() > 0
+        assert {r.src_batch for r in vis.select("src_batch").collect()} == {SEED_BATCH}
+
+    def test_tombstone_retained_scope_guards_uncommitted_replay(self, spark, tmp_path):
+        """Partial compaction retains a tombstone whose scope reaches
+        past committed_through: a crashed-uncommitted batch that
+        refolds the deleted id's rows after compaction is still
+        suppressed, while rows re-ingested past the scope are not."""
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import (
+            compact_index,
+            read_index_pruned,
+            read_tombstones,
+            write_index_generation,
+            write_tombstones,
+        )
+
+        index_dir, text = self._seed(spark, tmp_path)
+        d = spark.createDataFrame([(10, text)], "doc_id long, text string")
+        sig10 = dedup.minhash_band_index(d)
+        write_index_generation(sig10, "bh", index_dir, 2)  # uncommitted batch
+        write_tombstones(spark, index_dir, [10])  # thru = 2
+        compact_index(spark, index_dir, committed_through=1)
+        tomb = read_tombstones(spark, index_dir)
+        assert tomb is not None  # (frm=1, thru=2] survives
+        assert {(r.frm, r.thru) for r in tomb.collect()} == {(1, 2)}
+        # the crash-replay refolds batch 2 — rows come back but the
+        # retained tombstone keeps every read clean
+        write_index_generation(sig10, "bh", index_dir, 2)
+        assert (
+            read_index_pruned(spark, index_dir, list(range(16)))
+            .filter(F.col("doc_id") == 10)
+            .count()
+            == 0
+        )
+        # a genuine re-ingest lands PAST the scope and is visible
+        write_index_generation(sig10, "bh", index_dir, 5)
+        vis = read_index_pruned(spark, index_dir, list(range(16))).filter(
+            F.col("doc_id") == 10
+        )
+        assert {r.src_batch for r in vis.select("src_batch").collect()} == {5}
+
 
 class TestIncrementalEmbedDedup:
     """r8 verdict task 5: the embedding twin of the index fold. Two
@@ -795,4 +887,54 @@ class TestAnnIndexDeletion:
         after2 = spark.read.parquet(codes_dir)
         assert {r.src_batch for r in after2.select("src_batch").distinct().collect()} == {-1, 9}
         assert after2.filter(F.col("vec_id") == 7).count() == 0
-        assert read_tombstones(spark, codes_dir) is not None  # retained
+        # the tombstone's whole (frm, thru] scope fell at or below
+        # committed_through, so scoping lets partial compaction consume
+        # it outright — and a later re-ingest of the id is visible
+        assert read_tombstones(spark, codes_dir) is None
+        (
+            spark.range(7, 8)
+            .selectExpr("id AS vec_id", "CAST(id % 8 AS LONG) AS cell", "CAST(0 AS LONG) AS q_err")
+            .withColumn("src_batch", F.lit(11))
+            .write.mode("append").partitionBy("cell", "src_batch").parquet(codes_dir)
+        )
+        assert (
+            read_codes_pruned(spark, codes_dir, all_cells)
+            .filter(F.col("vec_id") == 7)
+            .count()
+            == 1
+        )
+
+    def test_fold_stream_return_applies_pending_deletes(self, spark, tmp_path):
+        """r10 ADVICE: the relation ivfpq_fold_stream RETURNS must honor
+        tombstones written mid-stream, same as read_codes_pruned — a
+        caller that ran delete_vectors never gets deleted vectors back."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from chiv_spark.streaming.ann_index import delete_vectors, ivfpq_fold_stream
+
+        rows = [
+            (i, [round(math.sin(i * 7.3 + d) * 0.9, 6) for d in range(4)])
+            for i in range(20)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        delta_pred = F.col("vec_id") >= 15
+        src = tmp_path / "src"
+        emb.write.parquet(str(src))
+        stream = spark.readStream.schema(emb.schema).parquet(str(src))
+        work = tmp_path / "work"
+        out = ivfpq_fold_stream(
+            spark, emb.filter(~delta_pred), stream, str(work),
+            delta_predicate=delta_pred, dim=4, m=2,
+        )
+        assert {r.vec_id for r in out.collect()} == {15, 16, 17, 18, 19}
+        delete_vectors(spark, str(work / "codes"), [16, 19])
+        # resume against the same checkpoint: no new batches arrive,
+        # the accumulated relation comes back minus the tombstoned ids
+        stream2 = spark.readStream.schema(emb.schema).parquet(str(src))
+        out2 = ivfpq_fold_stream(
+            spark, emb.filter(~delta_pred), stream2, str(work),
+            delta_predicate=delta_pred, dim=4, m=2,
+        )
+        assert {r.vec_id for r in out2.collect()} == {15, 17, 18}

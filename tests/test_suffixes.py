@@ -115,6 +115,21 @@ class TestMaxRepeatedSpans:
         assert run(spark, rows) == brute_spans(rows)
 
 
+class TestEmptyCorpus:
+    def test_empty_relation_yields_empty_result(self, spark):
+        """A filtered-to-nothing corpus must compose, not crash with
+        the int-vs-None TypeError of the unguarded loop bound (r10
+        ADVICE): suffix_rank_tables returns the degenerate single
+        empty table and max_repeated_spans an empty 4-column frame."""
+        df = spark.createDataFrame([], "doc_id long, text string")
+        tables, maxlen = suffix_rank_tables(token_positions(df))
+        assert maxlen == 0 and len(tables) == 1
+        assert tables[0][1].count() == 0
+        out = max_repeated_spans(df)
+        assert out.columns == ["doc_id", "n_tokens", "max_rep_span", "span_pos"]
+        assert out.count() == 0
+
+
 class TestSpanArgmax:
     def test_leftmost_maximal_span_and_pos(self, spark):
         # doc 1: "a b c" repeats at pos 0 and pos 4 (leftmost wins);
