@@ -57,8 +57,10 @@ localCheckpoints (the rowids.py precedent): each round's output
 feeds both the next round and the LCP descent, and re-deriving a
 round would re-run every round before it. Peak extra storage is the
 J ≈ log2(maxlen) saved rank tables (n rows × 3 longs each) — the
-textbook n·log n space of prefix doubling; at 100 TB spill them to a
-scratch table instead of executor memory (same plan shape).
+textbook n·log n space of prefix doubling; at 100 TB pass
+``scratch_dir`` so each round table spills to a parquet scratch
+table instead of executor block storage (same plan shape — the
+mechanical spill path, pytest-exercised and oracle-verified).
 
 Determinism: ranks are dense integers fully determined by the token
 sequences, so ``max_rep_span`` is exact and engine-independent — the
@@ -95,15 +97,36 @@ def _dense_rank_by(rel: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     return assign_global_row_ids(rel.select(*cols).distinct(), cols, id_col=id_col)
 
 
-def suffix_rank_tables(positions: DataFrame) -> tuple[list[tuple[int, DataFrame]], int]:
+def _pin(df: DataFrame, scratch_dir: str | None, name: str) -> DataFrame:
+    """Materialize a round table so both its consumers (next round +
+    LCP descent) read a computed result, not a recomputation of every
+    round before it. Default = eager localCheckpoint (executor block
+    storage — fine while the J ≈ log2(maxlen) saved tables fit);
+    with ``scratch_dir`` set the table is WRITTEN TO PARQUET and read
+    back instead — same plan shape downstream (a scan), but bounded
+    executor storage: the 100 TB path, where n·log n rows of pinned
+    rank tables must live on the scratch filesystem (HDFS/object
+    store via the dir path), not in executor memory/disk blocks."""
+    if scratch_dir is None:
+        return df.localCheckpoint(eager=True)
+    path = f"{scratch_dir.rstrip('/')}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def suffix_rank_tables(
+    positions: DataFrame, scratch_dir: str | None = None
+) -> tuple[list[tuple[int, DataFrame]], int]:
     """Run prefix doubling to convergence.
 
     Returns ``(tables, maxlen)`` where ``tables`` is the ascending
     list of ``(L, rank_table)`` — ``rank_table`` = (doc_id, pos, r)
     ranking every suffix by its first ``L`` tokens (dense, 1-based;
     equal r ⇔ equal padded L-prefix). The last table's L ≥ maxlen,
-    so its ranks order full suffixes. Each table is pinned with an
-    eager localCheckpoint (consumed twice: next round + LCP descent).
+    so its ranks order full suffixes. Each table is pinned via
+    :func:`_pin` (consumed twice: next round + LCP descent) —
+    executor localCheckpoint by default, parquet under
+    ``scratch_dir`` for the bounded-executor-storage 100 TB path.
     """
     n_pos, maxlen = (
         positions.groupBy("doc_id")
@@ -117,16 +140,18 @@ def suffix_rank_tables(positions: DataFrame) -> tuple[list[tuple[int, DataFrame]
         # in the loop bound below — return the degenerate single
         # (empty) rank table instead, so downstream composition over
         # a filtered-to-nothing relation stays well-defined
-        empty = positions.select(
-            "doc_id", "pos", F.lit(1).cast("long").alias("r")
-        ).localCheckpoint(eager=True)
+        empty = _pin(
+            positions.select("doc_id", "pos", F.lit(1).cast("long").alias("r")),
+            scratch_dir,
+            "rank_empty",
+        )
         return [(1, empty)], 0
     # rank by first token: dense rank of the token string
     tok_ranks = _dense_rank_by(positions, ["tok"], "r")
-    r1 = (
-        positions.join(tok_ranks, "tok")
-        .select("doc_id", "pos", "r")
-        .localCheckpoint(eager=True)
+    r1 = _pin(
+        positions.join(tok_ranks, "tok").select("doc_id", "pos", "r"),
+        scratch_dir,
+        "rank_L1",
     )
     tables: list[tuple[int, DataFrame]] = [(1, r1)]
     k = 1
@@ -157,11 +182,15 @@ def suffix_rank_tables(positions: DataFrame) -> tuple[list[tuple[int, DataFrame]
             # size the loop therefore alternates cheap pack rounds
             # with exact densify rounds — never overflow, ~half the
             # exchanges of densify-every-round.
-            nxt = paired.select(
-                "doc_id",
-                "pos",
-                (F.col("r") * F.lit(int(rank_bound + 2)) + F.col("r2")).alias("r"),
-            ).localCheckpoint(eager=True)
+            nxt = _pin(
+                paired.select(
+                    "doc_id",
+                    "pos",
+                    (F.col("r") * F.lit(int(rank_bound + 2)) + F.col("r2")).alias("r"),
+                ),
+                scratch_dir,
+                f"rank_L{2 * k}",
+            )
             rank_bound = rank_bound * (rank_bound + 2) + rank_bound
             k *= 2
             tables.append((k, nxt))
@@ -172,10 +201,12 @@ def suffix_rank_tables(positions: DataFrame) -> tuple[list[tuple[int, DataFrame]
             # across a pack+densify span still implies no split)
             continue
         pair_ranks = _dense_rank_by(paired, ["r", "r2"], "nr")
-        nxt = (
-            paired.join(pair_ranks, ["r", "r2"])
-            .select("doc_id", "pos", F.col("nr").alias("r"))
-            .localCheckpoint(eager=True)
+        nxt = _pin(
+            paired.join(pair_ranks, ["r", "r2"]).select(
+                "doc_id", "pos", F.col("nr").alias("r")
+            ),
+            scratch_dir,
+            f"rank_L{2 * k}",
         )
         k *= 2
         tables.append((k, nxt))
@@ -202,10 +233,10 @@ def suffix_rank_tables(positions: DataFrame) -> tuple[list[tuple[int, DataFrame]
         # valid rank_L relation for the descent
         L, last = tables[-1]
         fr = _dense_rank_by(last, ["r"], "nr")
-        dense_last = (
-            last.join(fr, "r")
-            .select("doc_id", "pos", F.col("nr").alias("r"))
-            .localCheckpoint(eager=True)
+        dense_last = _pin(
+            last.join(fr, "r").select("doc_id", "pos", F.col("nr").alias("r")),
+            scratch_dir,
+            f"rank_L{L}_dense",
         )
         tables[-1] = (L, dense_last)
     return tables, int(maxlen)
@@ -253,7 +284,7 @@ def _adjacent_group_lcp(
     return pairs.select("r", F.least("lcp", "rem_a", "rem_b").alias("lcp"))
 
 
-def max_repeated_spans(docs: DataFrame) -> DataFrame:
+def max_repeated_spans(docs: DataFrame, scratch_dir: str | None = None) -> DataFrame:
     """(doc_id, n_tokens, max_rep_span, span_pos): per document, the
     length of its longest token span occurring at ≥2 distinct (doc,
     position) sites corpus-wide (within-document repeats count — a
@@ -261,7 +292,7 @@ def max_repeated_spans(docs: DataFrame) -> DataFrame:
     trims), plus the 0-based position of the LEFTMOST such span (the
     argmax a trimming pass removes; 0-length spans report pos 0)."""
     positions = token_positions(docs)
-    tables, _ = suffix_rank_tables(positions)
+    tables, _ = suffix_rank_tables(positions, scratch_dir=scratch_dir)
     _, final_tab = tables[-1]
     lens = positions.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
     final = final_tab.join(lens, "doc_id")

@@ -579,6 +579,22 @@ def dedup_repeated_ngrams(spark, sf_dir, k: int = 8):
 EXACTSUBSTR_THRESHOLD = 10
 
 
+def _suffix_scratch() -> str | None:
+    """Scratch root for the suffix ranker's round-table spill
+    (operators/suffixes.py _pin): unset -> executor localCheckpoint
+    pinning (test scale); CHIV_SUFFIX_SCRATCH=<dir> -> each round
+    table spills to a fresh parquet subdir there — the bounded-
+    executor-storage path a 100 TB run needs, selectable without a
+    code change so the full oracle sweep can exercise it."""
+    import os
+    import tempfile
+
+    root = os.environ.get("CHIV_SUFFIX_SCRATCH")
+    if not root:
+        return None
+    return tempfile.mkdtemp(prefix="suffix-rounds-", dir=root)
+
+
 @query(
     "dedup_exact_substr",
     f"""
@@ -619,7 +635,9 @@ EXACTSUBSTR_THRESHOLD = 10
 def dedup_exact_substr(spark, sf_dir):
     from chiv_spark.operators.suffixes import max_repeated_spans
 
-    spans = max_repeated_spans(t(spark, sf_dir, "documents"))
+    spans = max_repeated_spans(
+        t(spark, sf_dir, "documents"), scratch_dir=_suffix_scratch()
+    )
     return spans.select(
         "doc_id",
         "n_tokens",
@@ -677,7 +695,7 @@ def dedup_exact_substr_trim(spark, sf_dir):
     from chiv_spark.operators.suffixes import max_repeated_spans
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    spans = max_repeated_spans(docs)
+    spans = max_repeated_spans(docs, scratch_dir=_suffix_scratch())
     joined = docs.join(spans, "doc_id").withColumn("tk", F.split("text", " "))
     trimmed = F.when(
         F.col("max_rep_span") >= EXACTSUBSTR_THRESHOLD,

@@ -130,6 +130,43 @@ class TestEmptyCorpus:
         assert out.count() == 0
 
 
+class TestScratchSpill:
+    def test_scratch_dir_matches_checkpoint_path(self, spark, tmp_path):
+        """The 100 TB spill path (r10 verdict task 5): with
+        scratch_dir set, every round table is written to parquet and
+        read back instead of localCheckpoint-pinned — results must be
+        identical, and one parquet dir per doubling round (plus the
+        rank-1 table) must exist on the scratch filesystem."""
+        import os
+
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "x y z a b c d q"),
+            (3, "p q r p q r p q r"),
+            (4, "x y z a b c d q"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        scratch = str(tmp_path / "rounds")
+        os.makedirs(scratch)
+        plain = {
+            (r.doc_id, r.n_tokens, r.max_rep_span, r.span_pos)
+            for r in max_repeated_spans(df).collect()
+        }
+        spilled = {
+            (r.doc_id, r.n_tokens, r.max_rep_span, r.span_pos)
+            for r in max_repeated_spans(df, scratch_dir=scratch).collect()
+        }
+        assert spilled == plain
+        dirs = sorted(d for d in os.listdir(scratch) if d.startswith("rank_"))
+        assert "rank_L1" in dirs and len(dirs) >= 3  # L1 + doubling rounds
+        tables, _ = suffix_rank_tables(
+            token_positions(df), scratch_dir=str(tmp_path / "r2")
+        )
+        # spilled tables scan from parquet: no RDD-checkpoint lineage
+        _, final = tables[-1]
+        assert "FileScan parquet" in final._jdf.queryExecution().executedPlan().toString()
+
+
 class TestSpanArgmax:
     def test_leftmost_maximal_span_and_pos(self, spark):
         # doc 1: "a b c" repeats at pos 0 and pos 4 (leftmost wins);
