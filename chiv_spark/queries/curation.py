@@ -710,6 +710,178 @@ def dedup_exact_substr_trim(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# dedup_exact_substr_fixpoint — iterate the trim until no span >=
+# threshold remains (r10 verdict task 2: production — Lee et al.
+# §4.1, RefinedWeb — trims to FIXPOINT, not one pass)
+
+#: trim-round budget shared verbatim with the unrolled oracle stages;
+#: both engines run exactly this many trim opportunities, so results
+#: agree even on a corpus that has not converged (the ``converged``
+#: flag then reports FALSE identically on both sides)
+MAX_TRIM_ROUNDS = 3
+
+
+def _fixpoint_span_ctes(s: str, src: str) -> str:
+    """One quadratic span stage over relation ``src`` (doc_id, text,
+    n_trims): per-position longest corpus-repeated span, leftmost
+    argmax — the dedup_exact_substr_trim oracle's CTEs, suffixed so
+    stages compose without namespace collisions."""
+    return f"""
+    tk{s} AS MATERIALIZED (SELECT doc_id, text, n_trims, string_split(text, ' ') AS tk FROM {src}),
+    wins{s} AS MATERIALIZED (
+      SELECT doc_id, i, L, array_to_string(tk[i:i+L-1], ' ') AS w
+      FROM tk{s}, UNNEST(range(1, len(tk) + 1)) AS ri(i),
+                  UNNEST(range(1, len(tk) + 1)) AS rl(L)
+      WHERE i + L - 1 <= len(tk)),
+    wc{s} AS MATERIALIZED (SELECT w, L, COUNT(*) AS c FROM wins{s} GROUP BY w, L),
+    lrp{s} AS (
+      SELECT wins.doc_id, wins.i,
+             MAX(CASE WHEN wc.c >= 2 THEN wins.L ELSE 0 END) AS lr
+      FROM wins{s} wins JOIN wc{s} wc ON wins.w = wc.w AND wins.L = wc.L
+      GROUP BY wins.doc_id, wins.i),
+    best{s} AS (
+      SELECT doc_id, lr AS span, i FROM (
+        SELECT doc_id, lr, i,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lr DESC, i) AS rn
+        FROM lrp{s}) WHERE rn = 1),
+    docs{s} AS MATERIALIZED (
+      SELECT t.doc_id,
+             CASE WHEN b.span >= {EXACTSUBSTR_THRESHOLD}
+                  THEN COALESCE(array_to_string(
+                         list_concat(t.tk[1:b.i-1], t.tk[b.i+b.span:]), ' '), '')
+                  ELSE t.text END AS text,
+             t.n_trims + CASE WHEN b.span >= {EXACTSUBSTR_THRESHOLD} THEN 1 ELSE 0 END AS n_trims
+      FROM tk{s} t JOIN best{s} b USING (doc_id))"""
+
+
+def _fixpoint_oracle() -> str:
+    stages = ",".join(
+        _fixpoint_span_ctes(str(s), f"docs{s - 1}")
+        for s in range(1, MAX_TRIM_ROUNDS + 1)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+    w8 AS MATERIALIZED (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS w
+           FROM base, UNNEST(range(1, len(tk) - 6)) AS r(i)),
+    wcand AS (SELECT w FROM w8 GROUP BY w HAVING COUNT(*) >= 2),
+    cand AS (SELECT DISTINCT doc_id FROM w8 JOIN wcand USING (w)),
+    docs0 AS (SELECT b.doc_id, b.text, 0 AS n_trims FROM base b JOIN cand USING (doc_id)),
+    {stages},
+    tkF AS MATERIALIZED (SELECT doc_id, text, n_trims, string_split(text, ' ') AS tk
+            FROM docs{MAX_TRIM_ROUNDS}),
+    winsF AS MATERIALIZED (
+      SELECT doc_id, i, L, array_to_string(tk[i:i+L-1], ' ') AS w
+      FROM tkF, UNNEST(range(1, len(tk) + 1)) AS ri(i),
+                UNNEST(range(1, len(tk) + 1)) AS rl(L)
+      WHERE i + L - 1 <= len(tk)),
+    wcF AS (SELECT w, L, COUNT(*) AS c FROM winsF GROUP BY w, L),
+    spansF AS (
+      SELECT winsF.doc_id,
+             MAX(CASE WHEN wcF.c >= 2 THEN winsF.L ELSE 0 END) AS ms
+      FROM winsF JOIN wcF ON winsF.w = wcF.w AND winsF.L = wcF.L
+      GROUP BY winsF.doc_id)
+    SELECT t.doc_id, t.text AS trimmed_text,
+           CAST(t.n_trims AS BIGINT) AS n_trims,
+           CAST(s.ms AS BIGINT) AS final_span,
+           s.ms < {EXACTSUBSTR_THRESHOLD} AS converged
+    FROM tkF t JOIN spansF s USING (doc_id)
+    """
+
+
+@query(
+    "dedup_exact_substr_fixpoint",
+    _fixpoint_oracle(),
+    doc="ExactSubstr trimming iterated to FIXPOINT (Lee et al. 2022 "
+    "§4.1 as production runs it — RefinedWeb iterates until no span "
+    ">= threshold remains; dedup_exact_substr_trim is the one-pass "
+    "contract): a bounded driver loop re-runs the suffix-ranking "
+    "span detector and removes the leftmost maximal span each round, "
+    "early-exiting the moment a round finds nothing (identical to "
+    "running the full budget — trims past convergence are identity), "
+    "then reports per doc the fixpoint text, how many trims it took, "
+    "the final residual span, and a converged flag both engines "
+    "compute. Runs on the REPEAT-CANDIDATE subcorpus: docs holding "
+    "any 8-gram occurring >= 2 times corpus-wide — a linear explode+"
+    "count predicate that is CLOSED under span-sharing by pigeonhole "
+    "(every repeated span >= threshold contains an 8-gram shared by "
+    "both its sites, so every trim-relevant doc AND its twins are "
+    "candidates; trim decisions equal the full-corpus run's, while "
+    "the quadratic oracle pays only for candidate docs). Spans are "
+    "integers fully determined by token sequences, so the unrolled "
+    "3-stage DuckDB oracle agrees bit-for-bit, converged or not",
+)
+def dedup_exact_substr_fixpoint(spark, sf_dir):
+    from chiv_spark.operators.suffixes import max_repeated_spans
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # candidate predicate: shares the dedup_repeated_ngrams window
+    # shape (size guard: sequence() DESCENDS below 8 tokens)
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= 8
+    )
+    wins = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 7),"
+                " i -> array_join(slice(tk, i, 8), ' '))"
+            )
+        ).alias("w"),
+    )
+    wc = wins.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    cand = wins.join(wc.filter(F.col("c") >= 2), "w").select("doc_id").distinct()
+    hit = F.col("max_rep_span") >= EXACTSUBSTR_THRESHOLD
+    final_cols = [
+        F.col("doc_id"),
+        F.col("text").alias("trimmed_text"),
+        F.col("n_trims").cast("long").alias("n_trims"),
+        F.col("max_rep_span").cast("long").alias("final_span"),
+        (~hit).alias("converged"),
+    ]
+    # the candidate corpus is re-consumed every round: pin it once
+    cur = (
+        docs.join(cand, "doc_id")
+        .withColumn("n_trims", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_TRIM_ROUNDS):
+        spans = max_repeated_spans(
+            cur.select("doc_id", "text"), scratch_dir=_suffix_scratch()
+        )
+        cur = cur.join(
+            spans.select("doc_id", "max_rep_span", "span_pos"), "doc_id"
+        ).localCheckpoint(eager=True)
+        if cur.filter(hit).limit(1).count() == 0:
+            # fixpoint reached: the remaining budget is identity and
+            # this round's spans ARE the final residual spans
+            return cur.select(*final_cols)
+        cur = cur.withColumn("tk", F.split("text", " ")).select(
+            "doc_id",
+            F.when(
+                hit,
+                F.array_join(
+                    F.expr(
+                        "filter(tk, (x, idx) ->"
+                        " idx < span_pos OR idx >= span_pos + max_rep_span)"
+                    ),
+                    " ",
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            (F.col("n_trims") + hit.cast("int")).alias("n_trims"),
+        )
+    # budget exhausted with the last round still trimming: one final
+    # detector pass reports the residual spans / converged=false rows
+    spans = max_repeated_spans(
+        cur.select("doc_id", "text"), scratch_dir=_suffix_scratch()
+    )
+    return cur.join(spans.select("doc_id", "max_rep_span"), "doc_id").select(
+        *final_cols
+    )
+
+
+# --------------------------------------------------------------------------
 # text_bpe_encode — apply the learned merge table corpus-wide (r6
 # verdict task 4: text_bpe_first_merges learns merges but nothing
 # applied them — this is the step every real pipeline runs between

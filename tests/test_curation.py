@@ -287,3 +287,67 @@ def test_bpe_apply_rejects_multichar_merge_operands(spark):
     bad = df.select(bpe_apply(bpe_wrap("text"), F.array(F.lit("abc"))).alias("x"))
     with pytest.raises(Exception, match="bpe_apply"):
         bad.collect()
+
+
+class TestExactSubstrFixpoint:
+    """dedup_exact_substr_fixpoint semantic contracts the value-hash
+    sweep can't isolate: multi-round trimming (a doc needing >= 2
+    trims reaches fixpoint), the one-span-per-doc-per-round argmax,
+    cross-doc interaction (a twin removed in an earlier round stops
+    later trims), and the candidate-subcorpus restriction."""
+
+    def _sf(self, spark, tmp_path):
+        s = " ".join(f"s{i}" for i in range(10))   # repeated span 1
+        u = " ".join(f"u{i}" for i in range(10))   # repeated span 2
+        v = " ".join(f"v{i}" for i in range(11))   # longer span in C/D
+        rows = [
+            (1, f"a1 a2 {s} b1 b2 {u} c1 c2"),     # two disjoint spans
+            (2, f"x1 {s} x2"),                     # twin of s
+            (3, f"{u} z1 z2 {v}"),                  # u-copy + LONGER v
+            (4, f"w1 {v} w2"),                     # twin of v
+            (5, "solo words nothing repeated here at all ok fine"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return str(tmp_path)
+
+    def test_two_trim_doc_reaches_fixpoint(self, spark, tmp_path):
+        sf = self._sf(spark, tmp_path)
+        out = {
+            r.doc_id: r
+            for r in REGISTRY["dedup_exact_substr_fixpoint"].fn(spark, sf).collect()
+        }
+        # doc 5 has no repeated 8-gram: not a candidate, not in output
+        assert set(out) == {1, 2, 3, 4}
+        # round 1 trims A's LEFTMOST max span (s) and C's argmax (v,
+        # longer than its u); round 2 trims u from BOTH A and C
+        # simultaneously (spans are computed before either removal)
+        a, b, c, d = out[1], out[2], out[3], out[4]
+        assert (a.n_trims, a.trimmed_text) == (2, "a1 a2 b1 b2 c1 c2")
+        assert (b.n_trims, b.trimmed_text) == (1, "x1 x2")
+        assert (c.n_trims, c.trimmed_text) == (2, "z1 z2")
+        assert (d.n_trims, d.trimmed_text) == (1, "w1 w2")
+        assert all(r.converged and r.final_span == 0 for r in out.values())
+
+    def test_twin_removed_earlier_blocks_later_trim(self, spark, tmp_path):
+        # without doc 4, C's argmax in round 1 IS u (v unrepeated), so
+        # C loses u immediately — and A's u-span then has no surviving
+        # twin in round 2: A trims only once and converges
+        s = " ".join(f"s{i}" for i in range(10))
+        u = " ".join(f"u{i}" for i in range(10))
+        rows = [
+            (1, f"a1 a2 {s} b1 b2 {u} c1 c2"),
+            (2, f"x1 {s} x2"),
+            (3, f"{u} z1 z2"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = {
+            r.doc_id: r
+            for r in REGISTRY["dedup_exact_substr_fixpoint"].fn(spark, str(tmp_path)).collect()
+        }
+        assert out[1].n_trims == 1 and "u0" in out[1].trimmed_text
+        assert out[3].n_trims == 1 and out[3].trimmed_text == "z1 z2"
+        assert all(r.converged for r in out.values())
