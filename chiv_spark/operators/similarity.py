@@ -1214,3 +1214,110 @@ def ivfpq_topk(
             F.col("d2").cast("long").alias("exact_d2"),
         )
     )
+
+
+def ivfpq_search_index(
+    emb: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 32,
+    n_queries: int = 10,
+    n_probes: int = 6,
+    r_candidates: int = 50,
+) -> DataFrame:
+    """IVFADC search against a PERSISTED index: the probe tail of
+    :func:`ivfpq_topk` (probes → ADC LUTs → candidate scan → exact
+    re-rank), but with the codes RELATION and frozen artifacts passed
+    in instead of derived inline — what a production query node runs
+    against the index the streaming fold (streaming/ann_index.py)
+    maintains on disk. ``codes`` is (vec_id, cell, sub, code, ...),
+    typically ``read_codes_pruned`` over the probed cells, so
+    partition pruning and tombstone deletion apply between index and
+    search without this function knowing. Expression-identical to
+    ivfpq_topk's tail: same (d2c, cell) / (adc_d2, vec_id) /
+    (d2, vec_id) total orders, exact integer math throughout."""
+    sw = dim // m
+    micro = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
+    )
+    qex = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.posexplode(micro).alias("pos", "xm")
+    )
+    cd = (
+        qex.join(F.broadcast(cents), "pos")
+        .groupBy("qid", "cell")
+        .agg(F.sum((F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))).alias("d2c"))
+    )
+    w_cell = Window.partitionBy("qid").orderBy("d2c", "cell")
+    probes = (
+        cd.withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= n_probes)
+        .select("qid", "cell")
+    )
+    qrx = (
+        qex.join(probes, "qid")
+        .join(F.broadcast(cents), ["cell", "pos"])
+        .select(
+            "qid",
+            "cell",
+            (F.col("pos") / sw).cast("int").alias("sub"),
+            (F.col("pos") % sw).cast("int").alias("dsub"),
+            (F.col("xm") - F.col("cm")).alias("rm"),
+        )
+    )
+    qrsub = qrx.groupBy("qid", "cell", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dsub", "rm"))), lambda s: s["rm"]
+        ).alias("vsub")
+    )
+    d2 = F.aggregate(
+        F.zip_with("vsub", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lut = qrsub.join(F.broadcast(cb), "sub").select(
+        "qid", "cell", "sub", "c", d2.alias("qd2")
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.cell == lut.cell) & (codes.sub == lut.sub) & (codes.code == lut.c),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("adc_d2"))
+    )
+    w_adc = Window.partitionBy("qid").orderBy("adc_d2", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= r_candidates)
+        .select("qid", "vec_id")
+    )
+    vm = emb.select("vec_id", micro.alias("vm"))
+    qm = vm.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("vm").alias("qv")
+    )
+    exact_d2 = F.aggregate(
+        F.zip_with("qv", "vm", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rer = (
+        cand.join(vm, "vec_id")
+        .join(F.broadcast(qm), "qid")
+        .select("qid", "vec_id", exact_d2.alias("d2"))
+    )
+    w_fin = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w_fin))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("d2").cast("long").alias("exact_d2"),
+        )
+    )
