@@ -97,6 +97,40 @@ def _dense_rank_by(rel: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     return assign_global_row_ids(rel.select(*cols).distinct(), cols, id_col=id_col)
 
 
+#: per-process uniquifier for scratch subdirectories — see
+#: :func:`scratch_subdir`
+_SCRATCH_SEQ = None
+
+
+def scratch_subdir(root: str) -> str:
+    """A unique per-invocation subdirectory path under ``root`` for
+    round-table spills. Pure string construction (no local mkdir), so
+    ``root`` may be a remote filesystem URI (hdfs://, s3a://) — the
+    parquet writer creates it; r11 ADVICE: the previous
+    tempfile.mkdtemp route crashed on remote roots and never cleaned
+    up. Uniqueness = (pid, in-process counter): two calls — even two
+    suffix_rank_tables invocations sharing one root, which previously
+    OVERWROTE each other's still-lazily-referenced round tables — can
+    never collide. Local subdirs are best-effort removed at process
+    exit (the tables are consumed lazily downstream, so earlier
+    cleanup would break reads); remote roots are left to the store's
+    lifecycle policy."""
+    global _SCRATCH_SEQ
+    if _SCRATCH_SEQ is None:
+        import itertools
+
+        _SCRATCH_SEQ = itertools.count()
+    import os
+
+    sub = f"{root.rstrip('/')}/sfx-{os.getpid()}-{next(_SCRATCH_SEQ)}"
+    if "://" not in sub:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, sub, True)
+    return sub
+
+
 def _pin(df: DataFrame, scratch_dir: str | None, name: str) -> DataFrame:
     """Materialize a round table so both its consumers (next round +
     LCP descent) read a computed result, not a recomputation of every
@@ -127,7 +161,12 @@ def suffix_rank_tables(
     :func:`_pin` (consumed twice: next round + LCP descent) —
     executor localCheckpoint by default, parquet under
     ``scratch_dir`` for the bounded-executor-storage 100 TB path.
+    ``scratch_dir`` is a ROOT that may be shared across calls — each
+    invocation spills under its own :func:`scratch_subdir`, so the
+    fixed per-round table names can never collide (r11 ADVICE).
     """
+    if scratch_dir is not None:
+        scratch_dir = scratch_subdir(scratch_dir)
     n_pos, maxlen = (
         positions.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("dl"))

@@ -582,17 +582,17 @@ EXACTSUBSTR_THRESHOLD = 10
 def _suffix_scratch() -> str | None:
     """Scratch root for the suffix ranker's round-table spill
     (operators/suffixes.py _pin): unset -> executor localCheckpoint
-    pinning (test scale); CHIV_SUFFIX_SCRATCH=<dir> -> each round
-    table spills to a fresh parquet subdir there — the bounded-
-    executor-storage path a 100 TB run needs, selectable without a
-    code change so the full oracle sweep can exercise it."""
+    pinning (test scale); CHIV_SUFFIX_SCRATCH=<root> -> round tables
+    spill to parquet under a per-invocation unique subdir of the root
+    (suffixes.scratch_subdir) — the bounded-executor-storage path a
+    100 TB run needs, selectable without a code change so the full
+    oracle sweep can exercise it. The root passes through VERBATIM
+    (no local mkdtemp — r11 ADVICE), so it may be a remote filesystem
+    URI (hdfs://, s3a://); uniquification + local-path cleanup happen
+    inside the operators that consume it."""
     import os
-    import tempfile
 
-    root = os.environ.get("CHIV_SUFFIX_SCRATCH")
-    if not root:
-        return None
-    return tempfile.mkdtemp(prefix="suffix-rounds-", dir=root)
+    return os.environ.get("CHIV_SUFFIX_SCRATCH") or None
 
 
 @query(
@@ -811,7 +811,16 @@ def _fixpoint_oracle() -> str:
     "3-stage DuckDB oracle agrees bit-for-bit, converged or not",
 )
 def dedup_exact_substr_fixpoint(spark, sf_dir):
-    from chiv_spark.operators.suffixes import max_repeated_spans
+    from chiv_spark.operators.suffixes import _pin, max_repeated_spans, scratch_subdir
+
+    # candidate-subcorpus pins honor the same scratch escape as the
+    # suffix round tables (r11 verdict task 7): with
+    # CHIV_SUFFIX_SCRATCH set, the per-round localCheckpoint of the
+    # repeat-candidate corpus moves to parquet under a unique subdir —
+    # for corpora where the candidate set is itself too large for
+    # executor block storage
+    scratch_root = _suffix_scratch()
+    cand_scratch = scratch_subdir(scratch_root) if scratch_root else None
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     # candidate predicate: shares the dedup_repeated_ngrams window
@@ -839,18 +848,20 @@ def dedup_exact_substr_fixpoint(spark, sf_dir):
         (~hit).alias("converged"),
     ]
     # the candidate corpus is re-consumed every round: pin it once
-    cur = (
-        docs.join(cand, "doc_id")
-        .withColumn("n_trims", F.lit(0))
-        .localCheckpoint(eager=True)
+    cur = _pin(
+        docs.join(cand, "doc_id").withColumn("n_trims", F.lit(0)),
+        cand_scratch,
+        "cand_r0",
     )
-    for _ in range(MAX_TRIM_ROUNDS):
+    for _round in range(MAX_TRIM_ROUNDS):
         spans = max_repeated_spans(
-            cur.select("doc_id", "text"), scratch_dir=_suffix_scratch()
+            cur.select("doc_id", "text"), scratch_dir=scratch_root
         )
-        cur = cur.join(
-            spans.select("doc_id", "max_rep_span", "span_pos"), "doc_id"
-        ).localCheckpoint(eager=True)
+        cur = _pin(
+            cur.join(spans.select("doc_id", "max_rep_span", "span_pos"), "doc_id"),
+            cand_scratch,
+            f"cand_spans_r{_round}",
+        )
         if cur.filter(hit).limit(1).count() == 0:
             # fixpoint reached: the remaining budget is identity and
             # this round's spans ARE the final residual spans
@@ -873,9 +884,7 @@ def dedup_exact_substr_fixpoint(spark, sf_dir):
         )
     # budget exhausted with the last round still trimming: one final
     # detector pass reports the residual spans / converged=false rows
-    spans = max_repeated_spans(
-        cur.select("doc_id", "text"), scratch_dir=_suffix_scratch()
-    )
+    spans = max_repeated_spans(cur.select("doc_id", "text"), scratch_dir=scratch_root)
     return cur.join(spans.select("doc_id", "max_rep_span"), "doc_id").select(
         *final_cols
     )

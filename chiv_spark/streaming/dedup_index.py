@@ -121,12 +121,30 @@ def write_tombstones(
         else spark.createDataFrame([(int(d),) for d in doc_ids], f"{id_col} bigint")
     )
     if thru is None:
-        try:
-            thru_row = (
-                spark.read.parquet(index_dir).agg(F.max("src_batch")).collect()[0][0]
-            )
-        except Exception:
+        # missing/empty index -> the delete can only see the seed
+        # generation; ANY OTHER read failure must RAISE (r11 ADVICE: a
+        # swallowed transient IO error would silently scope a
+        # GDPR-style delete to (-2,-1] and leave the id visible in
+        # every streamed generation — the deletion primitive must
+        # never fail open)
+        import os
+
+        if not os.path.isdir(index_dir):
             thru_row = None
+        else:
+            from pyspark.errors import AnalysisException
+
+            try:
+                thru_row = (
+                    spark.read.parquet(index_dir)
+                    .agg(F.max("src_batch"))
+                    .collect()[0][0]
+                )
+            except AnalysisException:
+                # dir exists but holds no readable parquet yet (index
+                # root created, first generation not committed) — the
+                # same "nothing visible" state as a missing dir
+                thru_row = None
         thru = int(thru_row) if thru_row is not None else SEED_BATCH
     (
         rel.selectExpr(f"CAST({id_col} AS BIGINT) AS doc_id")
@@ -146,7 +164,17 @@ def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     d = _tombstone_dir(index_dir)
     if not os.path.isdir(d):
         return None
-    return spark.read.parquet(d).select("doc_id", "frm", "thru").distinct()
+    rel = spark.read.parquet(d)
+    # legacy (pre-generation-scoped) tombstone files carry doc_id only
+    # (r11 ADVICE: selecting frm/thru would raise on such an index and
+    # break every read until a manual migration) — default them to the
+    # widest scope, which is exactly the old semantics: suppress the
+    # id in every generation
+    if "frm" not in rel.columns:
+        rel = rel.withColumn("frm", F.lit(int(SEED_BATCH - 1)).cast("long"))
+    if "thru" not in rel.columns:
+        rel = rel.withColumn("thru", F.lit((1 << 62)).cast("long"))
+    return rel.select("doc_id", "frm", "thru").distinct()
 
 
 def anti_join_tombstones(rel: DataFrame, tomb: DataFrame, id_col: str) -> DataFrame:

@@ -351,3 +351,41 @@ class TestExactSubstrFixpoint:
         assert out[1].n_trims == 1 and "u0" in out[1].trimmed_text
         assert out[3].n_trims == 1 and out[3].trimmed_text == "z1 z2"
         assert all(r.converged for r in out.values())
+
+    def test_candidate_pins_spill_to_scratch(self, spark, tmp_path, monkeypatch):
+        """r11 verdict task 7: with CHIV_SUFFIX_SCRATCH set, the
+        per-round candidate-corpus pins (cand_r0 / cand_spans_rN) move
+        from executor localCheckpoint to parquet under a unique subdir
+        of the scratch root — same results, bounded executor storage
+        even when the repeat-candidate set is itself large."""
+        import os
+
+        sf = self._sf(spark, tmp_path)
+        plain = {
+            tuple(r)
+            for r in REGISTRY["dedup_exact_substr_fixpoint"].fn(spark, sf).collect()
+        }
+        scratch = str(tmp_path / "scratch")
+        monkeypatch.setenv("CHIV_SUFFIX_SCRATCH", scratch)
+        spilled = {
+            tuple(r)
+            for r in REGISTRY["dedup_exact_substr_fixpoint"].fn(spark, sf).collect()
+        }
+        assert spilled == plain
+        subs = [d for d in os.listdir(scratch) if d.startswith("sfx-")]
+        # one subdir holds the candidate pins; the detector passes
+        # spill their round tables under their own subdirs
+        cand_dirs = {
+            name
+            for s in subs
+            for name in os.listdir(os.path.join(scratch, s))
+            if name.startswith("cand_")
+        }
+        assert "cand_r0" in cand_dirs and any(
+            n.startswith("cand_spans_r") for n in cand_dirs
+        )
+        assert any(
+            name.startswith("rank_")
+            for s in subs
+            for name in os.listdir(os.path.join(scratch, s))
+        )

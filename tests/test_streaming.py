@@ -543,6 +543,53 @@ class TestIndexLayout:
         assert read_tombstones(spark, index_dir) is None  # consumed
         assert pairs_now() == set()  # still gone post-compaction
 
+    def test_legacy_unscoped_tombstones_still_read(self, spark, tmp_path):
+        """r11 ADVICE: tombstone files written by the pre-generation-
+        scoped code carry doc_id only; reads must tolerate them by
+        defaulting to the widest scope (suppress in every generation —
+        exactly the old semantics), not raise AnalysisException."""
+        from pyspark.sql import functions as F
+
+        from chiv_spark.streaming.dedup_index import (
+            anti_join_tombstones,
+            read_tombstones,
+        )
+
+        index_dir = str(tmp_path / "idx")
+        rows = spark.range(0, 6).selectExpr(
+            "id AS doc_id", "CAST(id * 3 AS LONG) AS bh"
+        )
+        rows.withColumn("pb", F.lit(0)).withColumn(
+            "src_batch", F.lit(4)
+        ).write.partitionBy("pb", "src_batch").parquet(index_dir)
+        # legacy layout: one column, no frm/thru
+        spark.createDataFrame([(2,), (5,)], "doc_id bigint").coalesce(
+            1
+        ).write.parquet(str(tmp_path / "idx" / "_tombstones"))
+        tomb = read_tombstones(spark, index_dir)
+        assert set(tomb.columns) == {"doc_id", "frm", "thru"}
+        kept = anti_join_tombstones(
+            spark.read.parquet(index_dir), tomb, "doc_id"
+        )
+        assert {r.doc_id for r in kept.collect()} == {0, 1, 3, 4}
+
+    def test_default_thru_on_missing_or_empty_index(self, spark, tmp_path):
+        """r11 ADVICE: the default-thru read distinguishes 'no index
+        visible yet' (missing dir / no parquet committed -> scope to
+        the seed generation) from genuine read failures, which must
+        raise instead of silently under-scoping a deletion."""
+        from chiv_spark.streaming.dedup_index import (
+            SEED_BATCH,
+            read_tombstones,
+            write_tombstones,
+        )
+
+        missing = str(tmp_path / "never-written")
+        write_tombstones(spark, missing, [3])
+        tomb = read_tombstones(spark, missing)
+        row = tomb.collect()[0]
+        assert (row.doc_id, row.frm, row.thru) == (3, SEED_BATCH - 1, SEED_BATCH)
+
     def test_tombstone_scope_allows_reingest(self, spark, tmp_path):
         """Generation-scoped tombstones (r10 ADVICE): a delete only
         suppresses rows folded up to the index watermark it saw; the

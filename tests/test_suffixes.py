@@ -157,8 +157,22 @@ class TestScratchSpill:
             for r in max_repeated_spans(df, scratch_dir=scratch).collect()
         }
         assert spilled == plain
-        dirs = sorted(d for d in os.listdir(scratch) if d.startswith("rank_"))
+        # the call spilled under its own unique subdir of the shared
+        # root (r11 ADVICE: two calls sharing a root must never
+        # overwrite each other's round tables)
+        subs = sorted(d for d in os.listdir(scratch) if d.startswith("sfx-"))
+        assert len(subs) == 1
+        dirs = sorted(
+            d
+            for d in os.listdir(os.path.join(scratch, subs[0]))
+            if d.startswith("rank_")
+        )
         assert "rank_L1" in dirs and len(dirs) >= 3  # L1 + doubling rounds
+        # a second call on the SAME root lands in a fresh subdir and
+        # leaves the first call's tables untouched
+        max_repeated_spans(df, scratch_dir=scratch).count()
+        subs2 = sorted(d for d in os.listdir(scratch) if d.startswith("sfx-"))
+        assert len(subs2) == 2 and subs[0] in subs2
         tables, _ = suffix_rank_tables(
             token_positions(df), scratch_dir=str(tmp_path / "r2")
         )

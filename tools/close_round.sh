@@ -26,7 +26,14 @@ REG_COUNT=$(python -c "from chiv_spark.queries import REGISTRY; print(len(REGIST
 echo "== registry: ${REG_COUNT} queries" >&2
 
 echo "== 1/4 pytest" >&2
-python -m pytest tests/ -q
+# Measured suite time: ~15 min uncontended at r11 (398 tests), and it
+# degrades badly under CPU contention (an r10 close saw a `timeout
+# 1200` wrapper kill it at 92% while sf0.1 oracles ran concurrently).
+# Run this script with NOTHING else on the box and under NO outer
+# timeout shorter than the explicit 3600 s ceiling below — the
+# ceiling exists only so a hung JVM can't wedge the close forever,
+# not as a performance budget (r10 verdict task 8).
+timeout 3600 python -m pytest tests/ -q
 
 sweep() {  # sweep <sf_dir> <artifact>
   local sf_dir="$1" out="$2"
