@@ -1216,30 +1216,20 @@ def ivfpq_topk(
     )
 
 
-def ivfpq_search_index(
+def ivfpq_query_probes(
     emb: DataFrame,
     cents: DataFrame,
-    cb: DataFrame,
-    codes: DataFrame,
-    k: int = 5,
-    dim: int = 64,
-    m: int = 32,
     n_queries: int = 10,
     n_probes: int = 6,
-    r_candidates: int = 50,
-) -> DataFrame:
-    """IVFADC search against a PERSISTED index: the probe tail of
-    :func:`ivfpq_topk` (probes → ADC LUTs → candidate scan → exact
-    re-rank), but with the codes RELATION and frozen artifacts passed
-    in instead of derived inline — what a production query node runs
-    against the index the streaming fold (streaming/ann_index.py)
-    maintains on disk. ``codes`` is (vec_id, cell, sub, code, ...),
-    typically ``read_codes_pruned`` over the probed cells, so
-    partition pruning and tombstone deletion apply between index and
-    search without this function knowing. Expression-identical to
-    ivfpq_topk's tail: same (d2c, cell) / (adc_d2, vec_id) /
-    (d2, vec_id) total orders, exact integer math throughout."""
-    sw = dim // m
+) -> tuple[DataFrame, DataFrame]:
+    """(qex, probes) for an IVFADC search against frozen centroids:
+    the query-side integer-micro expansion ``(qid, pos, xm)`` and
+    each query's ``n_probes`` nearest cells ``(qid, cell)`` by exact
+    integer L2 against the broadcast centroids — the same (d2c, cell)
+    total order as :func:`ivfpq_topk`. Exposed separately so a caller
+    can collect the DISTINCT probed cells (bounded by n_cells — the
+    cdc.py touched-bucket precedent) and hand ``read_codes_pruned``
+    exactly the index partitions this query set will scan."""
     micro = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
     )
@@ -1257,6 +1247,40 @@ def ivfpq_search_index(
         .filter(F.col("rn") <= n_probes)
         .select("qid", "cell")
     )
+    return qex, probes
+
+
+def ivfpq_search_index(
+    emb: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 32,
+    n_queries: int = 10,
+    n_probes: int = 6,
+    r_candidates: int = 50,
+) -> DataFrame:
+    """IVFADC search against a PERSISTED index: the probe tail of
+    :func:`ivfpq_topk` (probes → ADC LUTs → candidate scan → exact
+    re-rank), but with the codes RELATION and frozen artifacts passed
+    in instead of derived inline — what a production query node runs
+    against the index the streaming fold (streaming/ann_index.py)
+    maintains on disk. ``codes`` is per-sub (vec_id, cell, sub, code,
+    ...) — the write_codes_generation layout — typically
+    ``read_codes_pruned`` over the probed cells, so partition pruning
+    and tombstone deletion apply between index and search without
+    this function knowing (the ann_delete_then_probe registry row is
+    exactly that composition). Expression-identical to ivfpq_topk's
+    tail: same (d2c, cell) / (adc_d2, vec_id) / (d2, vec_id) total
+    orders, exact integer math throughout — pinned by
+    tests/test_streaming.py::TestSearchIndex."""
+    sw = dim // m
+    micro = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
+    )
+    qex, probes = ivfpq_query_probes(emb, cents, n_queries, n_probes)
     qrx = (
         qex.join(probes, "qid")
         .join(F.broadcast(cents), ["cell", "pos"])

@@ -1875,6 +1875,134 @@ def ann_ivfpq_incremental_recall(spark, sf_dir):
     )
 
 
+def _ann_del_where(c: str) -> str:
+    """SQL form of the deterministic deletion fate over column ``c``:
+    a 1-in-5 stable-hash slice of the corpus, query vectors (vec_id <
+    10) kept searchable."""
+    h = duckdb_hash64(f"'annd:' || {c}::VARCHAR")
+    return f"({h} % 5 = 0 AND {c} >= 10)"
+
+
+def _ann_del_pred(c="vec_id"):
+    return (
+        hash64(F.concat(F.lit("annd:"), F.col(c).cast("string"))) % 5 == 0
+    ) & (F.col(c) >= 10)
+
+
+def _ann_delete_then_probe_oracle() -> str:
+    """Both probe phases of the delete-then-probe lifecycle over one
+    shared artifact/codes prefix: 'before' searches the full codes
+    index, 'after' searches it minus the deleted slice — exactly what
+    the tombstone anti-join leaves read_codes_pruned."""
+    tail = """
+    adc{p} AS (SELECT l.qid, v.vec_id, SUM(l.qd2) AS adc_d2
+            FROM codes{p} v JOIN lut l ON l.cell = v.cell AND l.sub = v.sub AND l.c = v.code
+            WHERE v.vec_id != l.qid
+            GROUP BY l.qid, v.vec_id),
+    cand{p} AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rn
+               FROM adc{p}) WHERE rn <= 50),
+    rer{p} AS (SELECT cnd.qid, cnd.vec_id, SUM((q.xm - v.xm) * (q.xm - v.xm)) AS d2
+            FROM cand{p} cnd
+            JOIN ex q ON q.vec_id = cnd.qid
+            JOIN ex v ON v.vec_id = cnd.vec_id AND v.pos = q.pos
+            GROUP BY cnd.qid, cnd.vec_id),
+    top{p} AS (SELECT qid, vec_id, d2, rank FROM (
+              SELECT qid, vec_id, d2,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank
+              FROM rer{p}) WHERE rank <= 5)"""
+    return f"""
+    WITH {_ivfpq_frozen_ctes("TRUE")},
+    probes AS (SELECT vec_id AS qid, cell FROM (
+                 SELECT vec_id, cell,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2c, cell) AS rn
+                 FROM cd WHERE vec_id < 10) WHERE rn <= 6),
+    qrx AS (SELECT x.vec_id AS qid, p.cell,
+                   CAST(x.pos // 2 AS INT) AS sub, CAST(x.pos % 2 AS INT) AS dsub,
+                   x.xm - c.cm AS rm
+            FROM ex x JOIN probes p ON p.qid = x.vec_id
+            JOIN cents c ON c.cell = p.cell AND c.pos = x.pos),
+    lut AS (SELECT q.qid, q.cell, q.sub, c.c, SUM((q.rm - c.cm) * (q.rm - c.cm)) AS qd2
+            FROM qrx q JOIN cb1 c ON c.sub = q.sub AND c.dsub = q.dsub
+            GROUP BY q.qid, q.cell, q.sub, c.c),
+    codesb AS (SELECT * FROM codes),
+    codesa AS (SELECT * FROM codes WHERE NOT {_ann_del_where("vec_id")}),
+    {tail.format(p="b")},
+    {tail.format(p="a")},
+    res AS (
+      SELECT 'before' AS phase, qid, vec_id, rank, d2 FROM topb
+      UNION ALL
+      SELECT 'after' AS phase, qid, vec_id, rank, d2 FROM topa)
+    SELECT phase, qid AS query_id, vec_id AS neighbor_id,
+           CAST(rank AS INTEGER) AS rank, CAST(d2 AS BIGINT) AS exact_d2,
+           (phase = 'before' OR NOT {_ann_del_where("vec_id")}) AS ok
+    FROM res
+    """
+
+
+@query(
+    "ann_delete_then_probe",
+    _ann_delete_then_probe_oracle(),
+    doc="the deletion lifecycle of the PERSISTED vector index as a "
+    "query (r10 verdict task 7 / r11 task 2): train IVFPQ artifacts "
+    "on the corpus, persist the per-sub codes index under (cell, "
+    "src_batch) directory partitions (write_codes_generation), probe "
+    "it with ivfpq_search_index over read_codes_pruned (partition-"
+    "pruned scan of exactly the cells the query set probes), then "
+    "delete_vectors a deterministic 1-in-5 stable-hash slice and "
+    "re-probe THROUGH THE TOMBSTONES — no rewrite, no re-encode. "
+    "Emits both phases' exact-re-ranked top-5 plus an ok gate: no "
+    "post-delete neighbor may be a deleted id (the integer set-"
+    "difference contract; the oracle computes 'after' by filtering "
+    "the codes relation, which is precisely what the tombstone "
+    "anti-join leaves the scan). Integer end-to-end, fully "
+    "hash-matched; search-vs-inline expression identity is pinned by "
+    "tests/test_streaming.py::TestSearchIndex",
+)
+def ann_delete_then_probe(spark, sf_dir):
+    from chiv_spark.streaming.ann_index import (
+        delete_vectors,
+        read_codes_pruned,
+        write_codes_generation,
+        write_ivfpq_artifacts,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="chiv-anndel-")
+    art, codes_dir = f"{work}/artifacts", f"{work}/codes"
+    write_ivfpq_artifacts(emb, art, dim=EMB_DIM)
+    cents = spark.read.parquet(f"{art}/cents")
+    cb = spark.read.parquet(f"{art}/codebook")
+    write_codes_generation(
+        similarity.ivfpq_encode_against(emb, cents, cb, dim=EMB_DIM), codes_dir, 0
+    )
+    # the DISTINCT probed cells — bounded collect (≤ n_cells values,
+    # the touched-bucket precedent) — drive the pruned index scan
+    _, probes = similarity.ivfpq_query_probes(emb, cents)
+    cells = sorted(r.cell for r in probes.select("cell").distinct().collect())
+
+    def probe():
+        return similarity.ivfpq_search_index(
+            emb, cents, cb, read_codes_pruned(spark, codes_dir, cells), dim=EMB_DIM
+        )
+
+    before = probe()
+    delete_vectors(spark, codes_dir, emb.filter(_ann_del_pred()).select("vec_id"))
+    after = probe()
+    both = before.withColumn("phase", F.lit("before")).unionByName(
+        after.withColumn("phase", F.lit("after"))
+    )
+    return both.select(
+        "phase",
+        "query_id",
+        "neighbor_id",
+        "rank",
+        "exact_d2",
+        ((F.col("phase") == "before") | ~_ann_del_pred("neighbor_id")).alias("ok"),
+    )
+
+
 # ---------------------------------------------------------- multimodal
 
 

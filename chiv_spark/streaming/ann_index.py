@@ -44,6 +44,41 @@ OUT_COLS = ["vec_id", "cell", "q_err"]
 OUT_SCHEMA = "vec_id bigint, cell bigint, q_err bigint"
 
 
+def write_codes_generation(codes: DataFrame, codes_dir: str, batch_id: int) -> None:
+    """Persist one generation of PER-SUB code rows (vec_id, sub, code,
+    qerr) under (cell, src_batch) directory partitions with dynamic
+    overwrite — the replay-idempotency contract of
+    dedup_index.write_index_generation on the ANN layout.
+
+    Per-sub rows (not the per-vector q_err aggregate the fold
+    previously stored — r11 ADVICE): the ADC probe joins on
+    (cell, sub, code), so a SEARCHABLE index must persist the m code
+    bytes per vector. ivfpq_search_index over read_codes_pruned runs
+    directly against this layout; per-vector aggregates are derived
+    at read time."""
+    (
+        codes.select(
+            "vec_id", "sub", "code", "qerr", F.col("cell").cast("long").alias("cell")
+        )
+        .withColumn("src_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "src_batch")
+        .parquet(codes_dir)
+    )
+
+
+def agg_code_errors(rel: DataFrame) -> DataFrame:
+    """(vec_id, cell, q_err): the per-vector quantization-error view
+    of a per-sub codes relation — what the drift report and the
+    incremental registry rows consume."""
+    return (
+        rel.groupBy("vec_id", "cell")
+        .agg(F.sum("qerr").cast("long").alias("q_err"))
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "q_err")
+    )
+
+
 def write_ivfpq_artifacts(
     base_emb: DataFrame, art_dir: str, dim: int, **kw
 ) -> None:
@@ -138,16 +173,7 @@ def ivfpq_fold_stream(
         cents = spark.read.parquet(f"{art_dir}/cents")
         cb = spark.read.parquet(f"{art_dir}/codebook")
         codes = similarity.ivfpq_encode_against(delta, cents, cb, dim=dim, m=m)
-        (
-            codes.groupBy("vec_id", "cell")
-            .agg(F.sum("qerr").cast("long").alias("q_err"))
-            .select("vec_id", F.col("cell").cast("long").alias("cell"), "q_err")
-            .withColumn("src_batch", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell", "src_batch")
-            .parquet(codes_dir)
-        )
+        write_codes_generation(codes, codes_dir, batch_id)
 
     q = (
         emb_stream.writeStream.foreachBatch(_apply)
@@ -172,4 +198,4 @@ def ivfpq_fold_stream(
     tomb = read_tombstones(spark, codes_dir)
     if tomb is not None:
         rel = anti_join_tombstones(rel, tomb, "vec_id")
-    return rel.select(*OUT_COLS)
+    return agg_code_errors(rel)

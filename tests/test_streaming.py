@@ -951,6 +951,38 @@ class TestAnnIndexDeletion:
             == 1
         )
 
+    def test_persisted_codes_are_searchable_per_sub(self, spark, tmp_path):
+        """r11 ADVICE: the fold persists PER-SUB code rows (vec_id,
+        sub, code, qerr) — the layout ivfpq_search_index's ADC join
+        needs — not only the per-vector q_err aggregate."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from chiv_spark.streaming.ann_index import ivfpq_fold_stream
+
+        rows = [
+            (i, [round(math.sin(i * 7.3 + d) * 0.9, 6) for d in range(4)])
+            for i in range(20)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        delta_pred = F.col("vec_id") >= 15
+        src = tmp_path / "src"
+        emb.write.parquet(str(src))
+        stream = spark.readStream.schema(emb.schema).parquet(str(src))
+        work = tmp_path / "work"
+        ivfpq_fold_stream(
+            spark, emb.filter(~delta_pred), stream, str(work),
+            delta_predicate=delta_pred, dim=4, m=2,
+        )
+        persisted = spark.read.parquet(str(work / "codes"))
+        assert {"vec_id", "sub", "code", "qerr", "cell", "src_batch"} <= set(
+            persisted.columns
+        )
+        # m=2 subspaces -> two rows per arriving vector
+        assert persisted.count() == 10
+        assert {r.sub for r in persisted.select("sub").distinct().collect()} == {0, 1}
+
     def test_fold_stream_return_applies_pending_deletes(self, spark, tmp_path):
         """r10 ADVICE: the relation ivfpq_fold_stream RETURNS must honor
         tombstones written mid-stream, same as read_codes_pruned — a
@@ -985,3 +1017,94 @@ class TestAnnIndexDeletion:
             delta_predicate=delta_pred, dim=4, m=2,
         )
         assert {r.vec_id for r in out2.collect()} == {15, 17, 18}
+
+
+class TestSearchIndex:
+    """r11 verdict task 2: ivfpq_search_index wired against the
+    persisted index — expression identity with ivfpq_topk's inline
+    tail, and the delete-then-probe lifecycle (the integer
+    set-difference contract the ann_delete_then_probe registry row
+    oracle-pairs)."""
+
+    DIM, M = 4, 2
+
+    def _emb(self, spark, n=24):
+        import math
+
+        rows = [
+            (i, [round(math.sin(i * 7.3 + d) * 0.9, 6) for d in range(self.DIM)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_search_equals_inline_topk(self, spark):
+        """Search against artifacts + encode_against codes must equal
+        ivfpq_topk end to end — the identity that makes the persisted
+        index path trustworthy without its own recall study."""
+        from chiv_spark.operators import similarity
+
+        emb = self._emb(spark)
+        kw = dict(k=3, dim=self.DIM, m=self.M, n_queries=5, n_probes=3, r_candidates=10)
+        cents, cb = similarity.ivfpq_artifacts(emb, dim=self.DIM, m=self.M)
+        codes = similarity.ivfpq_encode_against(
+            emb, cents, cb, dim=self.DIM, m=self.M
+        )
+        got = {
+            tuple(r)
+            for r in similarity.ivfpq_search_index(emb, cents, cb, codes, **kw).collect()
+        }
+        want = {tuple(r) for r in similarity.ivfpq_topk(emb, **kw).collect()}
+        assert got == want and len(want) == 15  # 5 queries x k=3
+
+    def test_delete_then_probe_set_difference(self, spark, tmp_path):
+        """After delete_vectors, a re-probe through read_codes_pruned
+        must never return a tombstoned neighbor, and the pre-delete
+        probe must have contained at least one (the delete visibly
+        changed results)."""
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import similarity
+        from chiv_spark.streaming.ann_index import (
+            delete_vectors,
+            read_codes_pruned,
+            write_codes_generation,
+            write_ivfpq_artifacts,
+        )
+
+        emb = self._emb(spark)
+        kw = dict(k=3, dim=self.DIM, m=self.M, n_queries=5, n_probes=3, r_candidates=10)
+        art, codes_dir = str(tmp_path / "art"), str(tmp_path / "codes")
+        write_ivfpq_artifacts(emb, art, dim=self.DIM, m=self.M)
+        cents = spark.read.parquet(f"{art}/cents")
+        cb = spark.read.parquet(f"{art}/codebook")
+        write_codes_generation(
+            similarity.ivfpq_encode_against(emb, cents, cb, dim=self.DIM, m=self.M),
+            codes_dir,
+            0,
+        )
+        _, probes = similarity.ivfpq_query_probes(
+            emb, cents, n_queries=5, n_probes=3
+        )
+        cells = sorted(r.cell for r in probes.select("cell").distinct().collect())
+
+        def topk():
+            return {
+                (r.query_id, r.neighbor_id)
+                for r in similarity.ivfpq_search_index(
+                    emb, cents, cb, read_codes_pruned(spark, codes_dir, cells), **kw
+                ).collect()
+            }
+
+        before = topk()
+        victims = {
+            r.neighbor_id for r in spark.createDataFrame(
+                [(q, n) for q, n in before], "query_id long, neighbor_id long"
+            ).filter(F.col("neighbor_id") >= 10).limit(3).collect()
+        }
+        assert victims  # the probe surfaced deletable neighbors
+        delete_vectors(spark, codes_dir, sorted(victims))
+        after = topk()
+        assert {n for _, n in after}.isdisjoint(victims)
+        assert {n for _, n in before} & victims  # delete changed results
+        # every query still gets k results (index holds spares)
+        assert len(after) == len(before)
