@@ -1584,13 +1584,13 @@ def _ivfpq_delta_pred():
     ) & (F.col("vec_id") >= 8)
 
 
-def _ivfpq_frozen_ctes(train_where: str) -> str:
-    """The ex→codes CTE chain of the ann_ivfpq_topk oracle with
-    codebook TRAINING (Lloyd sample + seed selection) restricted to
-    ``train_where`` and the chosen code's exact integer quantization
-    error carried as ``qerr`` — the frozen-artifact formulation the
-    three incremental-index oracles share. Assignment/encode still
-    covers every vector; only training is filtered."""
+def _ivfpq_shared_ctes() -> str:
+    """The training-independent prefix of the IVFPQ oracle chain:
+    micro expansion, fixed cell centroids (first 8 vectors — NOT a
+    function of training), exact coarse assignment, and per-sub
+    residuals. Cell membership is therefore stable across codebook
+    retrains — the property the partition-scoped maintenance row
+    relies on."""
     return f"""
     ex AS (
       SELECT vec_id,
@@ -1609,31 +1609,50 @@ def _ivfpq_frozen_ctes(train_where: str) -> str:
                   CAST(x.pos // 2 AS INT) AS sub, CAST(x.pos % 2 AS INT) AS dsub,
                   x.xm - c.cm AS rm
            FROM ex x JOIN assign a USING (vec_id)
-           JOIN cents c ON c.cell = a.cell AND c.pos = x.pos),
-    smp AS (SELECT * FROM rx WHERE {_H_PQT} % 2 = 0 AND {train_where}),
-    seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c
+           JOIN cents c ON c.cell = a.cell AND c.pos = x.pos)"""
+
+
+def _ivfpq_train_ctes(train_where: str, s: str = "") -> str:
+    """One codebook-training + encode chain (smp → seeds → cb0 →
+    Lloyd → cb1 → codes) over the shared prefix, with every CTE name
+    suffixed by ``s`` so two trainings (e.g. frozen-on-base vs
+    retrained-on-all, the maintenance comparison) can coexist in a
+    single WITH."""
+    return f"""
+    smp{s} AS (SELECT * FROM rx WHERE {_H_PQT} % 2 = 0 AND {train_where}),
+    seeds{s} AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS c
               FROM (SELECT vec_id, {_H_PQ} AS h FROM embeddings
                     WHERE {_H_PQT} % 2 = 0 AND {train_where}
                     ORDER BY h, vec_id LIMIT 64)),
-    cb0 AS (SELECT s.c, x.sub, x.dsub, x.rm AS cm FROM seeds s JOIN smp x USING (vec_id)),
-    e1 AS (SELECT x.vec_id, x.sub, c.c, SUM((x.rm - c.cm) * (x.rm - c.cm)) AS d2
-           FROM smp x JOIN cb0 c ON c.sub = x.sub AND c.dsub = x.dsub
+    cb0{s} AS (SELECT s.c, x.sub, x.dsub, x.rm AS cm FROM seeds{s} s JOIN smp{s} x USING (vec_id)),
+    e1{s} AS (SELECT x.vec_id, x.sub, c.c, SUM((x.rm - c.cm) * (x.rm - c.cm)) AS d2
+           FROM smp{s} x JOIN cb0{s} c ON c.sub = x.sub AND c.dsub = x.dsub
            GROUP BY x.vec_id, x.sub, c.c),
-    a1 AS (SELECT vec_id, sub, c FROM (
+    a1{s} AS (SELECT vec_id, sub, c FROM (
              SELECT vec_id, sub, c,
                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
-             FROM e1) WHERE rn = 1),
-    cb1 AS (SELECT a.c, x.sub, x.dsub,
+             FROM e1{s}) WHERE rn = 1),
+    cb1{s} AS (SELECT a.c, x.sub, x.dsub,
                    CAST(ROUND(CAST(SUM(x.rm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
-            FROM smp x JOIN a1 a ON a.vec_id = x.vec_id AND a.sub = x.sub
+            FROM smp{s} x JOIN a1{s} a ON a.vec_id = x.vec_id AND a.sub = x.sub
             GROUP BY a.c, x.sub, x.dsub),
-    e2 AS (SELECT x.vec_id, x.cell, x.sub, c.c, SUM((x.rm - c.cm) * (x.rm - c.cm)) AS d2
-           FROM rx x JOIN cb1 c ON c.sub = x.sub AND c.dsub = x.dsub
+    e2{s} AS (SELECT x.vec_id, x.cell, x.sub, c.c, SUM((x.rm - c.cm) * (x.rm - c.cm)) AS d2
+           FROM rx x JOIN cb1{s} c ON c.sub = x.sub AND c.dsub = x.dsub
            GROUP BY x.vec_id, x.cell, x.sub, c.c),
-    codes AS (SELECT vec_id, cell, sub, c AS code, d2 AS qerr FROM (
+    codes{s} AS (SELECT vec_id, cell, sub, c AS code, d2 AS qerr FROM (
                 SELECT vec_id, cell, sub, c, d2,
                        ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
-                FROM e2) WHERE rn = 1)"""
+                FROM e2{s}) WHERE rn = 1)"""
+
+
+def _ivfpq_frozen_ctes(train_where: str) -> str:
+    """The ex→codes CTE chain of the ann_ivfpq_topk oracle with
+    codebook TRAINING (Lloyd sample + seed selection) restricted to
+    ``train_where`` and the chosen code's exact integer quantization
+    error carried as ``qerr`` — the frozen-artifact formulation the
+    incremental-index oracles share. Assignment/encode still covers
+    every vector; only training is filtered."""
+    return f"{_ivfpq_shared_ctes()},{_ivfpq_train_ctes(train_where)}"
 
 
 _IVFPQ_INC_ORACLE = f"""
@@ -2000,6 +2019,98 @@ def ann_delete_then_probe(spark, sf_dir):
         "rank",
         "exact_d2",
         ((F.col("phase") == "before") | ~_ann_del_pred("neighbor_id")).alias("ok"),
+    )
+
+
+#: drift-maintenance retrain bound: a cell is retrained when its
+#: delta-cohort mean quantization error exceeds DRIFT_NUM/DRIFT_DEN x
+#: the base cohort's (23/20 = 15% growth — between the measured
+#: per-cell ratios at sf0.01 and sf0.1, so both scales exercise a
+#: drifted/healthy MIX). The comparison is the exact integer
+#: cross-multiplication DRIFT_DEN*sum_d*n_b > DRIFT_NUM*sum_b*n_d
+#: (decimal(38,0) Spark-side, HUGEINT DuckDB-side — no float means).
+DRIFT_NUM, DRIFT_DEN = 23, 20
+
+
+def _ann_maint_oracle() -> str:
+    return f"""
+    WITH {_ivfpq_shared_ctes()},
+    {_ivfpq_train_ctes(f"NOT {_IVFPQ_DELTA_WHERE}")},
+    {_ivfpq_train_ctes("TRUE", "n")},
+    pervo AS (SELECT vec_id, cell, SUM(qerr) AS q FROM codes GROUP BY vec_id, cell),
+    pervn AS (SELECT vec_id, cell, SUM(qerr) AS q FROM codesn GROUP BY vec_id, cell),
+    cellstat AS (
+      SELECT cell,
+             COALESCE(SUM(CASE WHEN NOT {_IVFPQ_DELTA_WHERE} THEN 1 ELSE 0 END), 0) AS nb,
+             COALESCE(SUM(CASE WHEN NOT {_IVFPQ_DELTA_WHERE} THEN q END), 0) AS sb,
+             COALESCE(SUM(CASE WHEN {_IVFPQ_DELTA_WHERE} THEN 1 ELSE 0 END), 0) AS nd,
+             COALESCE(SUM(CASE WHEN {_IVFPQ_DELTA_WHERE} THEN q END), 0) AS sd
+      FROM pervo GROUP BY cell),
+    drift AS (SELECT cell, ({DRIFT_DEN} * sd * nb) > ({DRIFT_NUM} * sb * nd) AS drifted
+              FROM cellstat)
+    SELECT o.vec_id, CAST(o.cell AS BIGINT) AS cell,
+           CAST(CASE WHEN d.drifted THEN n.q ELSE o.q END AS BIGINT) AS q_err,
+           d.drifted AS reencoded
+    FROM pervo o
+    JOIN pervn n ON n.vec_id = o.vec_id AND n.cell = o.cell
+    JOIN drift d ON d.cell = o.cell
+    """
+
+
+@query(
+    "ann_ivfpq_maintenance",
+    _ann_maint_oracle(),
+    doc="drift-ACTING IVFPQ maintenance (r10 verdict task 4): "
+    "ann_ivfpq_drift only reports residual growth — this row acts on "
+    "it. Per cell, the arrival cohort's mean exact quantization "
+    "error under the base-frozen codebooks is compared to the "
+    "resident cohort's by exact integer cross-multiplication (no "
+    "float means; decimal(38,0) / HUGEINT intermediates); cells over "
+    "the 23/20 bound get codebooks RETRAINED on base+delta and their "
+    "vectors re-encoded, cells under it keep their original codes "
+    "bit-for-bit. Cell centroids (first-8 vectors) are training-"
+    "independent, so coarse assignment is stable and the rewrite is "
+    "partition-scoped by construction — streaming/ann_index.py "
+    "maintain_codes runs exactly this lifecycle against the "
+    "persisted (cell, src_batch) index, with untouched cells' "
+    "parquet files pinned byte-identical by "
+    "tests/test_streaming.py::TestMaintainCodes. Emits per vector "
+    "the post-maintenance q_err and a reencoded flag; integer end-"
+    "to-end, fully hash-matched",
+)
+def ann_ivfpq_maintenance(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    delta = _ivfpq_delta_pred()
+    old = similarity.ivfpq_frozen_codes(emb, train_pred=~delta, dim=EMB_DIM)
+    new = similarity.ivfpq_frozen_codes(emb, train_pred=None, dim=EMB_DIM)
+    pervo = old.groupBy("vec_id", "cell").agg(F.sum("qerr").alias("q_old"))
+    pervn = new.groupBy("vec_id", "cell").agg(F.sum("qerr").alias("q_new"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cellstat = pervo.groupBy("cell").agg(
+        F.coalesce(F.sum((~delta).cast("long")), F.lit(0)).alias("nb"),
+        F.coalesce(F.sum(F.when(~delta, F.col("q_old"))), F.lit(0)).alias("sb"),
+        F.coalesce(F.sum(delta.cast("long")), F.lit(0)).alias("nd"),
+        F.coalesce(F.sum(F.when(delta, F.col("q_old"))), F.lit(0)).alias("sd"),
+    )
+    drift = cellstat.select(
+        "cell",
+        (
+            (F.lit(DRIFT_DEN) * dec("sd") * dec("nb"))
+            > (F.lit(DRIFT_NUM) * dec("sb") * dec("nd"))
+        ).alias("reencoded"),
+    )
+    return (
+        pervo.join(pervn, ["vec_id", "cell"])
+        .join(F.broadcast(drift), "cell")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.when(F.col("reencoded"), F.col("q_new"))
+            .otherwise(F.col("q_old"))
+            .cast("long")
+            .alias("q_err"),
+            "reencoded",
+        )
     )
 
 

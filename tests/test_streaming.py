@@ -1108,3 +1108,104 @@ class TestSearchIndex:
         assert {n for _, n in before} & victims  # delete changed results
         # every query still gets k results (index holds spares)
         assert len(after) == len(before)
+
+
+class TestMaintainCodes:
+    """r10 verdict task 4: drift-ACTING maintenance against the
+    persisted codes index — cells over the drift bound are retrained
+    and re-encoded, every other cell's parquet files stay
+    byte-identical (the partition-scoped contract)."""
+
+    DIM, M = 4, 2
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _cell_bytes(self, codes_dir):
+        import glob
+        import os
+
+        out = {}
+        for cd in glob.glob(os.path.join(codes_dir, "cell=*")):
+            cell = int(cd.split("=")[-1])
+            blobs = []
+            for p in sorted(
+                glob.glob(os.path.join(cd, "**", "*.parquet"), recursive=True)
+            ):
+                with open(p, "rb") as f:
+                    blobs.append((os.path.relpath(p, cd), f.read()))
+            out[cell] = blobs
+        return out
+
+    def test_partition_scoped_reencode(self, spark, tmp_path):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import similarity
+        from chiv_spark.streaming.ann_index import (
+            SEED_BATCH,
+            maintain_codes,
+            write_codes_generation,
+            write_ivfpq_artifacts,
+        )
+
+        # base: smooth sin pattern; delta: a few vectors with amplified
+        # values — large residuals under base-trained codebooks, so
+        # whichever cells they land in drift past the 23/20 bound while
+        # cells with no (or well-fitting) arrivals stay healthy
+        base_rows = [
+            (i, [round(math.sin(i * 7.3 + d) * 0.9, 6) for d in range(self.DIM)])
+            for i in range(20)
+        ]
+        delta_rows = [
+            (i, [round(math.sin(i * 1.9 + d) * 3.0 + 1.7, 6) for d in range(self.DIM)])
+            for i in range(20, 26)
+        ]
+        base = self._emb(spark, base_rows)
+        emb = self._emb(spark, base_rows + delta_rows)
+        art, codes_dir = str(tmp_path / "art"), str(tmp_path / "codes")
+        write_ivfpq_artifacts(base, art, dim=self.DIM, m=self.M)
+        cents = spark.read.parquet(f"{art}/cents")
+        cb = spark.read.parquet(f"{art}/codebook")
+        enc = lambda rel, cbk: similarity.ivfpq_encode_against(  # noqa: E731
+            rel, cents, cbk, dim=self.DIM, m=self.M
+        )
+        write_codes_generation(enc(base, cb), codes_dir, SEED_BATCH)
+        delta = emb.filter(F.col("vec_id") >= 20)
+        write_codes_generation(enc(delta, cb), codes_dir, 0)
+        before = self._cell_bytes(codes_dir)
+
+        drifted = maintain_codes(
+            spark, codes_dir, art, emb, dim=self.DIM, m=self.M
+        )
+        assert drifted, "synthetic drift did not trip the bound"
+        healthy = sorted(set(before) - set(drifted))
+        assert healthy, "every cell drifted — the mix contract is untestable"
+        after = self._cell_bytes(codes_dir)
+        # untouched cells: files byte-identical (same names, same bytes)
+        for c in healthy:
+            assert after[c] == before[c], f"healthy cell {c} was rewritten"
+        # drifted cells: exactly the full-membership re-encode under
+        # the retrained codebook, collapsed to the seed generation
+        cb2 = spark.read.parquet(f"{art}/codebook_gen2")
+        rel = spark.read.parquet(codes_dir)
+        for c in drifted:
+            got = {
+                (r.vec_id, r.sub, r.code, r.qerr, r.src_batch)
+                for r in rel.filter(F.col("cell") == c).collect()
+            }
+            want = {
+                (r.vec_id, r.sub, r.code, r.qerr, SEED_BATCH)
+                for r in enc(emb, cb2).filter(F.col("cell") == c).collect()
+            }
+            assert got == want
+        # the version map records the retrained cells
+        vers = spark.read.parquet(f"{art}/cell_versions")
+        assert {r.cell for r in vers.collect()} == set(drifted)
+        # idempotence: a second pass with the already-re-encoded index
+        # sees the drifted cells collapsed to SEED (no delta cohort) —
+        # nothing further to do, nothing rewritten
+        snap = self._cell_bytes(codes_dir)
+        assert maintain_codes(spark, codes_dir, art, emb, dim=self.DIM, m=self.M) == []
+        assert self._cell_bytes(codes_dir) == snap
