@@ -585,6 +585,150 @@ def dedup_image_canonical(spark, sf_dir):
     return keepers.unionByName(singles)
 
 
+def _afp_sample(gain_expr: str) -> str:
+    """DuckDB closed form of one PCM16 sample of the synthetic audio
+    near-dup corpus: the GROUP's hash stream plus the per-clip gain
+    offset with unsigned wrap — exactly what multimodal.synth_audio_fp
+    encodes into real WAV bytes."""
+    base = duckdb_hash64(
+        f"'afp:' || (media_id % {multimodal.AFP_GROUPS})::VARCHAR"
+        " || ':' || r.t::VARCHAR"
+    )
+    return f"((({base} % 65536) + {gain_expr}) % 65536) - 32768"
+
+
+# closed-form oracle CTEs for the audio fingerprint chain (the image
+# dHash pattern on audio): the engine builds real RIFF/PCM16 WAV bytes
+# per clip, decodes them through the stdlib codec on the executors,
+# and fingerprints adjacent-frame energy comparisons; the oracle
+# replays the sample stream from the hash closed form — no WAV parsing
+# — then the same integer energies, bits, and pigeonhole Hamming<=3
+# pair set. Any RIFF header or PCM sample corruption surfaces as a
+# fingerprint (hence pair-set) mismatch. Shared by
+# dedup_audio_fingerprint and its keep-one-per-cluster suffix
+# dedup_audio_canonical.
+_AFP_GAIN_H = duckdb_hash64("'afpgain:' || media_id::VARCHAR")
+_AFP_GAIN = f"({_AFP_GAIN_H} % {multimodal.AFP_GAIN_MOD})"
+_AFP_CTES = f"""
+    m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 60),
+    smp AS (SELECT media_id, r.t AS t, {_afp_sample(_AFP_GAIN)} AS s
+            FROM m, UNNEST(range(0, {multimodal.AFP_FRAME * multimodal.AFP_FRAMES})) AS r(t)),
+    en AS (SELECT media_id, CAST(t // {multimodal.AFP_FRAME} AS INT) AS fi,
+                  SUM(s * s) AS e
+           FROM smp GROUP BY media_id, fi),
+    abits AS (SELECT a.media_id,
+                     CASE WHEN a.e > b.e THEN (1::BIGINT << a.fi) ELSE 0 END AS v
+              FROM en a JOIN en b ON b.media_id = a.media_id AND b.fi = a.fi + 1),
+    sig AS (SELECT media_id, CAST(SUM(v) AS BIGINT) AS afp FROM abits GROUP BY media_id),
+    chunks AS (SELECT unnest(range(4)) AS ci),
+    chunked AS (SELECT media_id, afp, ci,
+                       (afp // (1::BIGINT << CAST(ci * 15 AS INT))) % 32768 AS chunk
+                FROM sig CROSS JOIN chunks),
+    cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                    a.afp AS ha, b.afp AS hb
+             FROM chunked a JOIN chunked b
+               ON a.ci = b.ci AND a.chunk = b.chunk AND a.media_id < b.media_id)"""
+
+
+def _audio_fp_pairs(spark, sf_dir):
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    sig = multimodal.audio_fingerprint(multimodal.synth_audio_fp(ids))
+    return dedup.hamming_chunk_pairs(
+        sig, id_col="media_id", sig_col="afp"
+    ).selectExpr("doc_a AS media_a", "doc_b AS media_b", "hamming")
+
+
+@query(
+    "dedup_audio_fingerprint",
+    f"""
+    WITH {_AFP_CTES}
+    SELECT media_a, media_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+    doc="audio near-dup dedup via 60-bit frame-energy fingerprint "
+    "(r10 verdict task 6 — the last modality without a dedup chain): "
+    "REAL WAV decode on the executors (stdlib RIFF/PCM16 codec, the "
+    "formats/wav.py path) feeds per-clip fingerprints — bit i = "
+    "[energy(frame i) > energy(frame i+1)] over 16-sample frames, "
+    "dHash over time — into the SAME pigeonhole Hamming-chunk "
+    "equi-join as text SimHash and image dHash "
+    "(dedup.hamming_chunk_pairs, 4x15-bit chunks, Hamming<=3 exact "
+    "by pigeonhole), never an all-pairs clip comparison. Near-dup "
+    "structure is non-verbatim (same group = same base stream, "
+    "per-clip gain offset -> different WAV bytes; measured Hamming "
+    "spread 0..7, so the <=3 set is a strict subset of same-group "
+    "pairs). Arrow-batched mapInPandas for the codec stage, JVM "
+    "equi-join for the pair stage; per-clip cost is payload-bounded "
+    "so the stage scales linearly with the corpus",
+)
+def dedup_audio_fingerprint(spark, sf_dir):
+    return _audio_fp_pairs(spark, sf_dir)
+
+
+@query(
+    "dedup_audio_canonical",
+    f"""
+    WITH RECURSIVE {_AFP_CTES},
+    pairs AS (SELECT media_a, media_b FROM cand
+              WHERE bit_count(xor(ha, hb)) <= 3),
+    edges AS (SELECT media_a AS a, media_b AS b FROM pairs
+              UNION SELECT media_b, media_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    clusters AS (SELECT src AS media_id, MIN(dst) AS cluster_id
+                 FROM reach GROUP BY src),
+    sized AS (SELECT cluster_id, COUNT(*) AS csz, MIN(media_id) AS keeper
+              FROM clusters GROUP BY cluster_id)
+    SELECT keeper AS media_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(csz AS BIGINT) AS cluster_size
+    FROM sized
+    UNION ALL
+    SELECT m.media_id, CAST(m.media_id AS BIGINT) AS cluster_id,
+           CAST(1 AS BIGINT) AS cluster_size
+    FROM m WHERE m.media_id NOT IN (SELECT media_id FROM clusters)
+    """,
+    doc="keep-one-per-cluster for the AUDIO tier: composes "
+    "dedup_audio_fingerprint's Hamming<=3 pairs with connected "
+    "components (dedup.min_label_components, the same min-label "
+    "propagation as the text and image tiers) and collapses every "
+    "cluster to its canonical clip (lowest media_id), singletons "
+    "kept — so the audio tier, like text and image, ends in a "
+    "deduplicated corpus, not just pairs. Canonical pick is one "
+    "groups-sized aggregate; singletons come back by anti join. "
+    "Oracle shares the fingerprint closed-form CTEs verbatim plus "
+    "the recursive reach of the cluster oracles",
+)
+def dedup_audio_canonical(spark, sf_dir):
+    pairs = _audio_fp_pairs(spark, sf_dir)
+    cl = dedup.min_label_components(pairs, "media_a", "media_b").select(
+        F.col("node").alias("media_id"), "cluster_id"
+    )
+    sized = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.min("media_id").alias("media_id"),
+    )
+    keepers = sized.select(
+        "media_id", F.col("cluster_id").cast("long").alias("cluster_id"), "cluster_size"
+    )
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    singles = ids.join(cl, "media_id", "left_anti").select(
+        "media_id",
+        F.col("media_id").cast("long").alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return keepers.unionByName(singles)
+
+
 #: shingles appearing in more docs than this are dropped from the Jaccard
 #: universe (stop-word n-grams: no near-dup signal, quadratic join cost).
 #: Shared as a literal with the oracle SQL below.

@@ -68,3 +68,45 @@ class TestAudioPipeline:
             assert r["peak"] == max(abs(s) for s in samples)
             assert r["sum_sq"] == sum(s * s for s in samples)
             assert r["duration_ms"] == n * 1000 // 16000
+
+
+class TestAudioFingerprint:
+    """r10 verdict task 6: the audio dedup chain's fingerprint stage —
+    the engine's WAV-round-tripped fingerprint must equal the closed
+    form the oracle replays, and the pair set must respect the
+    synthetic group structure."""
+
+    def test_fingerprint_matches_closed_form_and_groups(self, spark):
+        import hashlib
+
+        from chiv_spark.operators import multimodal
+        from chiv_spark.operators.dedup import hamming_chunk_pairs
+
+        ids = spark.range(0, 24).selectExpr("id AS media_id")
+        sig = multimodal.audio_fingerprint(multimodal.synth_audio_fp(ids))
+        got = {r.media_id: r.afp for r in sig.collect()}
+
+        def h64(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        n = multimodal.AFP_FRAME * multimodal.AFP_FRAMES
+
+        def closed(mid):
+            g = mid % multimodal.AFP_GROUPS
+            d = h64(f"afpgain:{mid}") % multimodal.AFP_GAIN_MOD
+            s = [
+                (((h64(f"afp:{g}:{t}") % 65536) + d) % 65536) - 32768
+                for t in range(n)
+            ]
+            e = [
+                sum(x * x for x in s[i * 16 : (i + 1) * 16])
+                for i in range(multimodal.AFP_FRAMES)
+            ]
+            return sum(1 << i for i in range(60) if e[i] > e[i + 1])
+
+        assert got == {m: closed(m) for m in range(24)}
+        pairs = hamming_chunk_pairs(sig, id_col="media_id", sig_col="afp").collect()
+        assert pairs  # the gain perturbation leaves near-dups in range
+        for r in pairs:
+            assert r.doc_a % multimodal.AFP_GROUPS == r.doc_b % multimodal.AFP_GROUPS
+            assert r.hamming <= 3
