@@ -110,6 +110,15 @@ HEADLINE = [
     "ann_ivfpq_incremental",
     "decontaminate_neardup_eval",
     "dedup_image_canonical",
+    # round 12: ExactSubstr trimming iterated to fixpoint (runs the
+    # suffix-ranking span detector up to MAX_TRIM_ROUNDS+1 times on
+    # the repeat-candidate subcorpus — the round-over-round cost
+    # curve the r11 verdict asked to make visible), search against
+    # the persisted IVFPQ codes index through a deletion, and the
+    # audio fingerprint chain (real WAV decode -> Hamming-chunk join)
+    "dedup_exact_substr_fixpoint",
+    "ann_delete_then_probe",
+    "dedup_audio_fingerprint",
 ]
 
 

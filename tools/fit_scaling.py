@@ -82,6 +82,12 @@ PLAN: dict[str, tuple[list[str], str]] = {
     "dedup_exact_substr": ([SF01, SF1, PROBE_DIR], "documents"),
     "ann_ivfpq_incremental": ([SF01, SF1, PROBE_DIR], "embeddings"),
     "decontaminate_neardup_eval": ([SF01, SF1, PROBE_DIR], "documents"),
+    # round 12 (r11 verdict task 6): the fixpoint trim runs the span
+    # detector up to MAX_TRIM_ROUNDS+1 times on the repeat-candidate
+    # subcorpus — the 10x replica is maximally adversarial (every
+    # variant group is all-candidate with deep shared prefixes), so
+    # the fit exposes the round-over-round detector cost directly
+    "dedup_exact_substr_fixpoint": ([SF01, SF1, PROBE_DIR], "documents"),
 }
 
 # single-object archive sinks (executor-side formatting since r6):
