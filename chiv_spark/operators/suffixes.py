@@ -373,3 +373,46 @@ def max_repeated_spans(docs: DataFrame, scratch_dir: str | None = None) -> DataF
             .alias("span_pos"),
         )
     )
+
+
+# ------------------------------------------- incremental window index
+
+#: directory-partition fan-out of the persisted window index on
+#: pmod(hash(w), WINDOW_PB) — the dedup_index P_BUCKETS convention
+WINDOW_PB = 16
+
+#: candidate-predicate window width (tokens). Any repeated span >=
+#: the ExactSubstr threshold contains a repeated 8-gram (pigeonhole),
+#: so window-count state is a COMPLETE index for threshold-scale
+#: repeat detection across shard arrivals.
+WINDOW_N = 8
+
+
+def window_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, w, cnt, pb): per-document occurrence counts of every
+    WINDOW_N-token window, bucketed on pmod(hash(w), WINDOW_PB) for
+    directory partitioning — the persistable candidate-predicate
+    state of the incremental ExactSubstr path. Linear in corpus
+    tokens (one explode + one hash agg); at 100 TB the index is
+    written partitioned by ``pb`` so an arriving shard's lookup reads
+    only the buckets its own windows hash into (the dedup_index
+    partition-pruning convention)."""
+    from chiv_spark.functions.hashing import hash64
+
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("tk")
+    ).filter(F.size("tk") >= WINDOW_N)
+    win = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {WINDOW_N - 1}),"
+                f" i -> array_join(slice(tk, i, {WINDOW_N}), ' '))"
+            )
+        ).alias("w"),
+    )
+    return (
+        win.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("pb", F.pmod(hash64(F.col("w")), F.lit(WINDOW_PB)).cast("int"))
+    )
