@@ -149,7 +149,10 @@ def _pin(df: DataFrame, scratch_dir: str | None, name: str) -> DataFrame:
 
 
 def suffix_rank_tables(
-    positions: DataFrame, scratch_dir: str | None = None
+    positions: DataFrame,
+    scratch_dir: str | None = None,
+    toks: DataFrame | None = None,
+    base_width: int = 1,
 ) -> tuple[list[tuple[int, DataFrame]], int]:
     """Run prefix doubling to convergence.
 
@@ -164,6 +167,18 @@ def suffix_rank_tables(
     ``scratch_dir`` is a ROOT that may be shared across calls — each
     invocation spills under its own :func:`scratch_subdir`, so the
     fixed per-round table names can never collide (r11 ADVICE).
+
+    ``base_width`` > 1 (requires ``toks`` = (doc_id, tk array)) seeds
+    the doubling at ``rank_{base_width}`` directly: every suffix is
+    ranked by its first ``base_width`` tokens via ONE dense-rank over
+    the per-position token-ARRAY windows (array<string> sort order IS
+    token-sequence order — shorter-prefix-first matches the END_RANK
+    sentinel semantics, and no string-join delimiter can reorder it),
+    skipping the ceil(log2 base_width) smallest doubling rounds.
+    The returned tables then start at L = base_width, so the LCP
+    descent resolves prefixes only to that granularity — consumers
+    must refine the final < base_width tokens themselves (see
+    :func:`_adjacent_group_lcp`'s bounded-slice refinement).
     """
     if scratch_dir is not None:
         scratch_dir = scratch_subdir(scratch_dir)
@@ -185,17 +200,43 @@ def suffix_rank_tables(
             "rank_empty",
         )
         return [(1, empty)], 0
-    # rank by first token: dense rank of the token string
-    tok_ranks = _dense_rank_by(positions, ["tok"], "r")
-    r1 = _pin(
-        positions.join(tok_ranks, "tok").select("doc_id", "pos", "r"),
-        scratch_dir,
-        "rank_L1",
-    )
-    tables: list[tuple[int, DataFrame]] = [(1, r1)]
-    k = 1
-    cur = r1
-    prev_groups = tok_ranks.count()
+    if base_width > 1:
+        if toks is None:
+            raise ValueError("base_width > 1 requires the toks relation")
+        # rank every suffix by its first base_width tokens in one
+        # dense-rank over token-array windows (short tails included:
+        # slice past the end yields the shorter prefix, which array
+        # order sorts FIRST — exactly the END_RANK continuation rule)
+        wrel = toks.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(tk)), i -> slice(tk, i, {base_width}))"
+                )
+            ).alias("pos", "w"),
+        )
+        win_ranks = _dense_rank_by(wrel, ["w"], "r")
+        r1 = _pin(
+            wrel.join(win_ranks, "w").select("doc_id", "pos", "r"),
+            scratch_dir,
+            f"rank_L{base_width}",
+        )
+        tables: list[tuple[int, DataFrame]] = [(base_width, r1)]
+        k = base_width
+        cur = r1
+        prev_groups = win_ranks.count()
+    else:
+        # rank by first token: dense rank of the token string
+        tok_ranks = _dense_rank_by(positions, ["tok"], "r")
+        r1 = _pin(
+            positions.join(tok_ranks, "tok").select("doc_id", "pos", "r"),
+            scratch_dir,
+            "rank_L1",
+        )
+        tables = [(1, r1)]
+        k = 1
+        cur = r1
+        prev_groups = tok_ranks.count()
     # conservative upper bound on the current rank values; drives the
     # pack-vs-densify choice below
     rank_bound = prev_groups
@@ -282,12 +323,24 @@ def suffix_rank_tables(
 
 
 def _adjacent_group_lcp(
-    tables: list[tuple[int, DataFrame]], final: DataFrame
+    tables: list[tuple[int, DataFrame]],
+    final: DataFrame,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(r, lcp): exact LCP between rank group ``r`` and group ``r+1``
     of the final suffix order, via the log-descent over the saved
     rank tables. One representative per group suffices — group
-    members are identical suffixes."""
+    members are identical suffixes.
+
+    When the tables start at L = base_width > 1 the descent resolves
+    agreement only down to that granularity; the final < base_width
+    tokens are then refined by comparing ONE bounded (base_width - 1)-
+    token slice per side — two equi-joins against ``toks`` carrying
+    at most base_width - 1 tokens per output row, byte-comparable to
+    a single rank-table join, never the full arrays of the quadratic
+    formulation. Exact: the descent stopped because the base-width
+    windows at the current offsets DIFFER, so the remaining common
+    prefix is < base_width and lies inside the compared slices."""
     rem = F.col("len") - F.col("pos")  # tokens remaining from pos
     # any member represents its group; min (doc,pos) keeps it deterministic
     reps = final.groupBy("r").agg(
@@ -320,6 +373,38 @@ def _adjacent_group_lcp(
             )
             .drop("ka", "kb", "ra", "rb")
         )
+    base_l = tables[0][0]
+    if base_l > 1:
+        if toks is None:
+            raise ValueError("tables starting above L=1 require toks for refinement")
+        w = base_l - 1
+        ta = toks.select(F.col("doc_id").alias("da"), F.col("tk").alias("tka"))
+        tb = toks.select(F.col("doc_id").alias("db"), F.col("tk").alias("tkb"))
+        ap = F.expr("array_position(zip_with(sa, sb, (x, y) -> x = y), false)")
+        pairs = (
+            pairs.join(ta, "da")
+            .join(tb, "db")
+            # project the bounded slices IMMEDIATELY so the full token
+            # arrays never travel past this select
+            .select(
+                "r",
+                "lcp",
+                "rem_a",
+                "rem_b",
+                F.expr(f"slice(tka, pa + lcp + 1, {w})").alias("sa"),
+                F.expr(f"slice(tkb, pb + lcp + 1, {w})").alias("sb"),
+            )
+            # first mismatch index - 1; no mismatch ⇒ the shorter slice
+            # is a prefix of the longer (zip_with pads nulls, which are
+            # ≠ false) ⇒ extension = the shorter slice's length
+            .withColumn(
+                "lcp",
+                F.col("lcp")
+                + F.when(ap > 0, ap - 1).otherwise(
+                    F.least(F.size("sa"), F.size("sb"))
+                ),
+            )
+        )
     return pairs.select("r", F.least("lcp", "rem_a", "rem_b").alias("lcp"))
 
 
@@ -329,15 +414,24 @@ def max_repeated_spans(docs: DataFrame, scratch_dir: str | None = None) -> DataF
     position) sites corpus-wide (within-document repeats count — a
     doc that stutters its own content is exactly what ExactSubstr
     trims), plus the 0-based position of the LEFTMOST such span (the
-    argmax a trimming pass removes; 0-length spans report pos 0)."""
+    argmax a trimming pass removes; 0-length spans report pos 0).
+
+    The doubling is seeded at L = WINDOW_N (one dense-rank over
+    token-array windows instead of ceil(log2 WINDOW_N) extra rounds)
+    and the LCP descent's final < WINDOW_N tokens resolve via the
+    bounded-slice refinement — see :func:`suffix_rank_tables` /
+    :func:`_adjacent_group_lcp`; exactness is argued there."""
     positions = token_positions(docs)
-    tables, _ = suffix_rank_tables(positions, scratch_dir=scratch_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    tables, _ = suffix_rank_tables(
+        positions, scratch_dir=scratch_dir, toks=toks, base_width=WINDOW_N
+    )
     _, final_tab = tables[-1]
     lens = positions.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
     final = final_tab.join(lens, "doc_id")
 
     group_sizes = final.groupBy("r").agg(F.count(F.lit(1)).alias("gsz"))
-    lcps = _adjacent_group_lcp(tables, final)
+    lcps = _adjacent_group_lcp(tables, final, toks=toks)
     pred = lcps.select((F.col("r") + 1).alias("r"), F.col("lcp").alias("lcp_pred"))
     succ = lcps.select("r", F.col("lcp").alias("lcp_succ"))
     lrp = (
@@ -371,6 +465,108 @@ def max_repeated_spans(docs: DataFrame, scratch_dir: str | None = None) -> DataF
             .otherwise(F.lit(0))
             .cast("long")
             .alias("span_pos"),
+        )
+    )
+
+
+def max_repeated_spans_pruned(docs: DataFrame, scratch_dir: str | None = None) -> DataFrame:
+    """Same contract (and exact values) as :func:`max_repeated_spans`,
+    at a fraction of the cost: the prefix-doubling suffix machinery
+    runs only on the CANDIDATE subcorpus — documents containing at
+    least one corpus-repeated :data:`WINDOW_N`-gram — while every
+    other document's span comes from one cheap fixed-window pass.
+
+    Why this is exact, not approximate (the fixpoint/incremental
+    pigeonhole argument, extended with an exact sub-``WINDOW_N``
+    complement):
+
+    - Any repeated span of length >= WINDOW_N contains a repeated
+      WINDOW_N-gram, and BOTH its occurrence sites lie in documents
+      holding that repeated window — so the candidate set is closed:
+      the detector run on the subcorpus alone sees every witness pair
+      and reports the same >= WINDOW_N spans (length AND leftmost
+      position) as the full-corpus run. Every candidate document has
+      such a span (its repeated window IS one), so its detector value
+      >= WINDOW_N dominates any sub-window span and the small pass is
+      irrelevant for it.
+    - A NON-candidate document's longest repeated span is
+      < WINDOW_N by contraposition, and spans that short are found
+      exactly by counting fixed windows of each length 1..WINDOW_N-1
+      corpus-wide (all documents contribute occurrences — a clean
+      doc's 3-gram may repeat inside a candidate doc): per position
+      the longest matched window, per document the (max, leftmost)
+      argmax — the same struct-max the detector uses.
+
+    Cost: two linear window passes (one WINDOW_N-gram hash-agg shared
+    with the candidate predicate, one (WINDOW_N-1)·n small-window
+    hash-agg — map-side-combining aggregations, the cheapest shuffle
+    shape) replace prefix doubling + LCP descent over ~90% of corpus
+    positions (the measured candidate fraction on the synthetic
+    corpus is ~9-10% of documents; Lee et al. report ExactSubstr
+    marks 3-14% of real web corpora). At 100 TB the doubling rounds'
+    multi-exchange n·log n shuffles are the dominant term, so
+    shrinking n by ~10x is the difference between ranking the corpus
+    and ranking its duplicated tail."""
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    lens = tk.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+
+    # candidate predicate: corpus-repeated WINDOW_N-grams ((doc, pos)
+    # sites — within-document stutter counts), the window_index shape
+    win8 = tk.filter(F.size("tk") >= WINDOW_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {WINDOW_N - 1}),"
+                f" i -> array_join(slice(tk, i, {WINDOW_N}), ' '))"
+            )
+        ).alias("w"),
+    )
+    wc8 = win8.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    cand = win8.join(wc8.filter(F.col("c") >= 2), "w").select("doc_id").distinct()
+
+    # exact sub-WINDOW_N spans: every (position, L<WINDOW_N) window,
+    # counted corpus-wide; per-doc leftmost argmax via one struct-max
+    small = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(tk)), i ->"
+                f" transform(sequence(1, least({WINDOW_N - 1}, size(tk) - i + 1)), L ->"
+                " struct(i - 1 AS pos, L AS L,"
+                " array_join(slice(tk, i, L), ' ') AS w))))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.L", "s.w")
+    rep_small = small.groupBy("L", "w").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    small_best = (
+        small.join(rep_small.select("L", "w"), ["L", "w"])
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("L", (-F.col("pos")).alias("npos"))).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.L").cast("long").alias("s_span"),
+            (-F.col("b.npos")).cast("long").alias("s_pos"),
+        )
+    )
+
+    big = max_repeated_spans(
+        docs.join(cand, "doc_id").select("doc_id", "text"), scratch_dir=scratch_dir
+    ).select(
+        "doc_id",
+        F.col("max_rep_span").alias("b_span"),
+        F.col("span_pos").alias("b_pos"),
+    )
+
+    return (
+        lens.join(small_best, "doc_id", "left")
+        .join(big, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("b_span", "s_span", F.lit(0)).cast("long").alias("max_rep_span"),
+            F.coalesce("b_pos", "s_pos", F.lit(0)).cast("long").alias("span_pos"),
         )
     )
 

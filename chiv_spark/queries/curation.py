@@ -633,10 +633,11 @@ def _suffix_scratch() -> str | None:
     "integers fully determined by the token sequences",
 )
 def dedup_exact_substr(spark, sf_dir):
-    from chiv_spark.operators.suffixes import max_repeated_spans
+    from chiv_spark.operators.suffixes import max_repeated_spans_pruned
 
-    spans = max_repeated_spans(
-        t(spark, sf_dir, "documents"), scratch_dir=_suffix_scratch()
+    spans = max_repeated_spans_pruned(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        scratch_dir=_suffix_scratch(),
     )
     return spans.select(
         "doc_id",
@@ -692,10 +693,10 @@ def dedup_exact_substr(spark, sf_dir):
     "quadratically and slices the token list",
 )
 def dedup_exact_substr_trim(spark, sf_dir):
-    from chiv_spark.operators.suffixes import max_repeated_spans
+    from chiv_spark.operators.suffixes import max_repeated_spans_pruned
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    spans = max_repeated_spans(docs, scratch_dir=_suffix_scratch())
+    spans = max_repeated_spans_pruned(docs, scratch_dir=_suffix_scratch())
     joined = docs.join(spans, "doc_id").withColumn("tk", F.split("text", " "))
     trimmed = F.when(
         F.col("max_rep_span") >= EXACTSUBSTR_THRESHOLD,

@@ -167,7 +167,10 @@ class TestScratchSpill:
             for d in os.listdir(os.path.join(scratch, subs[0]))
             if d.startswith("rank_")
         )
-        assert "rank_L1" in dirs and len(dirs) >= 3  # L1 + doubling rounds
+        # doubling is seeded at L = WINDOW_N (one window dense-rank
+        # replaces the L=1,2,4 rounds), so the first spilled table is
+        # rank_L8 and at least one doubling round follows (maxlen 9)
+        assert "rank_L8" in dirs and len(dirs) >= 2
         # a second call on the SAME root lands in a fresh subdir and
         # leaves the first call's tables untouched
         max_repeated_spans(df, scratch_dir=scratch).count()
