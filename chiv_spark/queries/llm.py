@@ -99,6 +99,185 @@ def dedup_exact(spark, sf_dir):
     return dedup.deduplicated_counts(docs.unionByName(dup))
 
 
+#: paragraph-dedup chunk width (tokens) — the corpus has no newline
+#: structure, so "paragraphs" are fixed-width token blocks, the same
+#: granularity CCNet/Dolma hash real newline paragraphs at
+_PARA_W = 10
+#: site-encoding multiplier: doc_id * _SITE_C + chunk_idx must be
+#: injective, so _SITE_C > max chunks per doc (maxlen 100 / width 10)
+_SITE_C = 1024
+
+
+@query(
+    "dedup_paragraph_exact",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(tk[i*{_PARA_W}+1 : i*{_PARA_W}+{_PARA_W}], ' ') AS c
+      FROM toks, UNNEST(range((len(tk) + {_PARA_W - 1}) // {_PARA_W})) AS r(i)),
+    hashed AS (SELECT doc_id, idx, c,
+                      {duckdb_hash64('c')} AS h,
+                      doc_id * {_SITE_C} + idx AS site
+               FROM chunks),
+    firsts AS (SELECT h, MIN(site) AS s0 FROM hashed GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN site = s0 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(CASE WHEN site = s0 THEN c END, ' ' ORDER BY idx), '')
+             AS cleaned_text
+    FROM hashed JOIN firsts USING (h)
+    GROUP BY doc_id
+    """,
+    doc="PARAGRAPH-level exact dedup, the CCNet/Dolma pass that "
+    "precedes document-level dedup in production web pipelines: the "
+    "corpus is chunked into fixed 10-token blocks (the synthetic "
+    "text has no newline paragraphs), every block is fingerprinted "
+    "with the md5-60bit family, and only the FIRST occurrence site "
+    "(min doc_id*C+idx) of each fingerprint survives — later copies "
+    "are dropped and each document's text is rebuilt from its kept "
+    "blocks in order. Emits per doc: n_chunks, n_dropped, "
+    "cleaned_text (empty when every block was seen earlier). Scale "
+    "shape: one map-side-combining hash-agg over n/10 chunk rows "
+    "keyed on the 8-byte fingerprint (never the chunk text), one "
+    "join-back on the same key, one per-doc rebuild agg — all "
+    "linear, no windows, no driver state; the 60-bit fingerprint is "
+    "the same collision stance as dedup_exact's full-text "
+    "fingerprint",
+)
+def dedup_paragraph_exact(spark, sf_dir):
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(tk) / {_PARA_W}.0) as int) - 1),"
+                f" i -> array_join(slice(tk, i * {_PARA_W} + 1, {_PARA_W}), ' '))"
+            )
+        ).alias("idx", "c"),
+    ).select(
+        "doc_id",
+        "idx",
+        "c",
+        hash64(F.col("c")).alias("h"),
+        (F.col("doc_id") * _SITE_C + F.col("idx")).alias("site"),
+    )
+    firsts = chunks.groupBy("h").agg(F.min("site").alias("s0"))
+    kept = F.col("site") == F.col("s0")
+    return (
+        chunks.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("idx", "c")))
+                    ),
+                    lambda s: s["c"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+#: bloom filter geometry — M bits / K md5-60bit seeded hashes; both
+#: literals are shared verbatim with the oracle so the bit positions
+#: replay exactly
+_BLOOM_M = 65536
+_BLOOM_K = 4
+
+
+@query(
+    "dedup_bloom_membership",
+    f"""
+    WITH prior AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+    arrivals AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    pbits AS (
+      SELECT DISTINCT
+             ({duckdb_hash64("(p.text || '#' || CAST(s AS VARCHAR))")} % {_BLOOM_M}) AS pos
+      FROM prior p, UNNEST(range({_BLOOM_K})) AS r(s)),
+    apos AS (
+      SELECT a.doc_id, s,
+             ({duckdb_hash64("(a.text || '#' || CAST(s AS VARCHAR))")} % {_BLOOM_M}) AS pos
+      FROM arrivals a, UNNEST(range({_BLOOM_K})) AS r(s)),
+    hits AS (SELECT doc_id, COUNT(*) AS m FROM apos JOIN pbits USING (pos) GROUP BY doc_id),
+    ptext AS (SELECT DISTINCT text FROM prior)
+    SELECT a.doc_id,
+           COALESCE(h.m, 0) = {_BLOOM_K} AS bloom_hit,
+           (p.text IS NOT NULL) AS exact_dup
+    FROM arrivals a
+    LEFT JOIN hits h USING (doc_id)
+    LEFT JOIN ptext p ON a.text = p.text
+    """,
+    doc="BLOOM-FILTER membership dedup — the constant-memory "
+    "mechanism (Dolma's deduper, CCNet's per-shard filters) that "
+    "replaces a corpus-sized shuffle join when only a yes/maybe "
+    "answer is needed: the even-doc_id half of the corpus is folded "
+    "into an M=65536-bit / K=4-hash filter (md5-60bit seeded family, "
+    "so every bit position replays exactly in the oracle); arrivals "
+    "(odd docs plus re-ingested copies of every 20th even doc — real "
+    "duplicates) probe it and report bloom_hit alongside ground-truth "
+    "exact_dup. No false negatives by construction (a true dup sets "
+    "exactly its own bits); false positives appear as bloom_hit AND "
+    "NOT exact_dup rows at the (1-e^(-Kn/M))^K rate. Scale shape: "
+    "the filter is a DISTINCT over at most M 8-byte positions — "
+    "broadcast to every executor (at 100 TB, M grows to a few 2^30s "
+    "and the broadcast is the bitmap; the corpus itself never "
+    "shuffles), arrivals probe via a broadcast-hash join + a "
+    "matched-seed count, and the exact_dup audit column is the only "
+    "text-keyed join in the plan",
+)
+def dedup_bloom_membership(spark, sf_dir):
+    from chiv_spark.functions.hashing import hash64_seeded
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    arrivals = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+
+    def positions(rel):
+        return rel.select(
+            "*",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.pmod(hash64_seeded(F.col("text"), s), F.lit(_BLOOM_M))
+                        for s in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("s", "pos"),
+        )
+
+    pbits = positions(prior).select("pos").distinct()
+    apos = positions(arrivals).select("doc_id", "s", "pos")
+    hits = (
+        apos.join(F.broadcast(pbits), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    ptext = prior.distinct().withColumn("is_prior", F.lit(True))
+    return (
+        arrivals.join(hits, "doc_id", "left")
+        .join(ptext, "text", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("m", F.lit(0)) == _BLOOM_K).alias("bloom_hit"),
+            F.coalesce("is_prior", F.lit(False)).alias("exact_dup"),
+        )
+    )
+
+
 # shared shingle/minhash CTE text for the oracle
 _SHINGLE_CTES = """
     toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

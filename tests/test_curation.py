@@ -389,3 +389,73 @@ class TestExactSubstrFixpoint:
             for s in subs
             for name in os.listdir(os.path.join(scratch, s))
         )
+
+
+class TestParagraphDedup:
+    """dedup_paragraph_exact: fixed 10-token blocks, keep-first by
+    (doc_id, idx) site, text rebuilt from surviving blocks."""
+
+    def _write(self, spark, tmp_path, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return str(tmp_path)
+
+    def test_keep_first_and_rebuild(self, spark, tmp_path):
+        blk_a = " ".join(f"a{i}" for i in range(10))
+        blk_b = " ".join(f"b{i}" for i in range(10))
+        blk_c = " ".join(f"c{i}" for i in range(10))
+        rows = [
+            (1, f"{blk_a} {blk_b}"),   # first sites of A and B
+            (2, f"{blk_a} {blk_c}"),   # A is a later copy -> dropped
+            (3, blk_a),                # fully duplicated -> emptied
+        ]
+        sf = self._write(spark, tmp_path, rows)
+        out = {
+            r.doc_id: r
+            for r in REGISTRY["dedup_paragraph_exact"].fn(spark, sf).collect()
+        }
+        assert (out[1].n_chunks, out[1].n_dropped) == (2, 0)
+        assert out[1].cleaned_text == f"{blk_a} {blk_b}"
+        assert (out[2].n_chunks, out[2].n_dropped) == (2, 1)
+        assert out[2].cleaned_text == blk_c
+        assert (out[3].n_chunks, out[3].n_dropped) == (1, 1)
+        assert out[3].cleaned_text == ""
+
+    def test_short_tail_chunk_is_its_own_block(self, spark, tmp_path):
+        # 12 tokens = one full block + a 2-token tail; the tail
+        # repeats across docs and dedups independently
+        blk = " ".join(f"t{i}" for i in range(10))
+        rows = [(1, f"{blk} z1 z2"), (2, f"{blk.replace('t', 'u')} z1 z2")]
+        sf = self._write(spark, tmp_path, rows)
+        out = {
+            r.doc_id: r
+            for r in REGISTRY["dedup_paragraph_exact"].fn(spark, sf).collect()
+        }
+        assert out[1].n_dropped == 0
+        assert out[2].n_dropped == 1 and out[2].cleaned_text == blk.replace("t", "u")
+
+
+class TestBloomMembership:
+    """dedup_bloom_membership: constant-size filter semantics — no
+    false negatives, broadcast probe join."""
+
+    def test_no_false_negatives_and_broadcast_probe(self, spark, tmp_path):
+        rows = [(i, f"doc {i} body " + " ".join(f"w{i}_{j}" for j in range(6)))
+                for i in range(40)]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        df = REGISTRY["dedup_bloom_membership"].fn(spark, str(tmp_path))
+        got = df.collect()
+        # arrivals = 20 odd docs + re-ingested copies of docs 0 and 20
+        assert len(got) == 22
+        by_id = {r.doc_id: r for r in got}
+        for reingested in (2000000, 2000020):
+            assert by_id[reingested].exact_dup and by_id[reingested].bloom_hit
+        # a bloom filter can have false positives, never false negatives
+        assert all(r.bloom_hit for r in got if r.exact_dup)
+        counts = op_counts(df)
+        assert counts.get("CartesianProduct", 0) == 0
+        assert counts.get("BroadcastNestedLoopJoin", 0) == 0
+        assert counts.get("BroadcastHashJoin", 0) >= 1
