@@ -473,6 +473,83 @@ def gif_frame_features(ids: DataFrame, n_frames: int = 4, w: int = 16, h: int = 
     return ids.select("media_id").mapInPandas(run, GIF_FRAME_SCHEMA)
 
 
+VIDEO_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("first_px", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def video_frame_sample(
+    ids: DataFrame,
+    n_frames: int = 12,
+    stride: int = 3,
+    ms_per_frame: int = 100,
+    w: int = 16,
+    h: int = 12,
+) -> DataFrame:
+    """Temporal FRAME SAMPLING over the video modality — the
+    training-data-pipeline op that turns a clip into a bounded set
+    of frames: per media_id an ``n_frames``-frame animated GIF89a is
+    encoded and decoded on the executors (the same real LZW codec
+    path as :func:`gif_frame_features`), then every ``stride``-th
+    frame is emitted with its timestamp (``frame_index *
+    ms_per_frame`` at the container's fixed frame cadence) and
+    integer pixel features. GIF has no keyframe index, so decoding
+    the full LZW stream before sampling is the honest cost model for
+    this container; a seekable codec would decode only sampled
+    GOPs — that seek belongs in the codec layer, the Spark plumbing
+    (one Arrow-batched mapInPandas, rows = ceil(n_frames / stride)
+    per clip) is identical either way."""
+    from chiv_spark.pyship import ensure_shipped
+
+    ensure_shipped(ids.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        from chiv_spark.formats.gif import decode_gif, encode_gif
+
+        def h64(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        npx = w * h
+
+        def one(mid: int):
+            frames = []
+            for f in range(n_frames):
+                v = h64(f"vid:{mid}:{f}") % 256
+                frames.append(bytes((v + p) % 256 for p in range(npx)))
+            _, _, _, dec = decode_gif(encode_gif(frames, w, h))
+            return [
+                (mid, f, f * ms_per_frame, len(fr), fr[0], sum(fr))
+                for f, fr in enumerate(dec)
+                if f % stride == 0
+            ]
+
+        for pdf in batches:
+            rows = [r for m in pdf["media_id"] for r in one(int(m))]
+            yield _pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "frame_index": [r[1] for r in rows],
+                    "ts_ms": [r[2] for r in rows],
+                    "n_px": [r[3] for r in rows],
+                    "first_px": [r[4] for r in rows],
+                    "px_sum": [r[5] for r in rows],
+                }
+            )
+
+    return ids.select("media_id").mapInPandas(run, VIDEO_SAMPLE_SCHEMA)
+
+
 def png_resize_features(
     ids: DataFrame,
     src_w: int = 16,
