@@ -484,6 +484,14 @@ VIDEO_SAMPLE_SCHEMA = T.StructType(
     ]
 )
 
+#: synthetic video near-dup structure (the image-dHash corpus design on
+#: the time axis): clips in the same ``media_id % VID_GROUPS`` group
+#: share hash-derived per-frame base values and differ by a small
+#: per-clip brightness offset — non-verbatim near-dups (different GIF
+#: bytes, same temporal content). Shared as literals with the oracle.
+VID_GROUPS = 12
+VID_BRIGHT_MOD = 8
+
 
 def video_frame_sample(
     ids: DataFrame,
@@ -492,6 +500,8 @@ def video_frame_sample(
     ms_per_frame: int = 100,
     w: int = 16,
     h: int = 12,
+    group_mod: int | None = None,
+    bright_mod: int = VID_BRIGHT_MOD,
 ) -> DataFrame:
     """Temporal FRAME SAMPLING over the video modality — the
     training-data-pipeline op that turns a clip into a bounded set
@@ -505,7 +515,14 @@ def video_frame_sample(
     this container; a seekable codec would decode only sampled
     GOPs — that seek belongs in the codec layer, the Spark plumbing
     (one Arrow-batched mapInPandas, rows = ceil(n_frames / stride)
-    per clip) is identical either way."""
+    per clip) is identical either way.
+
+    With ``group_mod`` set, the synthetic pixel stream gains near-dup
+    structure for the video dedup chain: frame base values come from
+    the clip's GROUP id (``media_id % group_mod``) and every pixel is
+    shifted by a per-clip brightness offset (mod-256 wrap) — the
+    image-dHash corpus design applied per frame, so same-group clips
+    are perceptual near-dups with byte-distinct GIF payloads."""
     from chiv_spark.pyship import ensure_shipped
 
     ensure_shipped(ids.sparkSession)
@@ -523,9 +540,14 @@ def video_frame_sample(
         npx = w * h
 
         def one(mid: int):
+            if group_mod is None:
+                vid, delta = mid, 0
+            else:
+                vid = mid % group_mod
+                delta = h64(f"vbright:{mid}") % bright_mod
             frames = []
             for f in range(n_frames):
-                v = h64(f"vid:{mid}:{f}") % 256
+                v = (h64(f"vid:{vid}:{f}") + delta) % 256
                 frames.append(bytes((v + p) % 256 for p in range(npx)))
             _, _, _, dec = decode_gif(encode_gif(frames, w, h))
             return [

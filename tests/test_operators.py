@@ -548,6 +548,50 @@ class TestImageDhash:
         assert min(cross) > 10
 
 
+class TestVideoFrameSample:
+    """r12 verdict task 1: the orphan video_frame_sample wired for real.
+    The codec path is real (GIF89a LZW encode -> decode on executors);
+    sampling keeps every stride-th decoded frame with its timestamp."""
+
+    @staticmethod
+    def _h64(s: str) -> int:
+        import hashlib
+
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def test_sampling_semantics_match_closed_form(self, spark):
+        ids = spark.range(0, 8).selectExpr("id AS media_id")
+        rows = multimodal.video_frame_sample(ids).collect()
+        # 12 frames, stride 3 -> samples 0,3,6,9 at 100 ms cadence
+        by_clip: dict[int, list] = {}
+        for r in rows:
+            by_clip.setdefault(r.media_id, []).append(r)
+        assert set(by_clip) == set(range(8))
+        for mid, rs in by_clip.items():
+            assert sorted(r.frame_index for r in rs) == [0, 3, 6, 9]
+            for r in rs:
+                v = self._h64(f"vid:{mid}:{r.frame_index}") % 256
+                assert r.ts_ms == r.frame_index * 100
+                assert r.n_px == 192
+                assert r.first_px == v
+                assert r.px_sum == sum((v + p) % 256 for p in range(192))
+
+    def test_grouped_mode_is_nonverbatim_near_dup(self, spark):
+        ids = spark.range(0, 24).selectExpr("id AS media_id")
+        fr = multimodal.video_frame_sample(
+            ids, n_frames=9, stride=2, group_mod=multimodal.VID_GROUPS
+        ).collect()
+        feats = {(r.media_id, r.frame_index): r.first_px for r in fr}
+        g = multimodal.VID_GROUPS
+        for mid in range(24):
+            delta = self._h64(f"vbright:{mid}") % multimodal.VID_BRIGHT_MOD
+            for f in (0, 2, 4, 6, 8):
+                base = self._h64(f"vid:{mid % g}:{f}") % 256
+                # same-group clips share base frames, shifted by a
+                # per-clip brightness delta with mod-256 wrap
+                assert feats[(mid, f)] == (base + delta) % 256
+
+
 class TestAdviceGuardsR10:
     """Round-10 ADVICE preconditions: loud failures instead of opaque
     crashes (both-None incremental calls) or silent recall loss
