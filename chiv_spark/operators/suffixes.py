@@ -97,9 +97,10 @@ def _dense_rank_by(rel: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     return assign_global_row_ids(rel.select(*cols).distinct(), cols, id_col=id_col)
 
 
-#: per-process uniquifier for scratch subdirectories — see
+#: per-process uniquifiers for scratch subdirectories — see
 #: :func:`scratch_subdir`
 _SCRATCH_SEQ = None
+_SCRATCH_TOKEN = None
 
 
 def scratch_subdir(root: str) -> str:
@@ -111,18 +112,23 @@ def scratch_subdir(root: str) -> str:
     up. Uniqueness = (pid, in-process counter): two calls — even two
     suffix_rank_tables invocations sharing one root, which previously
     OVERWROTE each other's still-lazily-referenced round tables — can
-    never collide. Local subdirs are best-effort removed at process
-    exit (the tables are consumed lazily downstream, so earlier
-    cleanup would break reads); remote roots are left to the store's
-    lifecycle policy."""
-    global _SCRATCH_SEQ
+    never collide, plus a per-process random token (r12 ADVICE: two
+    DRIVER processes on different hosts sharing one remote scratch
+    root can hold equal pids, so (pid, counter) alone can collide
+    across hosts and overwrite each other's round tables). Local
+    subdirs are best-effort removed at process exit (the tables are
+    consumed lazily downstream, so earlier cleanup would break
+    reads); remote roots are left to the store's lifecycle policy."""
+    global _SCRATCH_SEQ, _SCRATCH_TOKEN
     if _SCRATCH_SEQ is None:
         import itertools
+        import uuid
 
         _SCRATCH_SEQ = itertools.count()
+        _SCRATCH_TOKEN = uuid.uuid4().hex[:12]
     import os
 
-    sub = f"{root.rstrip('/')}/sfx-{os.getpid()}-{next(_SCRATCH_SEQ)}"
+    sub = f"{root.rstrip('/')}/sfx-{os.getpid()}-{_SCRATCH_TOKEN}-{next(_SCRATCH_SEQ)}"
     if "://" not in sub:
         import atexit
         import shutil

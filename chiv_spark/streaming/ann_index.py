@@ -289,8 +289,11 @@ def ivfpq_fold_stream(
     )
     q.awaitTermination()
     # explicit missing-sink check (not a bare except): an unreadable
-    # sink must raise, never silently report an empty index
-    if not os.path.isdir(codes_dir):
+    # sink must raise, never silently report an empty index; remote
+    # URI sinks resolve through the Hadoop FS API (r12 ADVICE)
+    from chiv_spark.streaming.dedup_index import _dir_exists
+
+    if not _dir_exists(spark, codes_dir):
         return spark.createDataFrame([], OUT_SCHEMA)
     # pending deletions apply to THIS read too, not only to
     # read_codes_pruned — a caller that ran delete_vectors mid-stream

@@ -93,6 +93,27 @@ def _tombstone_dir(index_dir: str) -> str:
     return os.path.join(index_dir.rstrip("/"), "_tombstones")
 
 
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check that works for BOTH local paths and remote
+    filesystem URIs (hdfs://, s3a://). r12 ADVICE: the previous bare
+    ``os.path.isdir`` is always False for a '://' URI, which silently
+    scoped a GDPR-style delete to the seed generation (write path) or
+    dropped the pending deletion set entirely (read path) — the exact
+    fail-open the surrounding comments forbid. Remote roots resolve
+    through the Hadoop FileSystem API on the driver's JVM gateway —
+    the same code path Spark's own readers use — so a misconfigured
+    scheme RAISES instead of failing open."""
+    if "://" not in path:
+        import os
+
+        return os.path.isdir(path)
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def write_tombstones(
     spark: SparkSession,
     index_dir: str,
@@ -127,9 +148,7 @@ def write_tombstones(
         # GDPR-style delete to (-2,-1] and leave the id visible in
         # every streamed generation — the deletion primitive must
         # never fail open)
-        import os
-
-        if not os.path.isdir(index_dir):
+        if not _dir_exists(spark, index_dir):
             thru_row = None
         else:
             from pyspark.errors import AnalysisException
@@ -158,11 +177,11 @@ def write_tombstones(
 
 def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """The pending (not-yet-compacted) deletion set — one row per
-    (doc_id, frm, thru) scope — or None."""
-    import os
-
+    (doc_id, frm, thru) scope — or None. Existence resolves through
+    :func:`_dir_exists`, so a remote index root never silently reads
+    as empty (r12 ADVICE)."""
     d = _tombstone_dir(index_dir)
-    if not os.path.isdir(d):
+    if not _dir_exists(spark, d):
         return None
     rel = spark.read.parquet(d)
     # legacy (pre-generation-scoped) tombstone files carry doc_id only
@@ -408,12 +427,11 @@ def index_fold_stream(
         .start()
     )
     q.awaitTermination()
-    import os
-
     # explicit missing-sink check, not a bare except: an unreadable or
     # corrupt sink must RAISE, never silently report "no duplicates"
-    # (infrastructure failure masquerading as a clean result)
-    if not os.path.isdir(out_dir):
+    # (infrastructure failure masquerading as a clean result); remote
+    # URI sinks resolve through the Hadoop FS API (r12 ADVICE)
+    if not _dir_exists(spark, out_dir):
         return spark.createDataFrame([], pair_schema)
     return spark.read.parquet(out_dir).select(*pair_cols)
 

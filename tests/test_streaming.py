@@ -590,6 +590,32 @@ class TestIndexLayout:
         row = tomb.collect()[0]
         assert (row.doc_id, row.frm, row.thru) == (3, SEED_BATCH - 1, SEED_BATCH)
 
+    def test_remote_uri_tombstones_not_fail_open(self, spark, tmp_path):
+        """r12 ADVICE: for a '://' index root the old os.path.isdir
+        check was always False, silently scoping deletes to the seed
+        generation and dropping the pending deletion set on read. With
+        existence resolved through the Hadoop FS API, a file:// root
+        (the remote-scheme path Spark itself uses in local mode)
+        behaves exactly like the bare-path root: the delete scopes to
+        the index watermark and the tombstone set is readable."""
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import (
+            read_tombstones,
+            write_index_generation,
+            write_tombstones,
+        )
+
+        index_dir, text = self._seed(spark, tmp_path)  # doc 1 @ SEED
+        d = spark.createDataFrame([(2, text)], "doc_id long, text string")
+        write_index_generation(dedup.minhash_band_index(d), "bh", index_dir, 5)
+        uri = "file://" + index_dir
+        write_tombstones(spark, uri, [1])  # default thru via Hadoop FS
+        tomb = read_tombstones(spark, uri)
+        assert tomb is not None
+        row = tomb.collect()[0]
+        # thru = max src_batch visible (5), NOT the SEED fail-open
+        assert (row.doc_id, row.thru) == (1, 5)
+
     def test_tombstone_scope_allows_reingest(self, spark, tmp_path):
         """Generation-scoped tombstones (r10 ADVICE): a delete only
         suppresses rows folded up to the index watermark it saw; the
