@@ -830,3 +830,93 @@ def ngram_containment_pairs(
     return j.filter(F.col("containment") >= threshold).select(
         "doc_a", "doc_b", F.col("containment").cast("double").alias("containment")
     )
+
+
+# ---------------- paragraph-level exact dedup (batch + incremental) --
+
+#: fixed chunk width in tokens (the synthetic text has no newline
+#: paragraphs) — shared as a literal with the registry oracles
+PARA_W = 10
+#: site-encoding multiplier: doc_id * PARA_SITE_C + chunk_idx must be
+#: injective, so PARA_SITE_C > max chunks per doc (maxlen 100 / w 10)
+PARA_SITE_C = 1024
+
+
+def paragraph_chunks(docs: DataFrame, w: int = PARA_W) -> DataFrame:
+    """(doc_id, idx, c, h, site): the corpus chunked into fixed
+    ``w``-token blocks with the md5-60bit fingerprint of each block
+    and its injective occurrence site (doc_id * PARA_SITE_C + idx).
+    One explode, no shuffle — the shared front of the batch
+    paragraph-dedup pass and the incremental index fold."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(tk) / {w}.0) as int) - 1),"
+                f" i -> array_join(slice(tk, i * {w} + 1, {w}), ' '))"
+            )
+        ).alias("idx", "c"),
+    ).select(
+        "doc_id",
+        "idx",
+        "c",
+        hash64(F.col("c")).alias("h"),
+        (F.col("doc_id") * PARA_SITE_C + F.col("idx")).alias("site"),
+    )
+
+
+def paragraph_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, h, site): the PERSISTABLE relation of the paragraph
+    tier — one row per chunk occurrence, fingerprint only, never the
+    chunk text. Written once per corpus snapshot under pmod(h, P)
+    directory partitions (streaming.dedup_index conventions) so an
+    arriving shard's pruned band join reads only the buckets its own
+    fingerprints touch; carrying doc_id keeps the tombstone/GDPR
+    anti-join applicable at this tier too."""
+    return paragraph_chunks(docs).select("doc_id", "h", "site")
+
+
+def paragraph_rebuild(chunks: DataFrame, firsts: DataFrame) -> DataFrame:
+    """Per-doc rebuild against a first-occurrence relation ``firsts``
+    = (h, s0): a chunk survives iff its site IS the minimum site of
+    its fingerprint; each document's cleaned_text is rebuilt from its
+    kept blocks in order. One equi-join on the 8-byte fingerprint +
+    one per-doc agg — chunk text stays on the chunk side only."""
+    kept = F.col("site") == F.col("s0")
+    return (
+        chunks.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(kept, F.struct("idx", "c")))),
+                    lambda s: s["c"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+def incremental_paragraph_rebuild(
+    delta_chunks: DataFrame, index: DataFrame
+) -> DataFrame:
+    """Incremental paragraph dedup: rebuild the ARRIVING shard's
+    documents against the persisted fingerprint index plus the
+    shard's own earlier occurrences — the paragraph-tier analog of
+    incremental_lsh_pairs. A delta chunk survives iff its site is the
+    minimum over (matching index rows ∪ matching delta rows); since
+    the index stores every base occurrence's site, that minimum
+    equals the full-recompute global minimum — the oracle identity.
+    Only the delta is chunked (O(|delta|) arrival cost); the corpus
+    contributes pre-computed (h, site) rows, its raw text is never
+    re-read, and the join against a bucketed index prunes to the pb
+    partitions the delta's fingerprints touch."""
+    combined = delta_chunks.select("h", "site").unionByName(
+        index.select("h", "site")
+    )
+    firsts = combined.groupBy("h").agg(F.min("site").alias("s0"))
+    return paragraph_rebuild(delta_chunks, firsts)

@@ -101,17 +101,20 @@ def dedup_exact(spark, sf_dir):
 
 #: paragraph-dedup chunk width (tokens) — the corpus has no newline
 #: structure, so "paragraphs" are fixed-width token blocks, the same
-#: granularity CCNet/Dolma hash real newline paragraphs at
-_PARA_W = 10
-#: site-encoding multiplier: doc_id * _SITE_C + chunk_idx must be
-#: injective, so _SITE_C > max chunks per doc (maxlen 100 / width 10)
-_SITE_C = 1024
+#: granularity CCNet/Dolma hash real newline paragraphs at; the
+#: literals live on the operator (operators.dedup) and are shared
+#: verbatim with the oracles here
+_PARA_W = dedup.PARA_W
+_SITE_C = dedup.PARA_SITE_C
 
 
-@query(
-    "dedup_paragraph_exact",
-    f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+#: shared closed-form CTEs of the paragraph tier: chunking, the
+#: md5-60bit fingerprint, injective sites, global first-occurrence —
+#: consumed by the full pass and (restricted to the delta slice) by
+#: the incremental batch + streaming twins, so the three oracles can
+#: never drift from one another
+_PARA_CTES = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     chunks AS (
       SELECT doc_id, i AS idx,
              array_to_string(tk[i*{_PARA_W}+1 : i*{_PARA_W}+{_PARA_W}], ' ') AS c
@@ -120,13 +123,22 @@ _SITE_C = 1024
                       {duckdb_hash64('c')} AS h,
                       doc_id * {_SITE_C} + idx AS site
                FROM chunks),
-    firsts AS (SELECT h, MIN(site) AS s0 FROM hashed GROUP BY h)
+    firsts AS (SELECT h, MIN(site) AS s0 FROM hashed GROUP BY h)"""
+
+_PARA_REBUILD = """
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(CASE WHEN site = s0 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
            COALESCE(string_agg(CASE WHEN site = s0 THEN c END, ' ' ORDER BY idx), '')
              AS cleaned_text
-    FROM hashed JOIN firsts USING (h)
+    FROM hashed JOIN firsts USING (h)"""
+
+
+@query(
+    "dedup_paragraph_exact",
+    f"""
+    WITH {_PARA_CTES}
+    {_PARA_REBUILD}
     GROUP BY doc_id
     """,
     doc="PARAGRAPH-level exact dedup, the CCNet/Dolma pass that "
@@ -146,43 +158,9 @@ _SITE_C = 1024
     "fingerprint",
 )
 def dedup_paragraph_exact(spark, sf_dir):
-    toks = t(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("tk")
-    )
-    chunks = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size(tk) / {_PARA_W}.0) as int) - 1),"
-                f" i -> array_join(slice(tk, i * {_PARA_W} + 1, {_PARA_W}), ' '))"
-            )
-        ).alias("idx", "c"),
-    ).select(
-        "doc_id",
-        "idx",
-        "c",
-        hash64(F.col("c")).alias("h"),
-        (F.col("doc_id") * _SITE_C + F.col("idx")).alias("site"),
-    )
+    chunks = dedup.paragraph_chunks(t(spark, sf_dir, "documents"))
     firsts = chunks.groupBy("h").agg(F.min("site").alias("s0"))
-    kept = F.col("site") == F.col("s0")
-    return (
-        chunks.join(firsts, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_chunks"),
-            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_dropped"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.when(kept, F.struct("idx", "c")))
-                    ),
-                    lambda s: s["c"],
-                ),
-                " ",
-            ).alias("cleaned_text"),
-        )
-    )
+    return dedup.paragraph_rebuild(chunks, firsts)
 
 
 #: bloom filter geometry — M bits / K md5-60bit seeded hashes; both
@@ -588,6 +566,95 @@ def streaming_incremental_dedup(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="chiv-incdedup-")
     return incremental_dedup_stream(
         spark, base, stream, work, delta_predicate=(fate == 0)
+    )
+
+
+#: shared by the incremental-paragraph batch query and its streaming
+#: twin: the full paragraph recompute restricted to the delta slice.
+#: The identity making this exact: the persisted index stores EVERY
+#: base occurrence's (h, site), so min over (index ∪ delta) equals
+#: the full-recompute global minimum per fingerprint.
+_INC_PARA_ORACLE = f"""
+    WITH {_PARA_CTES},
+    fate AS (SELECT doc_id, {_INC_FATE} AS f FROM documents)
+    {_PARA_REBUILD}
+    JOIN fate USING (doc_id)
+    WHERE fate.f = 0
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "dedup_incremental_paragraph",
+    _INC_PARA_ORACLE,
+    doc="incremental PARAGRAPH-level dedup (r12 verdict task 6) — "
+    "arriving shards dedup at paragraph granularity without "
+    "re-reading the corpus: the 1-in-10 stable-hash fate slice plays "
+    "the newly arrived shard; only it is chunked and fingerprinted "
+    "(O(|delta|) arrival cost); the corpus contributes its persisted "
+    "fingerprint index (doc_id, h, site — dedup.paragraph_index, "
+    "never the chunk text) and a delta chunk survives iff its site "
+    "is the minimum over matching index + delta occurrences, which "
+    "equals the full-recompute global minimum since the index stores "
+    "every base occurrence. Per-doc cleaned_text rebuilds from the "
+    "delta's own chunk payload. Plan: one equi-join on the 8-byte "
+    "fingerprint against the bucketed index (pb-pruned in the "
+    "streaming layout), one map-side-combining min-agg, one per-doc "
+    "rebuild agg — linear, no windows. Oracle = full paragraph "
+    "recompute restricted to the delta slice",
+)
+def dedup_incremental_paragraph(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    fate = hash64(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10
+    delta = docs.filter(fate == 0)
+    base = docs.filter(fate != 0)
+    # in production the index is READ BACK from parquet (see the
+    # streaming twin + TestIncrementalParagraph round-trip); built
+    # in-plan from the base slice so the query is self-contained
+    index = dedup.paragraph_index(base)
+    return dedup.incremental_paragraph_rebuild(dedup.paragraph_chunks(delta), index)
+
+
+@query(
+    "streaming_incremental_paragraph",
+    _INC_PARA_ORACLE,
+    doc="streaming twin of dedup_incremental_paragraph over the "
+    "shared foreachBatch fold harness (streaming.dedup_index): each "
+    "microbatch's chunks dedup against the persisted pb-bucketed "
+    "fingerprint index (pruned to touched buckets, minus the batch's "
+    "own generation), the rebuilt per-doc rows land partitioned by "
+    "src_batch (dynamic-overwrite idempotent), and then ONLY the "
+    "batch's (doc_id, h, site) fingerprints fold into the index "
+    "(fold_cols — chunk text never persists in the index), so later "
+    "batches dedup against earlier arrivals through the index, never "
+    "a cross-batch join. Under availableNow the single batch sees "
+    "the whole delta slice, so the relation equals the batch twin's "
+    "and the oracle is shared verbatim",
+)
+def streaming_incremental_paragraph(spark, sf_dir):
+    from chiv_spark.streaming.dedup_index import index_fold_stream
+
+    docs = t(spark, sf_dir, "documents")
+    fate = hash64(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10
+    base = docs.filter(fate != 0)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    work = tempfile.mkdtemp(prefix="chiv-incpara-")
+    return index_fold_stream(
+        spark,
+        base,
+        stream,
+        work,
+        index_builder=dedup.paragraph_chunks,
+        pairs_builder=dedup.incremental_paragraph_rebuild,
+        key_col="h",
+        pair_cols=["doc_id", "n_chunks", "n_dropped", "cleaned_text"],
+        pair_schema="doc_id bigint, n_chunks bigint, n_dropped bigint, cleaned_text string",
+        delta_predicate=(fate == 0),
+        fold_cols=["doc_id", "h", "site"],
     )
 
 
@@ -1494,7 +1561,7 @@ def pipeline_clean_corpus(spark, sf_dir):
              (q.quality >= 0.3) AS q_ok,
              (q.n_tokens >= 20) AS t_ok
       FROM quality q LEFT JOIN exact_keep k ON q.doc_id = k.doc_id),
-    agg AS (
+    agg AS MATERIALIZED (
       SELECT COUNT(*) AS total,
              COUNT(*) FILTER (WHERE keep_exact) AS s1,
              COUNT(*) FILTER (WHERE keep_exact AND NOT is_near) AS s2,

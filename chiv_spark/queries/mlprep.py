@@ -576,15 +576,21 @@ def _dedup_decon_funnel_oracle() -> str:
 
     # compose the three registered oracles verbatim (as embedded
     # subqueries — their CTE namespaces collide if merged) so the
-    # funnel can never drift from the stages it reports on
+    # funnel can never drift from the stages it reports on.
+    # MATERIALIZED is load-bearing (r12 verdict task 4): DuckDB's
+    # default CTE inlining re-plans the embedded oracles inside the
+    # outer join tree, ballooning the composed query to ~148 s at
+    # sf0.1 where the three stages run in ~9 s standalone; forcing
+    # each stage to evaluate once as a table restores stage-sum cost
+    # with identical semantics (the r11 pipeline_filter_funnel fix)
     spans = REGISTRY["dedup_exact_substr"].oracle
     overlap = REGISTRY["decontaminate_eval_overlap"].oracle
     neardup = _neardup_decon_oracle()
     return f"""
-    WITH spans AS (SELECT doc_id, keep FROM ({spans})),
-    ov AS (SELECT DISTINCT doc_id FROM ({overlap})),
-    nd AS (SELECT DISTINCT doc_id FROM ({neardup})),
-    flags AS (
+    WITH spans AS MATERIALIZED (SELECT doc_id, keep FROM ({spans})),
+    ov AS MATERIALIZED (SELECT DISTINCT doc_id FROM ({overlap})),
+    nd AS MATERIALIZED (SELECT DISTINCT doc_id FROM ({neardup})),
+    flags AS MATERIALIZED (
       SELECT d.doc_id,
              s.keep AS f1,
              ({_H} % 100 >= 2) AS f2,
@@ -594,7 +600,7 @@ def _dedup_decon_funnel_oracle() -> str:
       JOIN spans s USING (doc_id)
       LEFT JOIN ov o ON o.doc_id = d.doc_id
       LEFT JOIN nd n ON n.doc_id = d.doc_id),
-    agg AS (
+    agg AS MATERIALIZED (
       SELECT COUNT(*) AS total,
              COUNT(*) FILTER (WHERE f1) AS s1,
              COUNT(*) FILTER (WHERE f1 AND f2) AS s2,

@@ -371,9 +371,16 @@ def index_fold_stream(
     pair_schema: str,
     delta_predicate: Column | None = None,
     id_col: str = "doc_id",
+    fold_cols: list[str] | None = None,
 ) -> DataFrame:
     """Run a bounded streaming incremental-dedup job over the shared
     fold harness.
+
+    ``fold_cols``: optional projection applied before every index
+    write — for tiers whose per-batch relation carries payload the
+    index must never store (the paragraph tier's chunk text: the
+    batch function needs it to rebuild cleaned_text, the index holds
+    fingerprints + sites only).
 
     ``base_rel``: the already-resident corpus; its index is written
     to ``<work_dir>/index`` ONCE before the stream starts (in
@@ -392,7 +399,12 @@ def index_fold_stream(
     out_dir = f"{work}/pairs"
     ckpt_dir = f"{work}/ckpt"
 
-    write_index_generation(index_builder(base_rel), key_col, index_dir, SEED_BATCH)
+    def _fold_rel(rel: DataFrame) -> DataFrame:
+        return rel.select(*fold_cols) if fold_cols is not None else rel
+
+    write_index_generation(
+        _fold_rel(index_builder(base_rel)), key_col, index_dir, SEED_BATCH
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         delta = batch_df if delta_predicate is None else batch_df.filter(delta_predicate)
@@ -417,7 +429,7 @@ def index_fold_stream(
             # the index so later batches dedup against them (folding
             # first would double-count within-batch self-pairs — and
             # the exclude_batch guard above keeps even a replay clean)
-            write_index_generation(dsig, key_col, index_dir, batch_id)
+            write_index_generation(_fold_rel(dsig), key_col, index_dir, batch_id)
         dsig.unpersist()
 
     q = (

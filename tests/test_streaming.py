@@ -329,6 +329,61 @@ class TestIncrementalDedupStream:
         assert idx.count() == 16
 
 
+class TestIncrementalParagraphStream:
+    def test_cross_batch_chunk_dedup_and_textless_index(self, spark, tmp_path):
+        """r12 verdict task 6. Two shard files under
+        maxFilesPerTrigger=1 -> two microbatches. Chunk Z appears in
+        BOTH shards: the later batch can only drop it if the earlier
+        batch's fingerprints were folded into the persisted index
+        (order-insensitive). The index must hold fingerprints + sites
+        ONLY — never the chunk text (fold_cols contract)."""
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import index_fold_stream
+
+        def toks(prefix):
+            return " ".join(f"{prefix}{i}" for i in range(10))
+
+        X, Y, Z, W = toks("x"), toks("y"), toks("z"), toks("w")
+        schema = "doc_id long, text string"
+        base = spark.createDataFrame([(1, f"{X} {Y}")], schema)
+        shards = tmp_path / "shards"
+        spark.createDataFrame([(10, f"{X} {Z}")], schema).coalesce(1).write.parquet(
+            str(shards / "part0")
+        )
+        spark.createDataFrame([(20, f"{Z} {W}")], schema).coalesce(1).write.parquet(
+            str(shards / "part1")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+        work = tmp_path / "work"
+        out = index_fold_stream(
+            spark,
+            base,
+            stream,
+            str(work),
+            index_builder=dedup.paragraph_chunks,
+            pairs_builder=dedup.incremental_paragraph_rebuild,
+            key_col="h",
+            pair_cols=["doc_id", "n_chunks", "n_dropped", "cleaned_text"],
+            pair_schema="doc_id bigint, n_chunks bigint, n_dropped bigint,"
+            " cleaned_text string",
+            fold_cols=["doc_id", "h", "site"],
+        )
+        got = {r.doc_id: (r.n_chunks, r.n_dropped, r.cleaned_text) for r in out.collect()}
+        # doc 10: X dropped (base doc 1 holds it), Z kept (first sight)
+        # doc 20: Z dropped — ONLY reachable through the index fold of
+        # the other shard's batch — W kept
+        assert got == {10: (2, 1, Z), 20: (2, 1, W)}
+        idx = spark.read.parquet(str(work / "index"))
+        assert set(idx.columns) == {"doc_id", "h", "site", "pb", "src_batch"}
+        # base (2 chunks @ SEED) + both deltas (2 chunks each)
+        assert idx.count() == 6
+        assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 10, 20}
+
+
 class TestIndexLayout:
     """r8 verdict task 2 + the r8 foreachBatch-idempotency advice: the
     dedup index's 100 TB claims made mechanical. (a) the per-batch
