@@ -920,3 +920,85 @@ def incremental_paragraph_rebuild(
     )
     firsts = combined.groupBy("h").agg(F.min("site").alias("s0"))
     return paragraph_rebuild(delta_chunks, firsts)
+
+
+# ---------------- bloom-filter membership (broadcast bitmap) ---------
+
+
+def bloom_bitmap(
+    texts: DataFrame, m_bits: int, k: int, text_col: str = "text"
+) -> DataFrame:
+    """(word_idx, bits): the prior corpus folded into an M-bit bloom
+    filter packed 64 bits per long — the BROADCASTABLE form of the
+    filter at realistic geometry (M = 2^27 packs to 2 MiB of longs;
+    a few 2^30s to tens of MiB). Bit positions come from the
+    md5-60bit seeded family so they replay exactly in the oracles.
+    One explode (K rows per doc) + one map-side-combining bit_or
+    hash-agg keyed on the word index; bit_or is idempotent so no
+    DISTINCT pass is needed. The output is bounded by
+    min(m_bits/64, K·n) rows regardless of corpus size — absent
+    words mean zero bits, exactly what the probe's left join reads
+    them as."""
+    from chiv_spark.functions.hashing import hash64_seeded
+
+    pos = texts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(hash64_seeded(F.col(text_col), s), F.lit(m_bits))
+                    for s in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    arrivals: DataFrame,
+    bitmap: DataFrame,
+    m_bits: int,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, bloom_hit): probe arriving documents against a packed
+    bloom bitmap. The bitmap side is explicitly BROADCAST — the
+    arrivals (the 100 TB side) are never shuffled by the membership
+    test itself: K positions explode per arrival, each looks its word
+    up in the broadcast map, and the per-arrival AND folds back with
+    a map-side-combined min (K rows per id live in one partition, so
+    the final agg shuffles ~1 row per arrival). No false negatives by
+    construction: a true duplicate probes exactly the bits its prior
+    copy set."""
+    from chiv_spark.functions.hashing import hash64_seeded
+
+    apos = arrivals.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(hash64_seeded(F.col(text_col), s), F.lit(m_bits))
+                    for s in range(k)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        id_col,
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+    )
+    hit = apos.join(F.broadcast(bitmap), "word_idx", "left").select(
+        id_col,
+        F.when((F.col("bits").bitwiseAND(F.col("m"))) != 0, 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    return hit.groupBy(id_col).agg((F.min("b") == 1).alias("bloom_hit"))

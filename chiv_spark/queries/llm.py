@@ -170,9 +170,9 @@ _BLOOM_M = 65536
 _BLOOM_K = 4
 
 
-@query(
-    "dedup_bloom_membership",
-    f"""
+#: shared by the batch bloom row and its streaming fold twin (one
+#: availableNow batch sees all arrivals, so both produce this relation)
+_BLOOM_ORACLE = f"""
     WITH prior AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
     arrivals AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
@@ -194,7 +194,12 @@ _BLOOM_K = 4
     FROM arrivals a
     LEFT JOIN hits h USING (doc_id)
     LEFT JOIN ptext p ON a.text = p.text
-    """,
+    """
+
+
+@query(
+    "dedup_bloom_membership",
+    _BLOOM_ORACLE,
     doc="BLOOM-FILTER membership dedup — the constant-memory "
     "mechanism (Dolma's deduper, CCNet's per-shard filters) that "
     "replaces a corpus-sized shuffle join when only a yes/maybe "
@@ -206,16 +211,16 @@ _BLOOM_K = 4
     "exact_dup. No false negatives by construction (a true dup sets "
     "exactly its own bits); false positives appear as bloom_hit AND "
     "NOT exact_dup rows at the (1-e^(-Kn/M))^K rate. Scale shape: "
-    "the filter is a DISTINCT over at most M 8-byte positions — "
-    "broadcast to every executor (at 100 TB, M grows to a few 2^30s "
-    "and the broadcast is the bitmap; the corpus itself never "
-    "shuffles), arrivals probe via a broadcast-hash join + a "
-    "matched-seed count, and the exact_dup audit column is the only "
-    "text-keyed join in the plan",
+    "the filter is a PACKED-LONG BITMAP (dedup.bloom_bitmap, 64 bits "
+    "per row, bounded by m/64 rows — 2 MiB of longs at M=2^27, the "
+    "realistic-geometry probe tests/test_operators.py::"
+    "TestBloomBitmap runs) built by one map-side-combining bit_or "
+    "agg, BROADCAST to every executor; arrivals probe via a "
+    "broadcast-hash join + per-arrival AND-fold (the corpus itself "
+    "never shuffles; plan-pinned), and the exact_dup audit column is "
+    "the only text-keyed join in the plan",
 )
 def dedup_bloom_membership(spark, sf_dir):
-    from chiv_spark.functions.hashing import hash64_seeded
-
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     prior = docs.filter(F.col("doc_id") % 2 == 0).select("text")
     arrivals = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
@@ -223,36 +228,65 @@ def dedup_bloom_membership(spark, sf_dir):
             (F.col("doc_id") + 2000000).alias("doc_id"), "text"
         )
     )
-
-    def positions(rel):
-        return rel.select(
-            "*",
-            F.posexplode(
-                F.array(
-                    *[
-                        F.pmod(hash64_seeded(F.col("text"), s), F.lit(_BLOOM_M))
-                        for s in range(_BLOOM_K)
-                    ]
-                )
-            ).alias("s", "pos"),
-        )
-
-    pbits = positions(prior).select("pos").distinct()
-    apos = positions(arrivals).select("doc_id", "s", "pos")
-    hits = (
-        apos.join(F.broadcast(pbits), "pos")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
+    bitmap = dedup.bloom_bitmap(prior, _BLOOM_M, _BLOOM_K)
+    hits = dedup.bloom_probe(arrivals, bitmap, _BLOOM_M, _BLOOM_K)
     ptext = prior.distinct().withColumn("is_prior", F.lit(True))
     return (
-        arrivals.join(hits, "doc_id", "left")
+        arrivals.join(hits, "doc_id")
         .join(ptext, "text", "left")
         .select(
             "doc_id",
-            (F.coalesce("m", F.lit(0)) == _BLOOM_K).alias("bloom_hit"),
+            "bloom_hit",
             F.coalesce("is_prior", F.lit(False)).alias("exact_dup"),
         )
+    )
+
+
+@query(
+    "streaming_bloom_membership",
+    _BLOOM_ORACLE,
+    doc="streaming twin of dedup_bloom_membership with a FOLDING "
+    "filter (streaming.dedup_index.bloom_membership_stream): each "
+    "arriving batch probes the persisted packed-long bitmap, then ORs "
+    "its own bits in, so later batches dedup against earlier arrivals "
+    "through CONSTANT-SIZE state (bounded by m/64 words at any corpus "
+    "size — where the signature-index tiers grow with the corpus). "
+    "Generational layout with dynamic partition overwrite on "
+    "src_batch; replay idempotence is free because bit_or re-applied "
+    "is a no-op, and the probe excludes the batch's own generation so "
+    "a replay never self-hits. Under availableNow the single batch "
+    "sees all arrivals, so the relation equals the batch twin's and "
+    "the oracle is shared verbatim",
+)
+def streaming_bloom_membership(spark, sf_dir):
+    from chiv_spark.streaming.dedup_index import bloom_membership_stream
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    stream = (
+        spark.readStream.schema(t(spark, sf_dir, "documents").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    # the arrivals carve-out (odd docs + re-ingested even/20 copies)
+    # expressed per batch: the duplicated slice re-enters with shifted
+    # ids, exactly the batch twin's arrivals relation
+    arrivals_stream = stream.select("doc_id", "text").where(
+        F.col("doc_id") % 2 == 1
+    ).unionByName(
+        stream.where(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    work = tempfile.mkdtemp(prefix="chiv-bloomstream-")
+    return bloom_membership_stream(
+        spark,
+        prior,
+        arrivals_stream,
+        work,
+        _BLOOM_M,
+        _BLOOM_K,
+        exact_audit=prior.distinct().withColumn("is_prior", F.lit(True)),
     )
 
 

@@ -503,3 +503,104 @@ def incremental_embed_dedup_stream(
         delta_predicate=delta_predicate,
         id_col="id",
     )
+
+
+def bloom_membership_stream(
+    spark: SparkSession,
+    prior_texts: DataFrame,
+    arrivals_stream: DataFrame,
+    work_dir: str,
+    m_bits: int,
+    k: int,
+    exact_audit: DataFrame | None = None,
+    delta_predicate: Column | None = None,
+) -> DataFrame:
+    """Streaming bloom-membership dedup: arriving batches probe the
+    PERSISTED packed-long bitmap (dedup.bloom_bitmap layout), then
+    fold their own bits in so later batches see earlier arrivals —
+    constant-size state (bounded by m/64 words regardless of corpus
+    size) where the index-fold tiers grow with the corpus.
+
+    Persistence is generational like the signature indexes —
+    (word_idx, bits, src_batch) with dynamic partition overwrite on
+    src_batch — but the collapse is a bit_or at READ time, which
+    makes replay idempotence free: re-folding the same batch ORs in
+    bits that are already set. The probe excludes the batch's own
+    generation so a replayed batch never self-hits.
+
+    ``exact_audit``: optional (text, is_prior) relation joined onto
+    the result for the ground-truth exact_dup column (the registry
+    row's audit; a production pipeline passes None). Under
+    availableNow with the whole delta in one batch the relation
+    equals the batch query's, so the DuckDB oracle is shared
+    verbatim."""
+    from chiv_spark.operators import dedup
+
+    work = work_dir.rstrip("/")
+    bloom_dir = f"{work}/bloom"
+    out_dir = f"{work}/hits"
+    ckpt_dir = f"{work}/ckpt"
+
+    (
+        dedup.bloom_bitmap(prior_texts, m_bits, k)
+        .withColumn("src_batch", F.lit(int(SEED_BATCH)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("src_batch")
+        .parquet(bloom_dir)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df if delta_predicate is None else batch_df.filter(delta_predicate)
+        )
+        bm = (
+            spark.read.parquet(bloom_dir)
+            .filter(F.col("src_batch") != int(batch_id))
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+        res = dedup.bloom_probe(delta, bm, m_bits, k)
+        if exact_audit is not None:
+            res = (
+                delta.join(res, "doc_id")
+                .join(exact_audit, "text", "left")
+                .select(
+                    "doc_id",
+                    "bloom_hit",
+                    F.coalesce("is_prior", F.lit(False)).alias("exact_dup"),
+                )
+            )
+        (
+            res.withColumn("src_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch")
+            .parquet(out_dir)
+        )
+        # fold AFTER the probe action: within-batch self-hits stay
+        # absent (batch semantics), later batches see these bits
+        (
+            dedup.bloom_bitmap(delta, m_bits, k)
+            .withColumn("src_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch")
+            .parquet(bloom_dir)
+        )
+
+    q = (
+        arrivals_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not _dir_exists(spark, out_dir):
+        return spark.createDataFrame(
+            [], "doc_id bigint, bloom_hit boolean, exact_dup boolean"
+        )
+    cols = ["doc_id", "bloom_hit"] + (
+        ["exact_dup"] if exact_audit is not None else []
+    )
+    return spark.read.parquet(out_dir).select(*cols)

@@ -548,6 +548,68 @@ class TestImageDhash:
         assert min(cross) > 10
 
 
+class TestBloomBitmap:
+    """r12 verdict task 7: the bloom filter at REALISTIC geometry —
+    M = 2^27 bits as a packed-long broadcast bitmap (the registry row
+    runs M=65536 for oracle replay; the 100 TB docstring claim is
+    proven here)."""
+
+    M = 1 << 27
+    K = 4
+
+    def _corpus(self, spark):
+        prior = spark.range(0, 3000).selectExpr("concat('doc ', id) AS text")
+        # odd-id arrivals are fresh; every 10th is a true dup of prior
+        arrivals = spark.range(0, 600).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 10 = 0 THEN concat('doc ', id) "
+            "ELSE concat('new ', id) END AS text",
+        )
+        return prior, arrivals
+
+    def test_no_false_negatives_and_packed_bound(self, spark):
+        from chiv_spark.operators import dedup
+
+        prior, arrivals = self._corpus(spark)
+        bitmap = dedup.bloom_bitmap(prior, self.M, self.K)
+        nrows = bitmap.count()
+        # packed: bounded by K*n occupied words, far under M/64
+        assert nrows <= self.K * 3000
+        assert nrows <= self.M // 64
+        got = {
+            r.doc_id: r.bloom_hit
+            for r in dedup.bloom_probe(arrivals, bitmap, self.M, self.K).collect()
+        }
+        assert len(got) == 600
+        for i in range(0, 600, 10):  # true dups: NEVER missed
+            assert got[i] is True
+        # at this load factor (12k bits set of 2^27) false positives
+        # are ~0 — fresh arrivals must miss
+        misses = sum(1 for i, h in got.items() if i % 10 != 0 and not h)
+        assert misses == 540
+
+    def test_probe_plan_is_broadcast_join(self, spark):
+        """The arrivals side must stay a broadcast-hash join against
+        the bitmap even at 2^27 geometry — never a shuffled join of
+        the corpus (the shape the registry docstring promises at
+        100 TB)."""
+        from chiv_spark.operators import dedup
+
+        prior, arrivals = self._corpus(spark)
+        bitmap = dedup.bloom_bitmap(prior, self.M, self.K)
+        plan = (
+            dedup.bloom_probe(arrivals, bitmap, self.M, self.K)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # the bitmap is the ONLY broadcast; arrivals must not sit
+        # under a shuffle before the join (their only exchange is the
+        # final per-id AND-fold)
+        assert "SortMergeJoin" not in plan
+
+
 class TestVideoFrameSample:
     """r12 verdict task 1: the orphan video_frame_sample wired for real.
     The codec path is real (GIF89a LZW encode -> decode on executors);
