@@ -22,6 +22,19 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 N="${1:?usage: tools/close_round.sh <round-number>}"
 
+# r12 verdict task 2: the sweep must be the LAST code-bearing commit —
+# mechanically. Refuse to sweep a dirty code tree (the sweep would
+# test code that no commit records), and stamp the swept HEAD SHA into
+# the artifacts so gen_provenance can FAIL if code changes after the
+# sweep (two rounds running, feature commits landed after the "final
+# close" and were only caught by judge labor).
+if ! git diff --quiet HEAD -- chiv_spark __spark_entry__.py; then
+  echo "!! chiv_spark/ or __spark_entry__.py has uncommitted changes — commit code BEFORE closing the round" >&2
+  exit 1
+fi
+SWEEP_SHA=$(git rev-parse HEAD)
+echo "== sweeping at ${SWEEP_SHA}" >&2
+
 REG_COUNT=$(python -c "from chiv_spark.queries import REGISTRY; print(len(REGISTRY))")
 echo "== registry: ${REG_COUNT} queries" >&2
 
@@ -39,7 +52,8 @@ sweep() {  # sweep <sf_dir> <artifact>
   local sf_dir="$1" out="$2"
   # stderr passes through (Spark/driver noise goes to the terminal,
   # crashes are visible); a non-zero exit aborts the close
-  python tools/check_correctness.py "$sf_dir" > "$out"
+  echo "# swept-at-sha: ${SWEEP_SHA}" > "$out"
+  python tools/check_correctness.py "$sf_dir" >> "$out"
   local verdicts
   verdicts=$(grep -cE '^(PASS|FAIL|ok  |ERR )' "$out" || true)
   if [ "$verdicts" -ne "$REG_COUNT" ]; then

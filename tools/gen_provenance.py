@@ -28,6 +28,50 @@ from chiv_spark.queries import REGISTRY
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HEADER = "## Per-query correctness provenance"
 
+#: paths whose tree must be IDENTICAL between the swept commit and the
+#: current state for the sweep artifacts to stand as evidence
+CODE_PATHS = ["chiv_spark", "__spark_entry__.py"]
+
+
+def check_sweep_sha() -> None:
+    """FAIL (exit 1) if the latest round's sweep artifacts carry a
+    swept-at SHA whose code tree differs from the current one — in
+    committed history OR as uncommitted edits (r12 verdict task 2:
+    two rounds running, feature commits landed after the 'final
+    close' sweep and the gap was only closed by judge labor; the
+    sweep must be the last code-bearing state of the round).
+    Artifacts from rounds before the stamp existed are skipped."""
+    import subprocess
+
+    stamped: dict[int, str] = {}
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_FULL_r0*.txt")):
+        n = int(re.search(r"_r0*(\d+)", os.path.basename(f)).group(1))
+        with open(f) as fh:
+            first = fh.readline()
+        m = re.match(r"# swept-at-sha: ([0-9a-f]{7,40})", first)
+        if m:
+            stamped[n] = m.group(1)
+    if not stamped:
+        return
+    latest = max(stamped)
+    sha = stamped[latest]
+
+    def run(*args: str) -> int:
+        return subprocess.run(["git", *args], cwd=REPO).returncode
+
+    if run("diff", "--quiet", sha, "HEAD", "--", *CODE_PATHS) != 0:
+        sys.exit(
+            f"!! r{latest} sweep artifacts were produced at {sha} but "
+            f"{'/'.join(CODE_PATHS)} changed in commits since — the sweep no "
+            "longer covers the code. Re-run tools/close_round.sh at HEAD."
+        )
+    if run("diff", "--quiet", "HEAD", "--", *CODE_PATHS) != 0:
+        sys.exit(
+            f"!! uncommitted changes in {'/'.join(CODE_PATHS)} — the r{latest} "
+            "sweep artifacts do not cover the working tree. Commit or revert, "
+            "then re-run tools/close_round.sh."
+        )
+
 
 def green(v: dict) -> bool:
     return bool(v.get("rows_match")) and v.get("err") is None and v.get("hash_match") is not False
@@ -46,6 +90,7 @@ def sweep_rounds() -> dict[int, set[str]]:
 
 
 def main() -> None:
+    check_sweep_sha()
     driver_rounds: dict[int, dict] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
         driver_rounds[int(re.search(r"_r0*(\d+)", f).group(1))] = json.load(open(f))
