@@ -119,6 +119,20 @@ HEADLINE = [
     "dedup_exact_substr_fixpoint",
     "ann_delete_then_probe",
     "dedup_audio_fingerprint",
+    # round 13: the r12/r13 tail the verdict asked to make visible —
+    # paragraph-level exact dedup (two linear fingerprint hash-aggs +
+    # rebuild), bloom membership over the packed broadcast bitmap,
+    # incremental ExactSubstr vs the persisted 8-gram window index,
+    # drift-acting IVFPQ maintenance (train + measure + partial
+    # rewrite per run), incremental paragraph dedup against the
+    # fingerprint index, and the video temporal-dHash dedup chain
+    # (real GIF decode of 61 sampled frames per clip)
+    "dedup_paragraph_exact",
+    "dedup_bloom_membership",
+    "dedup_incremental_exact_substr",
+    "ann_ivfpq_maintenance",
+    "dedup_incremental_paragraph",
+    "dedup_video_fingerprint",
 ]
 
 

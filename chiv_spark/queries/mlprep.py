@@ -692,6 +692,184 @@ _FUNNEL_REG["pipeline_dedup_decon_funnel"] = _FUNNEL_REG[
 )
 
 
+def _curation_capstone_oracle() -> str:
+    from chiv_spark.queries import llm  # noqa: F401 — registers the dedup tiers
+    from chiv_spark.queries.base import REGISTRY
+
+    # every stage is a REGISTERED oracle embedded verbatim, each
+    # MATERIALIZED (the pipeline_dedup_decon_funnel lesson: DuckDB's
+    # default inlining re-plans embedded oracles per UNION branch)
+    para = REGISTRY["dedup_paragraph_exact"].oracle
+    spans = REGISTRY["dedup_exact_substr"].oracle
+    mh = REGISTRY["dedup_minhash_lsh"].oracle
+    overlap = REGISTRY["decontaminate_eval_overlap"].oracle
+    ne = _neardup_decon_oracle()
+    img = REGISTRY["dedup_image_canonical"].oracle
+    aud = REGISTRY["dedup_audio_canonical"].oracle
+    vid = REGISTRY["dedup_video_canonical"].oracle
+    return f"""
+    WITH para AS MATERIALIZED (SELECT doc_id, (cleaned_text <> '') AS f1 FROM ({para})),
+    spans AS MATERIALIZED (SELECT doc_id, keep AS f2 FROM ({spans})),
+    ndrop AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM ({mh})),
+    ov AS MATERIALIZED (SELECT DISTINCT doc_id FROM ({overlap})),
+    ne AS MATERIALIZED (SELECT DISTINCT doc_id FROM ({ne})),
+    img AS MATERIALIZED (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM ({img})),
+    aud AS MATERIALIZED (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM ({aud})),
+    vid AS MATERIALIZED (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM ({vid})),
+    flags AS MATERIALIZED (
+      SELECT d.doc_id, p.f1, s.f2,
+             (n.doc_id IS NULL) AS f3,
+             (o.doc_id IS NULL) AS f4,
+             (e.doc_id IS NULL) AS f5
+      FROM documents d
+      JOIN para p USING (doc_id)
+      JOIN spans s USING (doc_id)
+      LEFT JOIN ndrop n ON n.doc_id = d.doc_id
+      LEFT JOIN ov o ON o.doc_id = d.doc_id
+      LEFT JOIN ne e ON e.doc_id = d.doc_id),
+    agg AS MATERIALIZED (
+      SELECT COUNT(*) AS total,
+             COUNT(*) FILTER (WHERE f1) AS s1,
+             COUNT(*) FILTER (WHERE f1 AND f2) AS s2,
+             COUNT(*) FILTER (WHERE f1 AND f2 AND f3) AS s3,
+             COUNT(*) FILTER (WHERE f1 AND f2 AND f3 AND f4) AS s4,
+             COUNT(*) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5) AS s5
+      FROM flags)
+    SELECT stage, CAST(n_surviving AS BIGINT) AS n_surviving,
+           CAST(n_removed AS BIGINT) AS n_removed
+    FROM (
+      SELECT '0_total' AS stage, total AS n_surviving, 0 AS n_removed FROM agg
+      UNION ALL SELECT '1_paragraph_dedup', s1, total - s1 FROM agg
+      UNION ALL SELECT '2_repeated_spans', s2, s1 - s2 FROM agg
+      UNION ALL SELECT '3_neardup_dedup', s3, s2 - s3 FROM agg
+      UNION ALL SELECT '4_exact_overlap_decon', s4, s3 - s4 FROM agg
+      UNION ALL SELECT '5_neardup_decon', s5, s4 - s5 FROM agg
+      UNION ALL SELECT '6_image_canonical', surv, tot - surv FROM img
+      UNION ALL SELECT '7_audio_canonical', surv, tot - surv FROM aud
+      UNION ALL SELECT '8_video_canonical', surv, tot - surv FROM vid)
+    """
+
+
+@query(
+    "pipeline_curation_capstone",
+    None,  # oracle attached below (composes eight registered oracles)
+    doc="the cross-modality curation CAPSTONE (r12 verdict task 8) — "
+    "the end-to-end 'build the training set' report: sequential text "
+    "tiers (paragraph-level exact dedup -> ExactSubstr repeated-span "
+    "gate -> MinHash near-dup removal -> exact 4-gram eval "
+    "decontamination -> MinHash eval decontamination) as conditional "
+    "survivor counts in ONE pass over documents, then the three "
+    "media tiers (image dHash, audio fingerprint, video temporal "
+    "dHash) each collapsed to canonical-per-cluster survivor counts. "
+    "Every stage composes the corresponding REGISTERED query's "
+    "relation verbatim — report and operators cannot drift; the "
+    "oracle embeds the same eight registered oracles MATERIALIZED. "
+    "Plan: the text flags are one multi-join + one conditional-count "
+    "agg; each media tier is a bounded-universe chain; nothing joins "
+    "across modalities",
+)
+def pipeline_curation_capstone(spark, sf_dir):
+    from chiv_spark.queries.base import REGISTRY
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    para = (
+        REGISTRY["dedup_paragraph_exact"].fn(spark, sf_dir)
+        .select("doc_id", (F.col("cleaned_text") != "").alias("f1"))
+    )
+    spans = (
+        REGISTRY["dedup_exact_substr"].fn(spark, sf_dir)
+        .select("doc_id", F.col("keep").alias("f2"))
+    )
+    ndrop = (
+        REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__nd", F.lit(1))
+    )
+    ov = (
+        REGISTRY["decontaminate_eval_overlap"].fn(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("__ov", F.lit(1))
+    )
+    ne = (
+        REGISTRY["decontaminate_neardup_eval"].fn(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("__ne", F.lit(1))
+    )
+    flags = (
+        docs.join(para, "doc_id")
+        .join(spans, "doc_id")
+        .join(ndrop, "doc_id", "left")
+        .join(ov, "doc_id", "left")
+        .join(ne, "doc_id", "left")
+        .select(
+            "f1",
+            "f2",
+            F.col("__nd").isNull().alias("f3"),
+            F.col("__ov").isNull().alias("f4"),
+            F.col("__ne").isNull().alias("f5"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("f1"), 1)).alias("s1"),
+        F.count(F.when(F.col("f1") & F.col("f2"), 1)).alias("s2"),
+        F.count(F.when(F.col("f1") & F.col("f2") & F.col("f3"), 1)).alias("s3"),
+        F.count(
+            F.when(F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4"), 1)
+        ).alias("s4"),
+        F.count(
+            F.when(
+                F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4") & F.col("f5"), 1
+            )
+        ).alias("s5"),
+    )
+    text_rows = agg.selectExpr(
+        "stack(6, "
+        "'0_total', total, 0L, "
+        "'1_paragraph_dedup', s1, total - s1, "
+        "'2_repeated_spans', s2, s1 - s2, "
+        "'3_neardup_dedup', s3, s2 - s3, "
+        "'4_exact_overlap_decon', s4, s3 - s4, "
+        "'5_neardup_decon', s5, s4 - s5"
+        ") as (stage, n_surviving, n_removed)"
+    )
+
+    def modality(name: str, label: str):
+        can = REGISTRY[name].fn(spark, sf_dir)
+        return can.agg(
+            F.count(F.lit(1)).alias("surv"),
+            F.sum("cluster_size").alias("tot"),
+        ).selectExpr(
+            f"'{label}' AS stage",
+            "surv AS n_surviving",
+            "tot - surv AS n_removed",
+        )
+
+    return (
+        text_rows.unionByName(modality("dedup_image_canonical", "6_image_canonical"))
+        .unionByName(modality("dedup_audio_canonical", "7_audio_canonical"))
+        .unionByName(modality("dedup_video_canonical", "8_video_canonical"))
+        .selectExpr(
+            "stage",
+            "CAST(n_surviving AS BIGINT) AS n_surviving",
+            "CAST(n_removed AS BIGINT) AS n_removed",
+        )
+    )
+
+
+_FUNNEL_REG["pipeline_curation_capstone"] = _FUNNEL_REG[
+    "pipeline_curation_capstone"
+].__class__(
+    name="pipeline_curation_capstone",
+    fn=_FUNNEL_REG["pipeline_curation_capstone"].fn,
+    oracle=_curation_capstone_oracle(),
+    doc=_FUNNEL_REG["pipeline_curation_capstone"].doc,
+)
+
+
 @query(
     "transform_global_row_ids",
     """

@@ -88,6 +88,17 @@ PLAN: dict[str, tuple[list[str], str]] = {
     # variant group is all-candidate with deep shared prefixes), so
     # the fit exposes the round-over-round detector cost directly
     "dedup_exact_substr_fixpoint": ([SF01, SF1, PROBE_DIR], "documents"),
+    # round 13 (r12 verdict task 5 + new r13 rows): the paragraph
+    # fingerprint passes (full + incremental-vs-index), the packed
+    # bloom bitmap probe, incremental ExactSubstr against the
+    # persisted 8-gram window index (the replica multiplies both the
+    # delta candidates and the index side), and drift-acting IVFPQ
+    # maintenance (train + integer drift gate + partial rewrite)
+    "dedup_paragraph_exact": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_incremental_paragraph": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_bloom_membership": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_incremental_exact_substr": ([SF01, SF1, PROBE_DIR], "documents"),
+    "ann_ivfpq_maintenance": ([SF01, SF1, PROBE_DIR], "embeddings"),
 }
 
 # single-object archive sinks (executor-side formatting since r6):
