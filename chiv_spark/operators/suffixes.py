@@ -618,3 +618,78 @@ def window_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("pb", F.pmod(hash64(F.col("w")), F.lit(WINDOW_PB)).cast("int"))
     )
+
+
+def incremental_span_trim(
+    delta: DataFrame,
+    dwin: DataFrame,
+    index: DataFrame,
+    resident: DataFrame,
+    threshold: int,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """The shared core of incremental ExactSubstr (batch query and
+    streaming fold twin — one implementation, so the two can never
+    drift): span-check and one-pass-trim an ARRIVING shard against a
+    window index instead of recomputing the candidate predicate
+    corpus-wide.
+
+    ``delta``: the arriving (doc_id, text) shard. ``dwin``: its
+    window_index relation (built once by the caller — the stream
+    reuses it for touched-bucket listing and the index fold).
+    ``index``: the resident corpus's window-index relation (in-plan
+    for the self-contained batch query; the pb-pruned persisted
+    parquet for the stream). ``resident``: the (doc_id, text)
+    relation twin docs' text is re-read from — the static base for
+    the batch form, base ∪ previously-arrived generations for the
+    stream.
+
+    Pigeonhole (WINDOW_N=8): every repeated span >= 8 contains a
+    repeated 8-gram, so {delta candidates + their index twins} is a
+    COMPLETE subcorpus for the suffix detector — spans >= 8 computed
+    there equal full-corpus values exactly; sub-8 spans are zeroed
+    for non-candidates on both engine and oracle. Emits per arriving
+    doc: n_tokens, span_ge8, trimmed_text, keep."""
+    wtot = (
+        dwin.groupBy("w")
+        .agg(F.sum("cnt").alias("dc"))
+        .join(index.groupBy("w").agg(F.sum("cnt").alias("bc")), "w", "left")
+        .filter(F.col("dc") + F.coalesce(F.col("bc"), F.lit(0)) >= 2)
+        .select("w")
+    )
+    cand = dwin.join(wtot, "w").select("doc_id").distinct()
+    twins = index.join(wtot, "w").select("doc_id").distinct()
+    sub = delta.join(cand, "doc_id").unionByName(resident.join(twins, "doc_id"))
+    spans = max_repeated_spans(sub, scratch_dir=scratch_dir)
+    hit = F.col("max_rep_span") >= threshold
+    out_cand = (
+        delta.join(cand, "doc_id")
+        .join(spans.select("doc_id", "n_tokens", "max_rep_span", "span_pos"), "doc_id")
+        .withColumn("tk", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("max_rep_span").cast("long").alias("span_ge8"),
+            F.when(
+                hit,
+                F.array_join(
+                    F.expr(
+                        "filter(tk, (x, idx) ->"
+                        " idx < span_pos OR idx >= span_pos + max_rep_span)"
+                    ),
+                    " ",
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("trimmed_text"),
+            (~hit).alias("keep"),
+        )
+    )
+    out_non = delta.join(cand, "doc_id", "left_anti").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("span_ge8"),
+        F.col("text").alias("trimmed_text"),
+        F.lit(True).alias("keep"),
+    )
+    return out_cand.unionByName(out_non)

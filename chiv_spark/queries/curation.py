@@ -964,7 +964,7 @@ _INC_XSUB_ORACLE = f"""
     "slice",
 )
 def dedup_incremental_exact_substr(spark, sf_dir):
-    from chiv_spark.operators.suffixes import max_repeated_spans, window_index
+    from chiv_spark.operators.suffixes import incremental_span_trim, window_index
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     fate = _xs_fate_pred()
@@ -974,53 +974,60 @@ def dedup_incremental_exact_substr(spark, sf_dir):
     # parquet (TestWindowIndexIncremental round-trips it and pins the
     # pruned scan); here it is built in-plan from the base slice so
     # the query stays self-contained per sf_dir — the
-    # dedup_incremental_lsh precedent
-    idx = window_index(base)
-    dwin = window_index(delta)
-    # windows repeated across {shard + corpus}: the candidate predicate
-    wtot = (
-        dwin.groupBy("w")
-        .agg(F.sum("cnt").alias("dc"))
-        .join(idx.groupBy("w").agg(F.sum("cnt").alias("bc")), "w", "left")
-        .filter(F.col("dc") + F.coalesce(F.col("bc"), F.lit(0)) >= 2)
-        .select("w")
+    # dedup_incremental_lsh precedent. The span-check + trim core is
+    # suffixes.incremental_span_trim, shared verbatim with the
+    # streaming fold twin.
+    return incremental_span_trim(
+        delta,
+        window_index(delta),
+        window_index(base),
+        base,
+        EXACTSUBSTR_THRESHOLD,
+        scratch_dir=_suffix_scratch(),
     )
-    cand = dwin.join(wtot, "w").select("doc_id").distinct()
-    twins = idx.join(wtot, "w").select("doc_id").distinct()
-    sub = delta.join(cand, "doc_id").unionByName(base.join(twins, "doc_id"))
-    spans = max_repeated_spans(sub, scratch_dir=_suffix_scratch())
-    hit = F.col("max_rep_span") >= EXACTSUBSTR_THRESHOLD
-    out_cand = (
-        delta.join(cand, "doc_id")
-        .join(spans.select("doc_id", "n_tokens", "max_rep_span", "span_pos"), "doc_id")
-        .withColumn("tk", F.split("text", " "))
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.col("max_rep_span").cast("long").alias("span_ge8"),
-            F.when(
-                hit,
-                F.array_join(
-                    F.expr(
-                        "filter(tk, (x, idx) ->"
-                        " idx < span_pos OR idx >= span_pos + max_rep_span)"
-                    ),
-                    " ",
-                ),
-            )
-            .otherwise(F.col("text"))
-            .alias("trimmed_text"),
-            (~hit).alias("keep"),
-        )
+
+
+@query(
+    "streaming_incremental_exact_substr",
+    _INC_XSUB_ORACLE,
+    doc="streaming twin of dedup_incremental_exact_substr — the "
+    "suffix tier joins every other incremental dedup tier in having "
+    "a fold twin: arriving batches are span-checked and trimmed "
+    "against the PERSISTED pb-bucketed window index through the "
+    "SHARED suffixes.incremental_span_trim core (one implementation "
+    "with the batch row), then each batch's windows fold into the "
+    "index and its text into a doc store, so later batches catch "
+    "cross-batch repeated spans through the index — never a "
+    "cross-batch join (cross-batch detection pytest-pinned by "
+    "tests/test_streaming.py::TestIncrementalExactSubstrStream). "
+    "Twin docs' text is the only corpus re-read, via the doc store. "
+    "Dynamic-overwrite generations keyed on src_batch; replays "
+    "exclude their own generation. Under availableNow the single "
+    "batch sees the whole delta slice, so the relation equals the "
+    "batch twin's and the oracle is shared verbatim",
+)
+def streaming_incremental_exact_substr(spark, sf_dir):
+    import tempfile
+
+    from chiv_spark.streaming.suffix_index import incremental_exact_substr_stream
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(~_xs_fate_pred())
+    stream = (
+        spark.readStream.schema(t(spark, sf_dir, "documents").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
     )
-    out_non = delta.join(cand, "doc_id", "left_anti").select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        F.lit(0).cast("long").alias("span_ge8"),
-        F.col("text").alias("trimmed_text"),
-        F.lit(True).alias("keep"),
+    work = tempfile.mkdtemp(prefix="chiv-xsubstream-")
+    return incremental_exact_substr_stream(
+        spark,
+        base,
+        stream,
+        work,
+        EXACTSUBSTR_THRESHOLD,
+        delta_predicate=_xs_fate_pred(),
+        scratch_dir=_suffix_scratch(),
     )
-    return out_cand.unionByName(out_non)
 
 
 # --------------------------------------------------------------------------

@@ -384,6 +384,56 @@ class TestIncrementalParagraphStream:
         assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 10, 20}
 
 
+class TestIncrementalExactSubstrStream:
+    def test_cross_batch_span_via_index_and_doc_store(self, spark, tmp_path):
+        """r13: the suffix tier's fold twin. A 12-token span S appears
+        in docs 10 and 20, arriving in DIFFERENT batches (and nowhere
+        in the base): the later batch can only detect it if the
+        earlier batch's windows were folded into the index AND its
+        text into the doc store (the detector needs the twin's token
+        sequence, not just counts). Order-insensitive: exactly one of
+        the two reports the span and is trimmed; the earlier one saw
+        no twin at its arrival time."""
+        from chiv_spark.streaming.suffix_index import (
+            incremental_exact_substr_stream,
+        )
+
+        S = " ".join(f"s{i}" for i in range(12))
+        schema = "doc_id long, text string"
+        base = spark.createDataFrame(
+            [(1, "base words with no repeats whatsoever in here at all")], schema
+        )
+        shards = tmp_path / "shards"
+        spark.createDataFrame(
+            [(10, f"a1 a2 {S} a3")], schema
+        ).coalesce(1).write.parquet(str(shards / "part0"))
+        spark.createDataFrame(
+            [(20, f"b1 {S} b2 b3")], schema
+        ).coalesce(1).write.parquet(str(shards / "part1"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+        out = incremental_exact_substr_stream(
+            spark, base, stream, str(tmp_path / "work"), threshold=10
+        )
+        got = {r.doc_id: (r.span_ge8, r.keep, r.trimmed_text) for r in out.collect()}
+        assert set(got) == {10, 20}
+        spans = sorted((got[10][0], got[20][0]))
+        assert spans == [0, 12]  # exactly the later arrival detects S
+        late = 10 if got[10][0] == 12 else 20
+        early = 30 - late
+        assert got[early] == (0, True, dict([(10, f"a1 a2 {S} a3"), (20, f"b1 {S} b2 b3")])[early])
+        assert got[late][1] is False  # span >= threshold -> trimmed, not kept
+        assert S not in got[late][2]  # the repeated span is gone
+        # the index holds base + both folded generations
+        idx = spark.read.parquet(str(tmp_path / "work" / "winidx"))
+        assert {r.src_batch for r in idx.select("src_batch").distinct().collect()} >= {0, 1}
+        docs = spark.read.parquet(str(tmp_path / "work" / "docs"))
+        assert {r.doc_id for r in docs.select("doc_id").collect()} == {10, 20}
+
+
 class TestIndexLayout:
     """r8 verdict task 2 + the r8 foreachBatch-idempotency advice: the
     dedup index's 100 TB claims made mechanical. (a) the per-batch
