@@ -384,6 +384,46 @@ class TestIncrementalParagraphStream:
         assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1, 10, 20}
 
 
+class TestParagraphIndexTombstones:
+    def test_gdpr_delete_frees_first_occurrence(self, spark, tmp_path):
+        """The GDPR lifecycle applies to the PARAGRAPH index too (it
+        rides the same read_index_pruned machinery): tombstoning a
+        base doc removes its fingerprint rows from every pruned read,
+        so a later arrival carrying the same chunk becomes the FIRST
+        occurrence and keeps it — forgetting a document must also
+        forget that it ever claimed its paragraphs."""
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import (
+            SEED_BATCH,
+            read_index_pruned,
+            write_index_generation,
+            write_tombstones,
+        )
+
+        X = " ".join(f"x{i}" for i in range(10))
+        Y = " ".join(f"y{i}" for i in range(10))
+        base = spark.createDataFrame([(1, f"{X} {Y}")], "doc_id long, text string")
+        delta = spark.createDataFrame([(10, X)], "doc_id long, text string")
+        index_dir = str(tmp_path / "paraidx")
+        write_index_generation(
+            dedup.paragraph_index(base), "h", index_dir, SEED_BATCH
+        )
+
+        def rebuild():
+            idx = read_index_pruned(spark, index_dir, list(range(16)))
+            out = dedup.incremental_paragraph_rebuild(
+                dedup.paragraph_chunks(delta), idx.select("h", "site")
+            )
+            r = out.collect()[0]
+            return (r.n_chunks, r.n_dropped, r.cleaned_text)
+
+        # before the delete: doc 1 owns chunk X, the arrival drops it
+        assert rebuild() == (1, 1, "")
+        write_tombstones(spark, index_dir, [1])
+        # after: doc 1's claim is gone — the arrival is first and keeps X
+        assert rebuild() == (1, 0, X)
+
+
 class TestIncrementalExactSubstrStream:
     def test_cross_batch_span_via_index_and_doc_store(self, spark, tmp_path):
         """r13: the suffix tier's fold twin. A 12-token span S appears
