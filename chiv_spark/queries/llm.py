@@ -163,6 +163,47 @@ def dedup_paragraph_exact(spark, sf_dir):
     return dedup.paragraph_rebuild(chunks, firsts)
 
 
+@query(
+    "dedup_paragraph_top_repeats",
+    f"""
+    WITH {_PARA_CTES}
+    SELECT h,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(c) AS sample_chunk
+    FROM hashed
+    GROUP BY h
+    HAVING COUNT(*) >= 2
+    ORDER BY n_occurrences DESC, h
+    LIMIT 20
+    """,
+    doc="the MOST-DUPLICATED-CONTENT report every curation review "
+    "asks for before approving a paragraph-dedup pass: top-20 "
+    "paragraph fingerprints by corpus-wide occurrence count, with "
+    "how many distinct documents carry each and a deterministic "
+    "sample of the chunk text (MIN over copies — byte-identical by "
+    "definition of exact dedup). Shares the chunking/fingerprint "
+    "CTEs verbatim with dedup_paragraph_exact. Plan: one map-side-"
+    "combining hash-agg on the 8-byte fingerprint, then global "
+    "top-k as orderBy+limit (TakeOrderedAndProject — per-partition "
+    "heaps + driver merge of k x partitions rows, never a "
+    "single-partition window)",
+)
+def dedup_paragraph_top_repeats(spark, sf_dir):
+    chunks = dedup.paragraph_chunks(t(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("c").alias("sample_chunk"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), "h")
+        .limit(20)
+    )
+
+
 #: bloom filter geometry — M bits / K md5-60bit seeded hashes; both
 #: literals are shared verbatim with the oracle so the bit positions
 #: replay exactly
@@ -287,6 +328,48 @@ def streaming_bloom_membership(spark, sf_dir):
         _BLOOM_M,
         _BLOOM_K,
         exact_audit=prior.distinct().withColumn("is_prior", F.lit(True)),
+    )
+
+
+@query(
+    "dedup_bloom_fpr_report",
+    f"""
+    WITH rel AS MATERIALIZED ({_BLOOM_ORACLE})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+           CAST(COUNT(*) FILTER (WHERE bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(COUNT(*) FILTER (WHERE exact_dup) AS BIGINT) AS n_exact_dups,
+           CAST(COUNT(*) FILTER (WHERE bloom_hit AND NOT exact_dup) AS BIGINT)
+             AS n_false_pos,
+           CAST(COUNT(*) FILTER (WHERE exact_dup AND NOT bloom_hit) AS BIGINT)
+             AS n_false_neg
+    FROM rel
+    """,
+    doc="the bloom filter's ACCEPTANCE REPORT — the one-row audit a "
+    "pipeline owner reads before trusting a constant-memory filter "
+    "over a shuffle join: arrivals, hits, ground-truth exact dups, "
+    "observed FALSE POSITIVES (bloom_hit without a real dup — the "
+    "(1-e^(-Kn/M))^K cost of the geometry, counted exactly since "
+    "every bit position replays in both engines) and false negatives "
+    "(structurally impossible — a true dup probes exactly the bits "
+    "its prior copy set — so this column is a built-in invariant "
+    "check, 0 or the filter is broken). Composes the registered "
+    "bloom relation verbatim (MATERIALIZED); one conditional-count "
+    "aggregate on top",
+)
+def dedup_bloom_fpr_report(spark, sf_dir):
+    from chiv_spark.queries.base import REGISTRY
+
+    rel = REGISTRY["dedup_bloom_membership"].fn(spark, sf_dir)
+    return rel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+        F.count(F.when(F.col("bloom_hit"), 1)).cast("long").alias("n_bloom_hits"),
+        F.count(F.when(F.col("exact_dup"), 1)).cast("long").alias("n_exact_dups"),
+        F.count(F.when(F.col("bloom_hit") & ~F.col("exact_dup"), 1))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.count(F.when(F.col("exact_dup") & ~F.col("bloom_hit"), 1))
+        .cast("long")
+        .alias("n_false_neg"),
     )
 
 
