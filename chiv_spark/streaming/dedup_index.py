@@ -413,18 +413,26 @@ def index_fold_stream(
         touched = [
             r.pb for r in dsig.select(_pb(key_col).alias("pb")).distinct().collect()
         ]
+        # r13 ADVICE: the output write is NOT gated on `touched` — for
+        # a tier whose index_builder drops input rows, a batch whose
+        # delta all falls in the dropped class has an empty dsig, and
+        # skipping pairs_builder would silently drop whatever the
+        # builder emits for that case (today every builder derives its
+        # output from dsig, so batch and stream drop identically — this
+        # keeps the harness safe for ones that don't). An empty touched
+        # list reads an empty (isin([])) pruned index.
+        index = read_index_pruned(
+            spark, index_dir, touched, exclude_batch=batch_id, id_col=id_col
+        )
+        pairs = pairs_builder(dsig, index)
+        (
+            pairs.withColumn("src_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch")
+            .parquet(out_dir)
+        )
         if touched:
-            index = read_index_pruned(
-                spark, index_dir, touched, exclude_batch=batch_id, id_col=id_col
-            )
-            pairs = pairs_builder(dsig, index)
-            (
-                pairs.withColumn("src_batch", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("src_batch")
-                .parquet(out_dir)
-            )
             # AFTER the pairs action: fold this batch's signatures into
             # the index so later batches dedup against them (folding
             # first would double-count within-batch self-pairs — and
@@ -445,7 +453,12 @@ def index_fold_stream(
     # URI sinks resolve through the Hadoop FS API (r12 ADVICE)
     if not _dir_exists(spark, out_dir):
         return spark.createDataFrame([], pair_schema)
-    return spark.read.parquet(out_dir).select(*pair_cols)
+    # explicit schema: a batch with zero output rows leaves a file-less
+    # sink dir that schema inference rejects — legitimately empty, not
+    # corrupt (missing/unreadable dirs still raise above)
+    return spark.read.schema(f"{pair_schema}, src_batch bigint").parquet(
+        out_dir
+    ).select(*pair_cols)
 
 
 def incremental_dedup_stream(
@@ -603,4 +616,9 @@ def bloom_membership_stream(
     cols = ["doc_id", "bloom_hit"] + (
         ["exact_dup"] if exact_audit is not None else []
     )
-    return spark.read.parquet(out_dir).select(*cols)
+    schema = ", ".join(
+        {"doc_id": "doc_id bigint"}.get(c, f"{c} boolean") for c in cols
+    )
+    return spark.read.schema(f"{schema}, src_batch bigint").parquet(
+        out_dir
+    ).select(*cols)

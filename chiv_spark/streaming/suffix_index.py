@@ -96,7 +96,25 @@ def incremental_exact_substr_stream(
             out = incremental_span_trim(
                 delta, dwin, idx, resident, threshold, scratch_dir=scratch_dir
             )
-            _write_gen(out, out_dir, batch_id, [])
+        else:
+            # r13 ADVICE (medium): window_index drops sub-WINDOW_N-token
+            # docs, so a microbatch whose delta is ALL such docs has an
+            # empty dwin. Skipping the output write here would silently
+            # drop those arrivals from the returned relation, while the
+            # batch twin's incremental_span_trim emits them through its
+            # non-candidate branch — the "shared core" twins would
+            # diverge. Emit the same out_non-shaped rows; nothing folds
+            # (a sub-8-token doc has no windows, so it can never be a
+            # later arrival's twin and its text need not persist).
+            out = delta.select(
+                "doc_id",
+                F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+                F.lit(0).cast("long").alias("span_ge8"),
+                F.col("text").alias("trimmed_text"),
+                F.lit(True).alias("keep"),
+            )
+        _write_gen(out, out_dir, batch_id, [])
+        if touched:
             # AFTER the output action: fold this batch's windows and
             # text in, so a replay's excluded-own-generation read and
             # the dynamic overwrite keep the run idempotent
@@ -113,4 +131,10 @@ def incremental_exact_substr_stream(
     q.awaitTermination()
     if not _dir_exists(spark, out_dir):
         return spark.createDataFrame([], OUT_SCHEMA)
-    return spark.read.parquet(out_dir).select(*OUT_COLS)
+    # explicit schema: a batch whose delta was EMPTY writes a file-less
+    # sink directory (dynamic overwrite of zero rows), which schema
+    # inference rejects — that is a legitimately empty result, not a
+    # corrupt sink, so read it as such
+    return spark.read.schema(f"{OUT_SCHEMA}, src_batch bigint").parquet(
+        out_dir
+    ).select(*OUT_COLS)

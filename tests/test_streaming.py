@@ -473,6 +473,45 @@ class TestIncrementalExactSubstrStream:
         docs = spark.read.parquet(str(tmp_path / "work" / "docs"))
         assert {r.doc_id for r in docs.select("doc_id").collect()} == {10, 20}
 
+    def test_all_sub_window_batch_still_emits_rows(self, spark, tmp_path):
+        """r13 ADVICE (medium): window_index drops docs with fewer than
+        WINDOW_N (8) tokens, so a microbatch consisting ONLY of such
+        docs has an empty window relation. The stream must still emit
+        the batch twin's non-candidate rows (span 0, keep=true, text
+        unchanged) — previously the whole batch silently vanished from
+        the returned relation."""
+        from chiv_spark.streaming.suffix_index import (
+            incremental_exact_substr_stream,
+        )
+
+        schema = "doc_id long, text string"
+        base = spark.createDataFrame(
+            [(1, "base words with no repeats whatsoever in here at all")], schema
+        )
+        shards = tmp_path / "shards"
+        # batch 0: every doc under 8 tokens -> empty dwin
+        spark.createDataFrame(
+            [(10, "tiny doc"), (11, "three tokens here")], schema
+        ).coalesce(1).write.parquet(str(shards / "part0"))
+        # batch 1: a normal doc, so the fix is exercised mid-stream,
+        # not just on a degenerate single-batch run
+        spark.createDataFrame(
+            [(20, " ".join(f"w{i}" for i in range(15)))], schema
+        ).coalesce(1).write.parquet(str(shards / "part1"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+        out = incremental_exact_substr_stream(
+            spark, base, stream, str(tmp_path / "work"), threshold=10
+        )
+        got = {r.doc_id: (r.n_tokens, r.span_ge8, r.keep, r.trimmed_text) for r in out.collect()}
+        assert set(got) == {10, 11, 20}
+        assert got[10] == (2, 0, True, "tiny doc")
+        assert got[11] == (3, 0, True, "three tokens here")
+        assert got[20][1:3] == (0, True)
+
 
 class TestIndexLayout:
     """r8 verdict task 2 + the r8 foreachBatch-idempotency advice: the

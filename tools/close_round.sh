@@ -32,6 +32,14 @@ if ! git diff --quiet HEAD -- chiv_spark __spark_entry__.py; then
   echo "!! chiv_spark/ or __spark_entry__.py has uncommitted changes — commit code BEFORE closing the round" >&2
   exit 1
 fi
+# r13 ADVICE: `git diff` ignores UNTRACKED files — a brand-new module
+# under chiv_spark/ would be swept with no commit recording it,
+# defeating the sweep-is-last-code-state invariant. Fail on ?? too.
+if git status --porcelain -- chiv_spark __spark_entry__.py | grep -q '^??'; then
+  echo "!! untracked files under chiv_spark/ or __spark_entry__.py — git add + commit BEFORE closing the round:" >&2
+  git status --porcelain -- chiv_spark __spark_entry__.py | grep '^??' >&2
+  exit 1
+fi
 SWEEP_SHA=$(git rev-parse HEAD)
 echo "== sweeping at ${SWEEP_SHA}" >&2
 

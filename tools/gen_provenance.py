@@ -43,21 +43,40 @@ def check_sweep_sha() -> None:
     Artifacts from rounds before the stamp existed are skipped."""
     import subprocess
 
-    stamped: dict[int, str] = {}
+    # r13 ADVICE: key stamps per ARTIFACT, not per round — the sf0.01
+    # and sf0.1 sweeps of one round are separate files, and collapsing
+    # them to one dict entry would let one stamp silently overwrite the
+    # other (two sweeps run at different SHAs and only one verified)
+    stamped: dict[str, str] = {}
     for f in glob.glob(os.path.join(REPO, "CORRECTNESS_FULL_r0*.txt")):
-        n = int(re.search(r"_r0*(\d+)", os.path.basename(f)).group(1))
         with open(f) as fh:
             first = fh.readline()
         m = re.match(r"# swept-at-sha: ([0-9a-f]{7,40})", first)
         if m:
-            stamped[n] = m.group(1)
+            stamped[os.path.basename(f)] = m.group(1)
     if not stamped:
         return
-    latest = max(stamped)
-    sha = stamped[latest]
+    rnd = lambda name: int(re.search(r"_r0*(\d+)", name).group(1))  # noqa: E731
+    latest = max(rnd(name) for name in stamped)
+    latest_stamps = {n: s for n, s in stamped.items() if rnd(n) == latest}
+    if len(set(latest_stamps.values())) > 1:
+        sys.exit(
+            f"!! r{latest} sweep artifacts disagree on their swept-at SHA — "
+            f"{latest_stamps} — the two scale-factor sweeps ran against "
+            "different code states. Re-run tools/close_round.sh at HEAD."
+        )
+    sha = next(iter(latest_stamps.values()))
 
     def run(*args: str) -> int:
         return subprocess.run(["git", *args], cwd=REPO).returncode
+
+    def porcelain(*paths: str) -> str:
+        return subprocess.run(
+            ["git", "status", "--porcelain", "--", *paths],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        ).stdout
 
     if run("diff", "--quiet", sha, "HEAD", "--", *CODE_PATHS) != 0:
         sys.exit(
@@ -69,6 +88,17 @@ def check_sweep_sha() -> None:
         sys.exit(
             f"!! uncommitted changes in {'/'.join(CODE_PATHS)} — the r{latest} "
             "sweep artifacts do not cover the working tree. Commit or revert, "
+            "then re-run tools/close_round.sh."
+        )
+    # r13 ADVICE: `git diff` ignores untracked files — a new module
+    # under chiv_spark/ sitting untracked is code no commit records
+    untracked = [
+        ln for ln in porcelain(*CODE_PATHS).splitlines() if ln.startswith("??")
+    ]
+    if untracked:
+        sys.exit(
+            f"!! untracked files in {'/'.join(CODE_PATHS)}: {untracked} — the "
+            f"r{latest} sweep artifacts do not cover them. git add + commit, "
             "then re-run tools/close_round.sh."
         )
 
