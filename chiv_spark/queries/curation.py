@@ -599,11 +599,24 @@ def _suffix_scratch() -> str | None:
     "dedup_exact_substr",
     f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-    wins AS (
-      SELECT doc_id, i, L, array_to_string(tk[i:i+L-1], ' ') AS w
-      FROM toks, UNNEST(range(1, len(tk) + 1)) AS ri(i),
-                 UNNEST(range(1, len(tk) + 1)) AS rl(L)
-      WHERE i + L - 1 <= len(tk)),
+    starts AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks),
+    g8 AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS w
+           FROM starts WHERE i + 7 <= len(tk)),
+    rep8 AS (SELECT w FROM g8 GROUP BY w HAVING COUNT(*) >= 2),
+    cand AS (SELECT DISTINCT doc_id FROM g8 JOIN rep8 USING (w)),
+    shortw AS (
+      SELECT doc_id, i,
+             unnest(range(1, least(7, len(tk) - i + 1) + 1)) AS L,
+             unnest(list_transform(range(1, least(7, len(tk) - i + 1) + 1),
+                                   L2 -> array_to_string(tk[i:i+L2-1], ' '))) AS w
+      FROM starts),
+    longw AS (
+      SELECT s.doc_id, s.i,
+             unnest(range(8, len(s.tk) - s.i + 2)) AS L,
+             unnest(list_transform(range(8, len(s.tk) - s.i + 2),
+                                   L2 -> array_to_string(s.tk[s.i:s.i+L2-1], ' '))) AS w
+      FROM starts s JOIN cand USING (doc_id)),
+    wins AS (SELECT * FROM shortw UNION ALL SELECT * FROM longw),
     wc AS (SELECT w, L, COUNT(*) AS c FROM wins GROUP BY w, L),
     spans AS (
       SELECT wins.doc_id,
@@ -627,10 +640,19 @@ def _suffix_scratch() -> str | None:
     "exchange}, then adjacent-rank-group LCPs by the O(log n) descent "
     "over the saved round tables — only neighbor groups in suffix "
     "order are ever compared, so nothing is quadratic and no "
-    "cartesian appears in the plan. The DuckDB oracle states the "
-    "quadratic every-(position, length)-window formulation, feasible "
-    "only at test scale; agreement is exact because spans are "
-    "integers fully determined by the token sequences",
+    "cartesian appears in the plan. The DuckDB oracle enumerates "
+    "every (position, length) window — length<=7 over all docs, plus "
+    "all lengths over docs containing a repeated 8-gram, which is "
+    "EXACT by pigeonhole (any repeated span >= 8 contains a repeated "
+    "8-gram at both sites, so both docs are candidates; non-candidates "
+    "have spans < 8, fully covered by the short windows) — the same "
+    "completeness argument the incremental tier rests on. Stated with "
+    "projection-level unnests, not correlated FROM-clause UNNESTs: "
+    "DuckDB plans the latter as a RIGHT_DELIM_JOIN whose domain "
+    "deduplication collapses inside large multi-CTE compositions "
+    "(the r13 capstone oracle spent 50 s in this subplan at sf0.1 "
+    "where the identical SQL standalone took 5 s; delim-free it "
+    "composes at full speed — the r14 fix)",
 )
 def dedup_exact_substr(spark, sf_dir):
     from chiv_spark.operators.suffixes import max_repeated_spans_pruned
