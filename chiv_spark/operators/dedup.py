@@ -570,6 +570,84 @@ def hamming_chunk_pairs(
     )
 
 
+def hamming_chunk_index(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    chunks: int = SIM_CHUNKS,
+    chunk_bits: int = SIM_CHUNK_BITS,
+) -> DataFrame:
+    """The PERSISTABLE index form of hamming_chunk_pairs' chunk
+    explode — what a continuously-ingesting media pipeline folds into
+    parquet so arriving fingerprints dedup against the corpus without
+    recomputing its signatures (r13 verdict task 2: every text tier
+    had an incremental index; the media tiers' 60-bit signatures get
+    the same layout here). One row per (id, chunk position) carrying
+    the full signature for the verify step: (``id_col``, sig, ci,
+    ck), where ``ck = ci * 2^chunk_bits + chunk_value`` is the single
+    combined join/bucket key — pmod(ck, P) gives the pb directory
+    partitioning of the dedup_index conventions, so a delta's probe
+    reads only the buckets its own chunks hash into. Bounded at
+    ``chunks`` rows per media item regardless of corpus size."""
+    return sig.select(
+        F.col(id_col),
+        F.col(sig_col).alias("sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("ci"),
+    ).withColumn(
+        "ck",
+        F.col("ci").cast("long") * (1 << chunk_bits)
+        + F.expr(f"(sig div shiftleft(1L, ci * {chunk_bits})) % {1 << chunk_bits}"),
+    )
+
+
+def incremental_hamming_pairs(
+    delta_index: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = SIM_MAX_HAMMING,
+    chunks: int = SIM_CHUNKS,
+) -> DataFrame:
+    """Incremental Hamming-≤k detection: pairs between an ARRIVING
+    shard and the existing corpus represented by its persisted chunk
+    index (hamming_chunk_index output read back from parquet), plus
+    pairs WITHIN the shard — the media-signature analog of
+    incremental_lsh_pairs, sharing its contract: base-base pairs are
+    intentionally absent (resolved when their shards arrived), output
+    oriented doc_a < doc_b, and an id-inequality guard keeps a
+    replayed microbatch whose index fold was compacted under its feet
+    from emitting (d, d, 0) self-pairs. Pigeonhole is preserved: the
+    chunk key is complete for Hamming ≤ chunks-1, so probing only the
+    delta's own ck buckets loses nothing."""
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"of chunks-1={chunks - 1}"
+        )
+    a = delta_index.alias("a")
+    out_cols = [
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        F.expr("CAST(bit_count(a.sig ^ b.sig) AS INT)").alias("hamming"),
+    ]
+    vs_index = a.join(
+        index.alias("b"),
+        (F.col("a.ck") == F.col("b.ck"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(*out_cols)
+    vs_self = a.join(
+        delta_index.alias("b"),
+        (F.col("a.ck") == F.col("b.ck"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(*out_cols)
+    # filter before distinct: hamming is a pure signature function, so
+    # multi-chunk collisions carry identical triples and dedupe exactly
+    return (
+        vs_index.unionByName(vs_self)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIM_MAX_HAMMING) -> DataFrame:
     """Hamming-≤k SimHash pairs via the pigeonhole chunk equi-join:
     split the 60-bit signature into 4×15-bit chunks; any pair within

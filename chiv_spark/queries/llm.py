@@ -948,6 +948,124 @@ def dedup_image_canonical(spark, sf_dir):
     return keepers.unionByName(singles)
 
 
+#: stable-hash shard fate for the incremental IMAGE-dedup split
+#: (1-in-10 of the media universe plays the "newly arrived shard")
+_INC_IMG_FATE = (
+    "((('0x' || substring(md5('incimg:' || media_id::VARCHAR), 1, 15))::BIGINT) % 10)"
+)
+
+#: shared by the batch query and its streaming twin (one availableNow
+#: batch sees the whole delta slice, so both produce this relation):
+#: full phash recompute restricted to delta-involving pairs — the
+#: dedup_incremental_lsh oracle shape on the image closed form
+_INC_PHASH_ORACLE = f"""
+    WITH {_IMG_PHASH_CTES},
+    fate AS (SELECT media_id, {_INC_IMG_FATE} AS f FROM m)
+    SELECT media_a, media_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN fate fa ON fa.media_id = cand.media_a
+    JOIN fate fb ON fb.media_id = cand.media_b
+    WHERE bit_count(xor(ha, hb)) <= 3 AND (fa.f = 0 OR fb.f = 0)
+    """
+
+
+def _inc_img_slices(spark, sf_dir):
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    fate = hash64(F.concat(F.lit("incimg:"), F.col("media_id").cast("string"))) % 10
+    return ids.filter(fate == 0), ids.filter(fate != 0)
+
+
+@query(
+    "dedup_incremental_phash",
+    _INC_PHASH_ORACLE,
+    doc="incremental IMAGE dedup (r13 verdict task 2 — every text "
+    "tier folds into a persisted index; the media tiers now do too): "
+    "a newly arrived image shard (the 1-in-10 stable-hash fate slice "
+    "of the media universe) is dHashed through the REAL PNG codec "
+    "path and deduped against the existing corpus via its persisted "
+    "chunk index (dedup.hamming_chunk_index: media_id, sig, ci, ck — "
+    "4 rows per image, pb-bucketed on pmod(ck, P) in the streaming "
+    "layout) plus within-shard self-pairs. Only the delta is ever "
+    "decoded — O(|delta|) codec cost; the corpus contributes "
+    "pre-computed signature chunks to one equi-join on the combined "
+    "(position, value) key and its pixels are never re-read. "
+    "Pigeonhole keeps the pruned probe exact for Hamming<=3. Oracle "
+    "= full closed-form phash recompute restricted to delta-involving "
+    "pairs (base-base pairs intentionally absent — resolved when "
+    "their shards arrived; the dedup_incremental_lsh shape)",
+)
+def dedup_incremental_phash(spark, sf_dir):
+    delta, base = _inc_img_slices(spark, sf_dir)
+    # in production the index is READ BACK from parquet (see the
+    # streaming twin + TestIncrementalPhash round-trip); built in-plan
+    # from the base slice so the query is self-contained
+    index = dedup.hamming_chunk_index(
+        multimodal.image_dhash(base), id_col="media_id", sig_col="dhash"
+    )
+    dsig = dedup.hamming_chunk_index(
+        multimodal.image_dhash(delta), id_col="media_id", sig_col="dhash"
+    )
+    return dedup.incremental_hamming_pairs(dsig, index, id_col="media_id").selectExpr(
+        "doc_a AS media_a", "doc_b AS media_b", "hamming"
+    )
+
+
+@query(
+    "streaming_incremental_phash",
+    _INC_PHASH_ORACLE,
+    doc="streaming twin of dedup_incremental_phash over the shared "
+    "foreachBatch fold harness (streaming.dedup_index): arriving "
+    "image batches are dHashed (real PNG codec, Arrow mapInPandas), "
+    "probed against the persisted pb-bucketed chunk index (pruned to "
+    "touched buckets, minus the batch's own generation), pairs land "
+    "partitioned by src_batch (dynamic-overwrite idempotent), and "
+    "then the batch's own 4-rows-per-image chunk index folds in so "
+    "later batches dedup against earlier arrivals through the index "
+    "— never a cross-batch join and never a corpus re-decode. Under "
+    "availableNow the single batch sees the whole delta slice, so "
+    "the relation equals the batch twin's and the oracle is shared "
+    "verbatim",
+)
+def streaming_incremental_phash(spark, sf_dir):
+    from chiv_spark.streaming.dedup_index import index_fold_stream
+
+    docs = t(spark, sf_dir, "documents")
+    fate = hash64(F.concat(F.lit("incimg:"), F.col("doc_id").cast("string"))) % 10
+    base = docs.filter((F.col("doc_id") < 60) & (fate != 0))
+
+    def media_index(rel):
+        ids = rel.select(F.col("doc_id").alias("media_id"))
+        return dedup.hamming_chunk_index(
+            multimodal.image_dhash(ids), id_col="media_id", sig_col="dhash"
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    work = tempfile.mkdtemp(prefix="chiv-incphash-")
+    return index_fold_stream(
+        spark,
+        base,
+        stream,
+        work,
+        index_builder=media_index,
+        pairs_builder=lambda dsig, index: dedup.incremental_hamming_pairs(
+            dsig, index, id_col="media_id"
+        ).selectExpr("doc_a AS media_a", "doc_b AS media_b", "hamming"),
+        key_col="ck",
+        pair_cols=["media_a", "media_b", "hamming"],
+        pair_schema="media_a bigint, media_b bigint, hamming int",
+        delta_predicate=(F.col("doc_id") < 60) & (fate == 0),
+        id_col="media_id",
+    )
+
+
 def _afp_sample(gain_expr: str) -> str:
     """DuckDB closed form of one PCM16 sample of the synthetic audio
     near-dup corpus: the GROUP's hash stream plus the per-clip gain

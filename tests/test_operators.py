@@ -406,6 +406,65 @@ class TestIncrementalLsh:
         assert inc == full
 
 
+class TestIncrementalHamming:
+    """r13 verdict task 2: the media tiers' incremental path —
+    arriving 60-bit signatures probe a persisted chunk index
+    (hamming_chunk_index) instead of re-hashing the corpus. Generic
+    over the signature source (image dHash, audio fingerprint, video
+    temporal dHash all share the 4x15-bit layout), so tested here on
+    crafted integer signatures with known Hamming distances."""
+
+    BASE = [(1, 0), (2, 0b111), (3, 0b11111)]
+    # 101 = exact dup of 1; 102/103 within-shard dups >= distance 5
+    # from every base signature; hamming(3, 101) = 5
+    DELTA = [(101, 0), (102, 0b1111111111), (103, 0b1111111111)]
+    SCHEMA = "media_id long, sig60 long"
+
+    def _pairs(self, spark):
+        base = spark.createDataFrame(self.BASE, self.SCHEMA)
+        delta = spark.createDataFrame(self.DELTA, self.SCHEMA)
+        index = dedup.hamming_chunk_index(base, id_col="media_id", sig_col="sig60")
+        dsig = dedup.hamming_chunk_index(delta, id_col="media_id", sig_col="sig60")
+        return {
+            tuple(r)
+            for r in dedup.incremental_hamming_pairs(
+                dsig, index, id_col="media_id"
+            ).collect()
+        }
+
+    def test_delta_vs_index_and_within_shard(self, spark):
+        got = self._pairs(spark)
+        # (1,101) exact, (2,101) at distance 3, (102,103) within-shard;
+        # (3,101) is a chunk candidate (differs only in chunk 0) but
+        # fails the bit_count verify at distance 5; base-base pairs
+        # like (1,2) are never reported
+        assert got == {(1, 101, 0), (2, 101, 3), (102, 103, 0)}
+
+    def test_matches_full_recompute_restricted_to_delta(self, spark):
+        base = spark.createDataFrame(self.BASE, self.SCHEMA)
+        delta = spark.createDataFrame(self.DELTA, self.SCHEMA)
+        full = {
+            tuple(r)
+            for r in dedup.hamming_chunk_pairs(
+                base.unionByName(delta), id_col="media_id", sig_col="sig60"
+            ).collect()
+            if r.doc_a >= 101 or r.doc_b >= 101
+        }
+        assert self._pairs(spark) == full
+
+    def test_index_is_four_bucketed_rows_per_item(self, spark):
+        base = spark.createDataFrame(self.BASE, self.SCHEMA)
+        idx = dedup.hamming_chunk_index(
+            base, id_col="media_id", sig_col="sig60"
+        ).collect()
+        assert len(idx) == 12  # 4 chunks x 3 items
+        for r in idx:
+            # ck encodes (position, value): position recoverable, and
+            # the value is the signature's ci-th 15-bit chunk
+            assert r.ck // (1 << 15) == r.ci
+            assert r.ck % (1 << 15) == (r.sig >> (15 * r.ci)) % (1 << 15)
+
+
 class TestQuarantineRescue:
     """r8 verdict task 3: stage-2 recall recovery for quarantined LSH
     buckets. A saturated bucket of NON-verbatim near-dups (a shared

@@ -329,6 +329,74 @@ class TestIncrementalDedupStream:
         assert idx.count() == 16
 
 
+class TestIncrementalPhashStream:
+    def test_cross_batch_image_pairs_via_chunk_index_fold(self, spark, tmp_path):
+        """r13 verdict task 2 — the media tiers' incremental path.
+        Images 0, 12, 24 share a dHash group (media_id % 12): 0 is
+        resident, 12 and 24 arrive in DIFFERENT batches. The (12, 24)
+        pair can only surface if batch one's 4-rows-per-image chunk
+        index was folded before batch two probed — the earlier batch
+        saw only the base index. Exercises the real PNG codec path
+        inside foreachBatch and the pb-partitioned index layout."""
+        from chiv_spark.operators import dedup, multimodal
+        from chiv_spark.streaming.dedup_index import SEED_BATCH, index_fold_stream
+
+        schema = "doc_id long"
+        base = spark.createDataFrame([(0,)], schema)
+        shards = tmp_path / "shards"
+        spark.createDataFrame([(12,)], schema).coalesce(1).write.parquet(
+            str(shards / "part0")
+        )
+        spark.createDataFrame([(24,)], schema).coalesce(1).write.parquet(
+            str(shards / "part1")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+
+        def media_index(rel):
+            from pyspark.sql import functions as F
+
+            ids = rel.select(F.col("doc_id").alias("media_id"))
+            return dedup.hamming_chunk_index(
+                multimodal.image_dhash(ids), id_col="media_id", sig_col="dhash"
+            )
+
+        work = tmp_path / "work"
+        out = index_fold_stream(
+            spark,
+            base,
+            stream,
+            str(work),
+            index_builder=media_index,
+            pairs_builder=lambda dsig, index: dedup.incremental_hamming_pairs(
+                dsig, index, id_col="media_id"
+            ).selectExpr("doc_a AS media_a", "doc_b AS media_b", "hamming"),
+            key_col="ck",
+            pair_cols=["media_a", "media_b", "hamming"],
+            pair_schema="media_a bigint, media_b bigint, hamming int",
+            id_col="media_id",
+        )
+        got = {(r.media_a, r.media_b, r.hamming) for r in out.collect()}
+        assert got == {(0, 12, 0), (0, 24, 0), (12, 24, 0)}
+        # index holds base + both folded generations, 4 chunk rows each,
+        # and the base generation survives untouched
+        idx = spark.read.parquet(str(work / "index"))
+        assert {
+            r.media_id for r in idx.select("media_id").distinct().collect()
+        } == {0, 12, 24}
+        assert idx.count() == 12
+        assert (
+            idx.filter(f"src_batch = {SEED_BATCH}")
+            .select("media_id")
+            .distinct()
+            .collect()[0][0]
+            == 0
+        )
+
+
 class TestIncrementalParagraphStream:
     def test_cross_batch_chunk_dedup_and_textless_index(self, spark, tmp_path):
         """r12 verdict task 6. Two shard files under
