@@ -1287,14 +1287,13 @@ def multimodal_video_frame_sample(spark, sf_dir):
     return multimodal.video_frame_sample(ids)
 
 
-def _video_fp_pairs(spark, sf_dir):
+def _video_fp_sig(ids):
+    """(media_id, vhash): the 60-bit temporal dHash — real GIF decode
+    via video_frame_sample, then bit i = [px_sum(sample i) >
+    px_sum(sample i+1)] as a per-clip lead window (PARTITIONED by
+    media_id, 61 rows per partition — never a global sort)."""
     from pyspark.sql import Window
 
-    ids = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 60)
-        .select(F.col("doc_id").alias("media_id"))
-    )
     fr = multimodal.video_frame_sample(
         ids, n_frames=121, stride=2, group_mod=multimodal.VID_GROUPS
     )
@@ -1313,9 +1312,17 @@ def _video_fp_pairs(spark, sf_dir):
             ).alias("v"),
         )
     )
-    sig = bits.groupBy("media_id").agg(F.sum("v").cast("long").alias("vhash"))
+    return bits.groupBy("media_id").agg(F.sum("v").cast("long").alias("vhash"))
+
+
+def _video_fp_pairs(spark, sf_dir):
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("media_id"))
+    )
     return dedup.hamming_chunk_pairs(
-        sig, id_col="media_id", sig_col="vhash"
+        _video_fp_sig(ids), id_col="media_id", sig_col="vhash"
     ).selectExpr("doc_a AS media_a", "doc_b AS media_b", "hamming")
 
 
@@ -1400,6 +1407,91 @@ def dedup_video_canonical(spark, sf_dir):
         F.lit(1).cast("long").alias("cluster_size"),
     )
     return keepers.unionByName(singles)
+
+
+def _inc_media_oracle(ctes: str, sig_prefix: str) -> str:
+    """Incremental-media oracle shape shared by the audio and video
+    tiers (the image tier's _INC_PHASH_ORACLE spelled once): full
+    closed-form fingerprint recompute restricted to delta-involving
+    pairs, fate = 1-in-10 stable hash on media_id."""
+    fate = (
+        f"((('0x' || substring(md5('{sig_prefix}' || media_id::VARCHAR), 1, 15))"
+        "::BIGINT) % 10)"
+    )
+    return f"""
+    WITH {ctes},
+    fate AS (SELECT media_id, {fate} AS f FROM m)
+    SELECT media_a, media_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN fate fa ON fa.media_id = cand.media_a
+    JOIN fate fb ON fb.media_id = cand.media_b
+    WHERE bit_count(xor(ha, hb)) <= 3 AND (fa.f = 0 OR fb.f = 0)
+    """
+
+
+def _inc_media_pairs(spark, sf_dir, sig_prefix, sig_builder, sig_col):
+    """Shared engine shape of the incremental media-dedup rows: fate-
+    slice the media universe, fingerprint ONLY the delta and the base
+    separately (in production the base side is the persisted chunk
+    index read back from parquet — the streaming_incremental_phash
+    round-trip; built in-plan here so each query is self-contained),
+    probe via incremental_hamming_pairs."""
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+    fate = hash64(F.concat(F.lit(sig_prefix), F.col("media_id").cast("string"))) % 10
+    index = dedup.hamming_chunk_index(
+        sig_builder(ids.filter(fate != 0)), id_col="media_id", sig_col=sig_col
+    )
+    dsig = dedup.hamming_chunk_index(
+        sig_builder(ids.filter(fate == 0)), id_col="media_id", sig_col=sig_col
+    )
+    return dedup.incremental_hamming_pairs(dsig, index, id_col="media_id").selectExpr(
+        "doc_a AS media_a", "doc_b AS media_b", "hamming"
+    )
+
+
+@query(
+    "dedup_incremental_audio",
+    _inc_media_oracle(_AFP_CTES, "incaud:"),
+    doc="incremental AUDIO dedup (r13 verdict task 2, the audio leg): "
+    "a newly arrived clip shard (1-in-10 stable-hash fate slice of "
+    "the media universe) runs the real WAV codec + frame-energy "
+    "fingerprint ONLY on itself, then probes the corpus's persisted "
+    "chunk index (dedup.hamming_chunk_index on the 60-bit afp — the "
+    "same pb-bucketable layout the image tier streams through "
+    "streaming_incremental_phash's fold harness) plus within-shard "
+    "self-pairs via dedup.incremental_hamming_pairs. The corpus's "
+    "audio bytes are never re-decoded on arrival. Oracle = full "
+    "closed-form recompute restricted to delta-involving pairs",
+)
+def dedup_incremental_audio(spark, sf_dir):
+    return _inc_media_pairs(
+        spark,
+        sf_dir,
+        "incaud:",
+        lambda ids: multimodal.audio_fingerprint(multimodal.synth_audio_fp(ids)),
+        "afp",
+    )
+
+
+@query(
+    "dedup_incremental_video",
+    _inc_media_oracle(_VFP_CTES, "incvid:"),
+    doc="incremental VIDEO dedup (r13 verdict task 2, the video leg): "
+    "arriving clips run the real GIF decode + per-clip temporal-dHash "
+    "lead window ONLY on the delta slice, then probe the corpus's "
+    "persisted 60-bit chunk index plus within-shard self-pairs via "
+    "dedup.incremental_hamming_pairs — the corpus's frames are never "
+    "re-decoded on arrival (the codec is the dominant per-clip cost, "
+    "so this is the tier where the incremental path pays most). Same "
+    "index layout and fold harness as the image/audio legs. Oracle = "
+    "full closed-form recompute restricted to delta-involving pairs",
+)
+def dedup_incremental_video(spark, sf_dir):
+    return _inc_media_pairs(spark, sf_dir, "incvid:", _video_fp_sig, "vhash")
 
 
 #: shingles appearing in more docs than this are dropped from the Jaccard
