@@ -1053,6 +1053,133 @@ def streaming_incremental_exact_substr(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# exact_substr_delete_then_probe — the deletion lifecycle of the
+# suffix tier's TWO persisted stores (r13 verdict task 3): the window
+# index AND the raw-text doc store, the one persisted artifact where
+# "physically dropped" is a privacy obligation
+
+#: deterministic 1-in-2 stable-hash deletion slice of the RESIDENT
+#: corpus (the stored docs the forget request targets) — wide enough
+#: that some arrivals lose EVERY index twin, so the delete observably
+#: flips probe verdicts at both test scale factors (a 1-in-5 slice
+#: left all twin sets partially intact and the row proved nothing)
+_XS_DEL = "(('0x' || substring(md5('xsdel:' || doc_id::VARCHAR), 1, 15))::BIGINT % 2 = 0)"
+
+
+def _xs_del_pred():
+    from chiv_spark.functions.hashing import hash64
+
+    return hash64(F.concat(F.lit("xsdel:"), F.col("doc_id").cast("string"))) % 2 == 0
+
+
+def _xsub_probe_ctes(s: str, where: str) -> str:
+    """One incremental-ExactSubstr probe phase over the corpus slice
+    ``where`` keeps: candidate-pruned (docs holding a corpus-repeated
+    8-gram — exact by pigeonhole, sub-8 spans zeroed identically to
+    the engine's incremental_span_trim non-candidate branch) and
+    delim-free (projection-level unnests; the r14 dedup_exact_substr
+    oracle lesson — two correlated-UNNEST phases in one WITH would
+    re-trigger DuckDB's delim-join collapse)."""
+    return f"""
+    toks{s} AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+                FROM documents WHERE {where}),
+    starts{s} AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks{s}),
+    g8{s} AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS w
+              FROM starts{s} WHERE i + 7 <= len(tk)),
+    rep8{s} AS (SELECT w FROM g8{s} GROUP BY w HAVING COUNT(*) >= 2),
+    cand{s} AS (SELECT DISTINCT doc_id FROM g8{s} JOIN rep8{s} USING (w)),
+    longw{s} AS (
+      SELECT st.doc_id, st.i,
+             unnest(range(8, len(st.tk) - st.i + 2)) AS L,
+             unnest(list_transform(range(8, len(st.tk) - st.i + 2),
+                                   L2 -> array_to_string(st.tk[st.i:st.i+L2-1], ' '))) AS w
+      FROM starts{s} st JOIN cand{s} USING (doc_id)),
+    wc{s} AS (SELECT w, L, COUNT(*) AS c FROM longw{s} GROUP BY w, L),
+    lrp{s} AS (SELECT lw.doc_id, lw.i,
+                      MAX(CASE WHEN wc.c >= 2 THEN lw.L ELSE 0 END) AS lr
+               FROM longw{s} lw JOIN wc{s} wc ON lw.w = wc.w AND lw.L = wc.L
+               GROUP BY lw.doc_id, lw.i),
+    best{s} AS (SELECT doc_id, lr AS span, i FROM (
+                  SELECT doc_id, lr, i,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lr DESC, i) AS rn
+                  FROM lrp{s}) WHERE rn = 1),
+    out{s} AS (
+      SELECT t.doc_id,
+             CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(b.span, 0) AS BIGINT) AS span_ge8,
+             CASE WHEN COALESCE(b.span, 0) >= {EXACTSUBSTR_THRESHOLD}
+                  THEN COALESCE(array_to_string(
+                         list_concat(t.tk[1:b.i-1], t.tk[b.i+b.span:]), ' '), '')
+                  ELSE t.text END AS trimmed_text,
+             COALESCE(b.span, 0) < {EXACTSUBSTR_THRESHOLD} AS keep
+      FROM toks{s} t LEFT JOIN best{s} b USING (doc_id)
+      WHERE {_XS_FATE})"""
+
+
+_XS_DELETE_ORACLE = f"""
+    WITH {_xsub_probe_ctes("b", "TRUE")},
+    {_xsub_probe_ctes("a", f"{_XS_FATE} OR NOT {_XS_DEL}")}
+    SELECT 'before' AS phase, doc_id, n_tokens, span_ge8, trimmed_text, keep FROM outb
+    UNION ALL
+    SELECT 'after' AS phase, doc_id, n_tokens, span_ge8, trimmed_text, keep FROM outa
+    """
+
+
+@query(
+    "exact_substr_delete_then_probe",
+    _XS_DELETE_ORACLE,
+    doc="the deletion lifecycle of the suffix tier's persisted stores "
+    "as a query (r13 verdict task 3 — the ann_delete_then_probe "
+    "pattern): seed the window index (pb(hash(w)) buckets) AND the "
+    "raw-text doc store (pb(doc_id) buckets) from the resident "
+    "corpus, probe an arriving shard through both "
+    "(probe_suffix_store: pruned tombstone-aware index read, "
+    "tombstone-aware twin-text read, the SHARED incremental_span_trim "
+    "core), then suffix_forget a deterministic 1-in-5 stable-hash "
+    "slice of the STORED docs and re-probe THROUGH THE TOMBSTONES — "
+    "no rewrite: the deleted docs' windows stop nominating twins and "
+    "their text is never re-read, so spans whose only twin was "
+    "deleted drop to 0/non-candidate and previously-trimmed arrivals "
+    "come back keep=true. compact_suffix_store physically drops both "
+    "stores' suppressed rows (pytest-pinned: the deleted text is "
+    "GONE from the post-compaction parquet bytes). Oracle = two full "
+    "candidate-pruned recomputes, "
+    "the 'after' corpus minus the deleted slice — exactly what the "
+    "tombstone anti-joins leave the reads",
+)
+def exact_substr_delete_then_probe(spark, sf_dir):
+    import tempfile
+
+    from chiv_spark.streaming.suffix_index import (
+        probe_suffix_store,
+        seed_suffix_store,
+        suffix_forget,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    fate = _xs_fate_pred()
+    delta = docs.filter(fate)
+    base = docs.filter(~fate)
+    work = tempfile.mkdtemp(prefix="chiv-xsdel-")
+    seed_suffix_store(spark, base, work)
+    # the 'before' plan is safe to stay lazy across the delete: it was
+    # built while no tombstone dir existed, so it contains no
+    # tombstone scan, and suffix_forget never touches data files
+    before = probe_suffix_store(
+        spark, delta, work, EXACTSUBSTR_THRESHOLD, scratch_dir=_suffix_scratch()
+    )
+    suffix_forget(spark, work, base.filter(_xs_del_pred()).select("doc_id"))
+    after = probe_suffix_store(
+        spark, delta, work, EXACTSUBSTR_THRESHOLD, scratch_dir=_suffix_scratch()
+    )
+    return (
+        before.withColumn("phase", F.lit("before"))
+        .unionByName(after.withColumn("phase", F.lit("after")))
+        .select("phase", "doc_id", "n_tokens", "span_ge8", "trimmed_text", "keep")
+    )
+
+
+# --------------------------------------------------------------------------
 # text_bpe_encode — apply the learned merge table corpus-wide (r6
 # verdict task 4: text_bpe_first_merges learns merges but nothing
 # applied them — this is the step every real pipeline runs between

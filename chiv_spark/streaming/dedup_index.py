@@ -237,6 +237,7 @@ def read_index_pruned(
     touched_pbs: list[int],
     exclude_batch: int | None = None,
     id_col: str = "doc_id",
+    schema: str | None = None,
 ) -> DataFrame:
     """The per-batch index relation: only the directory partitions the
     arriving delta actually touches (partition-pruned scan — the scan
@@ -246,8 +247,11 @@ def read_index_pruned(
     whose generation falls inside the tombstone's scope (pending
     deletions take effect at read time, before compaction physically
     drops them; rows re-ingested AFTER the delete sit past the scope
-    and stay visible)."""
-    idx = spark.read.parquet(index_dir).filter(
+    and stay visible). Pass ``schema`` when the index can be
+    legitimately EMPTY (every row tombstoned then compacted away — a
+    file-less directory schema inference rejects)."""
+    reader = spark.read.schema(schema) if schema else spark.read
+    idx = reader.parquet(index_dir).filter(
         F.col("pb").isin([int(x) for x in touched_pbs])
     )
     if exclude_batch is not None:

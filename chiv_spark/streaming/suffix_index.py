@@ -33,14 +33,145 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chiv_spark.operators.suffixes import incremental_span_trim, window_index
-from chiv_spark.streaming.dedup_index import SEED_BATCH, _dir_exists
+from chiv_spark.operators.suffixes import (
+    WINDOW_PB,
+    incremental_span_trim,
+    window_index,
+)
+from chiv_spark.streaming.dedup_index import (
+    SEED_BATCH,
+    _dir_exists,
+    anti_join_tombstones,
+    compact_index,
+    read_index_pruned,
+    read_tombstones,
+    write_tombstones,
+)
 
 OUT_COLS = ["doc_id", "n_tokens", "span_ge8", "trimmed_text", "keep"]
 OUT_SCHEMA = (
     "doc_id bigint, n_tokens bigint, span_ge8 bigint,"
     " trimmed_text string, keep boolean"
 )
+
+#: directory-partition fan-out of the DOC STORE on pmod(doc_id, P) —
+#: gives the store the same bucketed/compactable layout as the window
+#: index so one compaction lifecycle (compact_index) serves both
+DOC_PB = 16
+
+#: explicit read schemas: both stores can be legitimately EMPTY after
+#: a forget-everything compaction (a file-less dir schema inference
+#: rejects), and the GDPR lifecycle must survive that state
+WINIDX_SCHEMA = "doc_id bigint, w string, cnt bigint, pb int, src_batch int"
+DOCS_SCHEMA = "doc_id bigint, text string, pb int, src_batch int"
+
+
+def _doc_pb():
+    return F.pmod(F.col("doc_id"), F.lit(DOC_PB)).cast("int")
+
+
+def read_doc_store(
+    spark: SparkSession, docs_dir: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """The doc store's visible (doc_id, text) relation: all persisted
+    generations minus the reader's own (replay guard) minus any
+    tombstoned ids whose generation falls inside the tombstone's
+    scope — a GDPR-style forget takes effect at READ time, before
+    compaction physically drops the text (r13 verdict task 3: raw
+    document text is the most sensitive store the lifecycle guards)."""
+    rel = spark.read.schema(DOCS_SCHEMA).parquet(docs_dir)
+    if exclude_batch is not None:
+        rel = rel.filter(F.col("src_batch") != int(exclude_batch))
+    tomb = read_tombstones(spark, docs_dir)
+    if tomb is not None:
+        rel = anti_join_tombstones(rel, tomb, "doc_id")
+    return rel.select("doc_id", "text")
+
+
+def suffix_forget(spark: SparkSession, work_dir: str, doc_ids) -> None:
+    """GDPR-style forget across BOTH of the suffix tier's persisted
+    stores: the window index (the doc's 8-gram counts stop nominating
+    it as a twin) and the doc store (its raw text is never re-read).
+    Generation-scoped tombstones (dedup_index.write_tombstones), so a
+    re-ingest of the same id after the delete lands in a later
+    generation and stays visible; compact_suffix_store physically
+    drops the suppressed rows from both stores."""
+    work = work_dir.rstrip("/")
+    write_tombstones(spark, f"{work}/winidx", doc_ids)
+    write_tombstones(spark, f"{work}/docs", doc_ids)
+
+
+def seed_suffix_store(spark: SparkSession, docs: DataFrame, work_dir: str) -> None:
+    """Persist a corpus snapshot as the suffix tier's generation-SEED
+    state: its window index under pb(hash(w)) buckets and its raw
+    text under pb(doc_id) buckets — what a production pipeline has on
+    disk before any arrival, and the store the deletion lifecycle
+    operates on."""
+    work = work_dir.rstrip("/")
+    _write_gen(window_index(docs), f"{work}/winidx", SEED_BATCH, ["pb"])
+    _write_gen(
+        docs.select("doc_id", "text").withColumn("pb", _doc_pb()),
+        f"{work}/docs",
+        SEED_BATCH,
+        ["pb"],
+    )
+
+
+def probe_suffix_store(
+    spark: SparkSession,
+    delta: DataFrame,
+    work_dir: str,
+    threshold: int,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Span-check and trim an arriving shard against the PERSISTED
+    suffix store (window index + doc store), honoring pending
+    tombstones on both reads — the probe half of the deletion
+    lifecycle: a tombstoned doc's windows no longer nominate twins
+    and its text is never re-read. Shares incremental_span_trim with
+    the batch and streaming rows, so the three cannot drift."""
+    work = work_dir.rstrip("/")
+    delta = delta.select("doc_id", "text")
+    dwin = window_index(delta).persist()
+    touched = [r.pb for r in dwin.select("pb").distinct().collect()]
+    if not touched:
+        out = delta.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("span_ge8"),
+            F.col("text").alias("trimmed_text"),
+            F.lit(True).alias("keep"),
+        )
+        dwin.unpersist()
+        return out
+    idx = read_index_pruned(
+        spark, f"{work}/winidx", touched, id_col="doc_id", schema=WINIDX_SCHEMA
+    )
+    resident = read_doc_store(spark, f"{work}/docs")
+    out = incremental_span_trim(
+        delta, dwin, idx, resident, threshold, scratch_dir=scratch_dir
+    )
+    dwin.unpersist()
+    return out
+
+
+def compact_suffix_store(
+    spark: SparkSession, work_dir: str, committed_through: int | None = None
+) -> tuple[tuple[int, int], tuple[int, int]]:
+    """Fold both stores' generations and PHYSICALLY drop tombstoned
+    rows — window counts and raw text (the one store where 'physically
+    dropped' is a privacy obligation, not just hygiene). Returns the
+    (files_before, files_after) pair per store."""
+    work = work_dir.rstrip("/")
+    widx = compact_index(
+        spark, f"{work}/winidx", committed_through, id_col="doc_id",
+        part_col="pb", n_parts=WINDOW_PB,
+    )
+    docs = compact_index(
+        spark, f"{work}/docs", committed_through, id_col="doc_id",
+        part_col="pb", n_parts=DOC_PB,
+    )
+    return widx, docs
 
 
 def _write_gen(rel: DataFrame, out_dir: str, batch_id: int, parts: list[str]) -> None:
@@ -80,16 +211,15 @@ def incremental_exact_substr_stream(
         dwin = window_index(delta).persist()
         touched = [r.pb for r in dwin.select("pb").distinct().collect()]
         if touched:
-            idx = spark.read.parquet(index_dir).filter(
-                F.col("pb").isin([int(x) for x in touched])
-                & (F.col("src_batch") != int(batch_id))
+            # pruned + tombstone-aware reads (r13 verdict task 3):
+            # a suffix_forget issued between batches takes effect on
+            # the NEXT batch's index probe and twin-text read
+            idx = read_index_pruned(
+                spark, index_dir, touched, exclude_batch=batch_id,
+                id_col="doc_id", schema=WINIDX_SCHEMA,
             )
             if _dir_exists(spark, docs_dir):
-                arrived = (
-                    spark.read.parquet(docs_dir)
-                    .filter(F.col("src_batch") != int(batch_id))
-                    .select("doc_id", "text")
-                )
+                arrived = read_doc_store(spark, docs_dir, exclude_batch=batch_id)
             else:
                 arrived = spark.createDataFrame([], "doc_id bigint, text string")
             resident = base_docs.select("doc_id", "text").unionByName(arrived)
@@ -117,9 +247,11 @@ def incremental_exact_substr_stream(
         if touched:
             # AFTER the output action: fold this batch's windows and
             # text in, so a replay's excluded-own-generation read and
-            # the dynamic overwrite keep the run idempotent
+            # the dynamic overwrite keep the run idempotent; the doc
+            # store shares the window index's bucketed layout (pb on
+            # doc_id) so compact_suffix_store serves both
             _write_gen(dwin, index_dir, batch_id, ["pb"])
-            _write_gen(delta, docs_dir, batch_id, [])
+            _write_gen(delta.withColumn("pb", _doc_pb()), docs_dir, batch_id, ["pb"])
         dwin.unpersist()
 
     q = (

@@ -581,6 +581,111 @@ class TestIncrementalExactSubstrStream:
         assert got[20][1:3] == (0, True)
 
 
+class TestSuffixStoreDeletion:
+    """r13 verdict task 3: the suffix tier's doc store persists RAW
+    TEXT — the most privacy-sensitive artifact in the repo — and must
+    honor the same forget lifecycle as every other persisted index:
+    tombstones take effect at read time (the deleted doc's windows
+    stop nominating twins, its text is never re-read), and compaction
+    physically drops both stores' rows."""
+
+    # a 12-token span shared by resident doc 1 and arrival 100; the
+    # unique marker token proves physical deletion from parquet bytes
+    SPAN = "ZZSECRET " + " ".join(f"s{i}" for i in range(11))
+
+    def _seed(self, spark, tmp_path):
+        from chiv_spark.streaming.suffix_index import seed_suffix_store
+
+        schema = "doc_id long, text string"
+        base = spark.createDataFrame(
+            [
+                (1, f"lead tokens {self.SPAN} trailing bits"),
+                # 7 tokens: contributes to the doc store but never the
+                # window index (sub-WINDOW_N)
+                (2, "completely unrelated resident text with no repeats"),
+                (3, "an unrelated resident document long enough to hold windows"),
+            ],
+            schema,
+        )
+        work = str(tmp_path / "store")
+        seed_suffix_store(spark, base, work)
+        delta = spark.createDataFrame([(100, f"a1 {self.SPAN} a2 a3")], schema)
+        return work, delta
+
+    def test_forget_flips_probe_and_compaction_drops_text(self, spark, tmp_path):
+        import glob
+
+        from chiv_spark.streaming.suffix_index import (
+            compact_suffix_store,
+            probe_suffix_store,
+            read_doc_store,
+            suffix_forget,
+        )
+
+        work, delta = self._seed(spark, tmp_path)
+
+        def probe():
+            return {
+                r.doc_id: (r.span_ge8, r.keep, r.trimmed_text)
+                for r in probe_suffix_store(spark, delta, work, 10).collect()
+            }
+
+        before = probe()
+        assert before[100][0] == 12 and before[100][1] is False
+        assert "ZZSECRET" not in before[100][2]  # span trimmed out
+
+        suffix_forget(spark, work, [1])
+        after = probe()
+        # doc 1's windows no longer nominate it: the span has no twin,
+        # the arrival passes untouched
+        assert after[100] == (0, True, delta.collect()[0].text)
+        # and its text is invisible to the twin-text read
+        assert {
+            r.doc_id for r in read_doc_store(spark, f"{work}/docs").collect()
+        } == {2, 3}
+
+        # compaction physically drops the deleted rows from BOTH stores
+        compact_suffix_store(spark, work)
+        raw = b"".join(
+            open(f, "rb").read()
+            for f in glob.glob(f"{work}/docs/**/*.parquet", recursive=True)
+        )
+        assert b"ZZSECRET" not in raw  # the forgotten text is GONE
+        assert b"unrelated resident" in raw  # surviving docs intact
+        from chiv_spark.streaming.suffix_index import WINIDX_SCHEMA
+
+        idx = spark.read.schema(WINIDX_SCHEMA).parquet(f"{work}/winidx")
+        assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {3}
+        # tombstones are consumed by the full collapse
+        import os
+
+        assert not os.path.isdir(f"{work}/docs/_tombstones")
+        # post-compaction probe still returns the forgotten verdicts
+        assert probe()[100][0] == 0
+
+    def test_forget_everything_leaves_readable_stores(self, spark, tmp_path):
+        """The forget-EVERYTHING edge: tombstone all resident docs,
+        compact, and both stores end file-less — the explicit-schema
+        reads must see legitimately-empty stores, not an
+        unable-to-infer-schema crash."""
+        from chiv_spark.streaming.suffix_index import (
+            compact_suffix_store,
+            probe_suffix_store,
+            read_doc_store,
+            suffix_forget,
+        )
+
+        work, delta = self._seed(spark, tmp_path)
+        suffix_forget(spark, work, [1, 2, 3])
+        compact_suffix_store(spark, work)
+        assert read_doc_store(spark, f"{work}/docs").count() == 0
+        got = {
+            r.doc_id: (r.span_ge8, r.keep)
+            for r in probe_suffix_store(spark, delta, work, 10).collect()
+        }
+        assert got == {100: (0, True)}
+
+
 class TestIndexLayout:
     """r8 verdict task 2 + the r8 foreachBatch-idempotency advice: the
     dedup index's 100 TB claims made mechanical. (a) the per-batch
