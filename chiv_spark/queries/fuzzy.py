@@ -79,3 +79,141 @@ def join_fuzzy_levenshtein(spark, sf_dir):
             F.col("dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_fuzzy_levenshtein_capped — the bounded-output twin (r13 verdict
+# task 5): head-noun blocks grow LINEARLY with the corpus, so the
+# per-block quadratic (and the 11M-row pair output at sf0.1) grows
+# quadratically at 100x. The twin sub-blocks by length band
+# (levenshtein <= 3 implies |len(a)-len(b)| <= 3, so a band of width 8
+# keeps most true pairs co-located) and then caps each sub-block at a
+# DETERMINISTIC member sample — rank by stable hash, keep the first
+# _FZ_CAP (the dedup_lsh_quarantine_rescue representative precedent:
+# keep a bounded deterministic subset rather than drop the whole
+# saturated bucket, since a fuzzy-matched entity has no 'other band'
+# to survive through). Work and output are bounded by
+# n_sub_blocks * cap^2 / 2 regardless of corpus size; what the cap
+# drops is quantified by join_fuzzy_capped_report, never hidden.
+
+#: per-(head noun, length band) member cap — small enough to bite on
+#: both test scale factors (sub-blocks hold ~60-80 rows at sf0.01 and
+#: ~600-800 at sf0.1), so the oracle provably replicates the cap
+_FZ_CAP = 64
+
+#: length-band width (> MAX_DIST, so most dist<=3 pairs share a band)
+_FZ_LEN_W = 8
+
+_FZ_RANK_SQL = (
+    "ROW_NUMBER() OVER (PARTITION BY block, lb ORDER BY "
+    "(('0x' || substring(md5('fzcap:' || k::VARCHAR), 1, 15))::BIGINT), k)"
+)
+
+_FZ_NAMED_SQL = f"""
+      SELECT p_partkey AS k, p_name AS name,
+             string_split(p_name, ' ')[-1] AS block,
+             length(p_name) // {_FZ_LEN_W} AS lb
+      FROM part"""
+
+
+@query(
+    "join_fuzzy_levenshtein_capped",
+    f"""
+    WITH named AS ({_FZ_NAMED_SQL}),
+    ranked AS (SELECT *, {_FZ_RANK_SQL} AS rk FROM named),
+    kept AS (SELECT * FROM ranked WHERE rk <= {_FZ_CAP})
+    SELECT a.k AS key_a, b.k AS key_b,
+           a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM kept a JOIN kept b
+      ON a.block = b.block AND a.lb = b.lb AND a.k < b.k
+    WHERE levenshtein(a.name, b.name) <= {_MAX_DIST}
+    """,
+    doc="capped-block fuzzy self-join (r13 verdict task 5 — "
+    f"join_fuzzy_levenshtein emits 11M rows at sf0.1 and its "
+    "per-block quadratic grows quadratically with the corpus): "
+    "sub-block on (head noun, length//8 band — edit distance <= 3 "
+    f"bounds the length gap at 3), keep a deterministic {_FZ_CAP}-"
+    "member stable-hash sample per sub-block (the quarantine-rescue "
+    "representative precedent — never drop a whole saturated bucket, "
+    "a fuzzy entity has no other band to survive through), pair "
+    "within the kept sample only. Work AND output are bounded by "
+    "n_sub_blocks * cap^2/2 at any corpus size; the PARTITIONED "
+    "rank window and the sub-block equi-join are the only shuffles. "
+    "Oracle replicates the rank and cap exactly, so the recall trade "
+    "is pinned, not hidden; join_fuzzy_capped_report quantifies it",
+)
+def join_fuzzy_levenshtein_capped(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from chiv_spark.functions.hashing import hash64
+
+    named = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("name"),
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+        F.expr(f"CAST(length(p_name) AS INT) div {_FZ_LEN_W}").alias("lb"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("block", "lb").orderBy(
+            hash64(F.concat(F.lit("fzcap:"), F.col("k").cast("string"))), F.col("k")
+        )
+    )
+    kept = named.withColumn("rk", rk).filter(F.col("rk") <= _FZ_CAP)
+    a, b = kept.alias("a"), kept.alias("b")
+    d = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .filter(d <= _MAX_DIST)
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            d.cast("long").alias("dist"),
+        )
+    )
+
+
+@query(
+    "join_fuzzy_capped_report",
+    f"""
+    WITH named AS ({_FZ_NAMED_SQL})
+    SELECT block, CAST(lb AS BIGINT) AS len_band,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(LEAST(COUNT(*), {_FZ_CAP}) AS BIGINT) AS n_kept,
+           CAST(GREATEST(COUNT(*) - {_FZ_CAP}, 0) AS BIGINT) AS n_capped,
+           COUNT(*) > {_FZ_CAP} AS saturated
+    FROM named GROUP BY block, lb
+    """,
+    doc="sub-block saturation audit for the capped fuzzy join: per "
+    "(head noun, length band), membership, how many members the "
+    f"deterministic {_FZ_CAP}-cap keeps, and how many it drops — the "
+    "report a production pipeline reads to SET the cap dial and to "
+    "monitor entity-flood regressions between runs (the "
+    "dedup_lsh_bucket_report pattern). One hash agg on the block "
+    "keys; no join, no window",
+)
+def join_fuzzy_capped_report(spark, sf_dir):
+    named = t(spark, sf_dir, "part").select(
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+        F.expr(f"CAST(length(p_name) AS INT) div {_FZ_LEN_W}").alias("lb"),
+    )
+    return named.groupBy("block", "lb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.least(F.count(F.lit(1)), F.lit(_FZ_CAP)).cast("long").alias("n_kept"),
+        F.greatest(F.count(F.lit(1)) - _FZ_CAP, F.lit(0)).cast("long").alias("n_capped"),
+        (F.count(F.lit(1)) > _FZ_CAP).alias("saturated"),
+    ).select(
+        "block",
+        F.col("lb").cast("long").alias("len_band"),
+        "n_members",
+        "n_kept",
+        "n_capped",
+        "saturated",
+    )
