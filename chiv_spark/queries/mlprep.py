@@ -692,6 +692,33 @@ _FUNNEL_REG["pipeline_dedup_decon_funnel"] = _FUNNEL_REG[
 )
 
 
+#: deterministic doc -> attached-media mapping over the synthetic
+#: corpus (r13 verdict task 6): a stable-hash 1-in-4 of documents
+#: carries an image, independently 1-in-4 an audio clip, 1-in-4 a
+#: video clip, each assigned into the 60-item media universe — the
+#: join key the cross-modality linkage stage propagates canonical
+#: survival through. Attachment is OPTIONAL so the stage is a real
+#: filter, not a wipe: docs without media pass, docs whose present
+#: attachment was deduped away drop.
+_ATT_MODS = ["img", "aud", "vid"]
+
+
+def _att_sql(mod: str) -> str:
+    from chiv_spark.functions.hashing import duckdb_hash64
+
+    has = duckdb_hash64(f"'has{mod}:' || doc_id::VARCHAR")
+    h = duckdb_hash64(f"'att{mod}:' || doc_id::VARCHAR")
+    return f"(CASE WHEN {has} % 4 = 0 THEN {h} % 60 END)"
+
+
+def _att_col(mod: str):
+    from chiv_spark.functions.hashing import hash64
+
+    has = hash64(F.concat(F.lit(f"has{mod}:"), F.col("doc_id").cast("string"))) % 4
+    h = hash64(F.concat(F.lit(f"att{mod}:"), F.col("doc_id").cast("string"))) % 60
+    return F.when(has == 0, h)
+
+
 def _curation_capstone_oracle() -> str:
     from chiv_spark.queries import llm  # noqa: F401 — registers the dedup tiers
     from chiv_spark.queries.base import REGISTRY
@@ -707,34 +734,55 @@ def _curation_capstone_oracle() -> str:
     img = REGISTRY["dedup_image_canonical"].oracle
     aud = REGISTRY["dedup_audio_canonical"].oracle
     vid = REGISTRY["dedup_video_canonical"].oracle
+    att = ", ".join(f"{_att_sql(m)} AS {m}_mid" for m in _ATT_MODS)
+    # flags fold by UNION + one hash agg, NOT an n-way join: the r14
+    # capstone lesson — DuckDB's join-order handling of 5+ relation
+    # joins over materialized CTEs collapsed 10x; the fold is
+    # join-free and scales to any number of stages
     return f"""
     WITH para AS MATERIALIZED (SELECT doc_id, (cleaned_text <> '') AS f1 FROM ({para})),
     spans AS MATERIALIZED (SELECT doc_id, keep AS f2 FROM ({spans})),
     ndrop AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM ({mh})),
     ov AS MATERIALIZED (SELECT DISTINCT doc_id FROM ({overlap})),
     ne AS MATERIALIZED (SELECT DISTINCT doc_id FROM ({ne})),
-    img AS MATERIALIZED (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM ({img})),
-    aud AS MATERIALIZED (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM ({aud})),
-    vid AS MATERIALIZED (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM ({vid})),
+    imgc AS MATERIALIZED ({img}),
+    audc AS MATERIALIZED ({aud}),
+    vidc AS MATERIALIZED ({vid}),
+    img AS (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM imgc),
+    aud AS (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM audc),
+    vid AS (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM vidc),
+    att AS (SELECT doc_id, {att} FROM documents),
+    dropmedia AS (
+      SELECT a.doc_id
+      FROM att a
+      LEFT JOIN imgc ik ON ik.media_id = a.img_mid
+      LEFT JOIN audc ak ON ak.media_id = a.aud_mid
+      LEFT JOIN vidc vk ON vk.media_id = a.vid_mid
+      WHERE (a.img_mid IS NOT NULL AND ik.media_id IS NULL)
+         OR (a.aud_mid IS NOT NULL AND ak.media_id IS NULL)
+         OR (a.vid_mid IS NOT NULL AND vk.media_id IS NULL)),
     flags AS MATERIALIZED (
-      SELECT d.doc_id, p.f1, s.f2,
-             (n.doc_id IS NULL) AS f3,
-             (o.doc_id IS NULL) AS f4,
-             (e.doc_id IS NULL) AS f5
-      FROM documents d
-      JOIN para p USING (doc_id)
-      JOIN spans s USING (doc_id)
-      LEFT JOIN ndrop n ON n.doc_id = d.doc_id
-      LEFT JOIN ov o ON o.doc_id = d.doc_id
-      LEFT JOIN ne e ON e.doc_id = d.doc_id),
+      SELECT doc_id,
+             bool_or(src = 1) AS in1, bool_or(src = 2) AS in2,
+             bool_or(src = 1 AND f) AS f1, bool_or(src = 2 AND f) AS f2,
+             NOT bool_or(src = 3) AS f3, NOT bool_or(src = 4) AS f4,
+             NOT bool_or(src = 5) AS f5, NOT bool_or(src = 6) AS f6
+      FROM (SELECT doc_id, 1 AS src, f1 AS f FROM para
+            UNION ALL SELECT doc_id, 2, f2 FROM spans
+            UNION ALL SELECT doc_id, 3, true FROM ndrop
+            UNION ALL SELECT doc_id, 4, true FROM ov
+            UNION ALL SELECT doc_id, 5, true FROM ne
+            UNION ALL SELECT doc_id, 6, true FROM dropmedia)
+      GROUP BY doc_id),
     agg AS MATERIALIZED (
       SELECT COUNT(*) AS total,
              COUNT(*) FILTER (WHERE f1) AS s1,
              COUNT(*) FILTER (WHERE f1 AND f2) AS s2,
              COUNT(*) FILTER (WHERE f1 AND f2 AND f3) AS s3,
              COUNT(*) FILTER (WHERE f1 AND f2 AND f3 AND f4) AS s4,
-             COUNT(*) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5) AS s5
-      FROM flags)
+             COUNT(*) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5) AS s5,
+             COUNT(*) FILTER (WHERE f1 AND f2 AND f3 AND f4 AND f5 AND f6) AS s6
+      FROM flags WHERE in1 AND in2)
     SELECT stage, CAST(n_surviving AS BIGINT) AS n_surviving,
            CAST(n_removed AS BIGINT) AS n_removed
     FROM (
@@ -744,29 +792,34 @@ def _curation_capstone_oracle() -> str:
       UNION ALL SELECT '3_neardup_dedup', s3, s2 - s3 FROM agg
       UNION ALL SELECT '4_exact_overlap_decon', s4, s3 - s4 FROM agg
       UNION ALL SELECT '5_neardup_decon', s5, s4 - s5 FROM agg
-      UNION ALL SELECT '6_image_canonical', surv, tot - surv FROM img
-      UNION ALL SELECT '7_audio_canonical', surv, tot - surv FROM aud
-      UNION ALL SELECT '8_video_canonical', surv, tot - surv FROM vid)
+      UNION ALL SELECT '6_media_linkage', s6, s5 - s6 FROM agg
+      UNION ALL SELECT '7_image_canonical', surv, tot - surv FROM img
+      UNION ALL SELECT '8_audio_canonical', surv, tot - surv FROM aud
+      UNION ALL SELECT '9_video_canonical', surv, tot - surv FROM vid)
     """
 
 
 @query(
     "pipeline_curation_capstone",
     None,  # oracle attached below (composes eight registered oracles)
-    doc="the cross-modality curation CAPSTONE (r12 verdict task 8) — "
-    "the end-to-end 'build the training set' report: sequential text "
-    "tiers (paragraph-level exact dedup -> ExactSubstr repeated-span "
-    "gate -> MinHash near-dup removal -> exact 4-gram eval "
-    "decontamination -> MinHash eval decontamination) as conditional "
-    "survivor counts in ONE pass over documents, then the three "
-    "media tiers (image dHash, audio fingerprint, video temporal "
-    "dHash) each collapsed to canonical-per-cluster survivor counts. "
-    "Every stage composes the corresponding REGISTERED query's "
-    "relation verbatim — report and operators cannot drift; the "
-    "oracle embeds the same eight registered oracles MATERIALIZED. "
-    "Plan: the text flags are one multi-join + one conditional-count "
-    "agg; each media tier is a bounded-universe chain; nothing joins "
-    "across modalities",
+    doc="the cross-modality curation CAPSTONE (r12 verdict task 8 + "
+    "the r13 task-6 linkage stage) — the end-to-end 'build the "
+    "training set' report: sequential text tiers (paragraph-level "
+    "exact dedup -> ExactSubstr repeated-span gate -> MinHash "
+    "near-dup removal -> exact 4-gram eval decontamination -> "
+    "MinHash eval decontamination) as conditional survivor counts in "
+    "ONE pass over documents, then a MEDIA-LINKAGE stage — every doc "
+    "carries a stable-hash-attached image/audio/video triple, and a "
+    "doc survives only if all three attachments are canonical "
+    "survivors of their modality's dedup (what a real curation pass "
+    "does when attached media was deduped away) — then the three "
+    "media tiers' own canonical survivor counts. Every stage "
+    "composes the corresponding REGISTERED query's relation verbatim "
+    "— report and operators cannot drift; the oracle embeds the same "
+    "eight registered oracles MATERIALIZED. Plan: text flags fold by "
+    "union + one hash agg; each media canonical relation is computed "
+    "ONCE and persisted (bounded-universe, two consumers: the keeper "
+    "dim broadcast into the linkage join and the count row)",
 )
 def pipeline_curation_capstone(spark, sf_dir):
     from chiv_spark.queries.base import REGISTRY
@@ -798,18 +851,43 @@ def pipeline_curation_capstone(spark, sf_dir):
         .distinct()
         .withColumn("__ne", F.lit(1))
     )
+    # each canonical relation has TWO consumers (keeper dim + count
+    # row) above distinct subtrees — persist pays here (ReuseExchange
+    # can't dedup across them), and the relations are <= 60 rows
+    cans = {
+        m: REGISTRY[f"dedup_{name}_canonical"].fn(spark, sf_dir).persist()
+        for m, name in [("img", "image"), ("aud", "audio"), ("vid", "video")]
+    }
+    att = docs.select(
+        "doc_id", *[_att_col(m).alias(f"{m}_mid") for m in _ATT_MODS]
+    )
+    dropmedia = att
+    for m in _ATT_MODS:
+        keepers = cans[m].select(F.col("media_id").alias(f"{m}_k"))
+        dropmedia = dropmedia.join(
+            F.broadcast(keepers),
+            F.col(f"{m}_mid") == F.col(f"{m}_k"),
+            "left",
+        )
+    dropmedia = dropmedia.filter(
+        (F.col("img_mid").isNotNull() & F.col("img_k").isNull())
+        | (F.col("aud_mid").isNotNull() & F.col("aud_k").isNull())
+        | (F.col("vid_mid").isNotNull() & F.col("vid_k").isNull())
+    ).select("doc_id").withColumn("__md", F.lit(1))
     flags = (
         docs.join(para, "doc_id")
         .join(spans, "doc_id")
         .join(ndrop, "doc_id", "left")
         .join(ov, "doc_id", "left")
         .join(ne, "doc_id", "left")
+        .join(dropmedia, "doc_id", "left")
         .select(
             "f1",
             "f2",
             F.col("__nd").isNull().alias("f3"),
             F.col("__ov").isNull().alias("f4"),
             F.col("__ne").isNull().alias("f5"),
+            F.col("__md").isNull().alias("f6"),
         )
     )
     agg = flags.agg(
@@ -825,21 +903,32 @@ def pipeline_curation_capstone(spark, sf_dir):
                 F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4") & F.col("f5"), 1
             )
         ).alias("s5"),
+        F.count(
+            F.when(
+                F.col("f1")
+                & F.col("f2")
+                & F.col("f3")
+                & F.col("f4")
+                & F.col("f5")
+                & F.col("f6"),
+                1,
+            )
+        ).alias("s6"),
     )
     text_rows = agg.selectExpr(
-        "stack(6, "
+        "stack(7, "
         "'0_total', total, 0L, "
         "'1_paragraph_dedup', s1, total - s1, "
         "'2_repeated_spans', s2, s1 - s2, "
         "'3_neardup_dedup', s3, s2 - s3, "
         "'4_exact_overlap_decon', s4, s3 - s4, "
-        "'5_neardup_decon', s5, s4 - s5"
+        "'5_neardup_decon', s5, s4 - s5, "
+        "'6_media_linkage', s6, s5 - s6"
         ") as (stage, n_surviving, n_removed)"
     )
 
-    def modality(name: str, label: str):
-        can = REGISTRY[name].fn(spark, sf_dir)
-        return can.agg(
+    def modality(m: str, label: str):
+        return cans[m].agg(
             F.count(F.lit(1)).alias("surv"),
             F.sum("cluster_size").alias("tot"),
         ).selectExpr(
@@ -849,9 +938,9 @@ def pipeline_curation_capstone(spark, sf_dir):
         )
 
     return (
-        text_rows.unionByName(modality("dedup_image_canonical", "6_image_canonical"))
-        .unionByName(modality("dedup_audio_canonical", "7_audio_canonical"))
-        .unionByName(modality("dedup_video_canonical", "8_video_canonical"))
+        text_rows.unionByName(modality("img", "7_image_canonical"))
+        .unionByName(modality("aud", "8_audio_canonical"))
+        .unionByName(modality("vid", "9_video_canonical"))
         .selectExpr(
             "stage",
             "CAST(n_surviving AS BIGINT) AS n_surviving",
