@@ -719,7 +719,11 @@ def _att_col(mod: str):
     return F.when(has == 0, h)
 
 
-def _curation_capstone_oracle() -> str:
+def _capstone_flags_ctes() -> str:
+    """The capstone's shared WITH block — eight registered stage
+    oracles MATERIALIZED, the optional media attachments, and the
+    per-doc survival flags — composed verbatim by BOTH the capstone
+    report and the survivor dataset card so the two cannot drift."""
     from chiv_spark.queries import llm  # noqa: F401 — registers the dedup tiers
     from chiv_spark.queries.base import REGISTRY
 
@@ -739,8 +743,7 @@ def _curation_capstone_oracle() -> str:
     # capstone lesson — DuckDB's join-order handling of 5+ relation
     # joins over materialized CTEs collapsed 10x; the fold is
     # join-free and scales to any number of stages
-    return f"""
-    WITH para AS MATERIALIZED (SELECT doc_id, (cleaned_text <> '') AS f1 FROM ({para})),
+    return f"""para AS MATERIALIZED (SELECT doc_id, (cleaned_text <> '') AS f1 FROM ({para})),
     spans AS MATERIALIZED (SELECT doc_id, keep AS f2 FROM ({spans})),
     ndrop AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM ({mh})),
     ov AS MATERIALIZED (SELECT DISTINCT doc_id FROM ({overlap})),
@@ -773,7 +776,12 @@ def _curation_capstone_oracle() -> str:
             UNION ALL SELECT doc_id, 4, true FROM ov
             UNION ALL SELECT doc_id, 5, true FROM ne
             UNION ALL SELECT doc_id, 6, true FROM dropmedia)
-      GROUP BY doc_id),
+      GROUP BY doc_id)"""
+
+
+def _curation_capstone_oracle() -> str:
+    return f"""
+    WITH {_capstone_flags_ctes()},
     agg AS MATERIALIZED (
       SELECT COUNT(*) AS total,
              COUNT(*) FILTER (WHERE f1) AS s1,
@@ -799,29 +807,10 @@ def _curation_capstone_oracle() -> str:
     """
 
 
-@query(
-    "pipeline_curation_capstone",
-    None,  # oracle attached below (composes eight registered oracles)
-    doc="the cross-modality curation CAPSTONE (r12 verdict task 8 + "
-    "the r13 task-6 linkage stage) — the end-to-end 'build the "
-    "training set' report: sequential text tiers (paragraph-level "
-    "exact dedup -> ExactSubstr repeated-span gate -> MinHash "
-    "near-dup removal -> exact 4-gram eval decontamination -> "
-    "MinHash eval decontamination) as conditional survivor counts in "
-    "ONE pass over documents, then a MEDIA-LINKAGE stage — every doc "
-    "carries a stable-hash-attached image/audio/video triple, and a "
-    "doc survives only if all three attachments are canonical "
-    "survivors of their modality's dedup (what a real curation pass "
-    "does when attached media was deduped away) — then the three "
-    "media tiers' own canonical survivor counts. Every stage "
-    "composes the corresponding REGISTERED query's relation verbatim "
-    "— report and operators cannot drift; the oracle embeds the same "
-    "eight registered oracles MATERIALIZED. Plan: text flags fold by "
-    "union + one hash agg; each media canonical relation is computed "
-    "ONCE and persisted (bounded-universe, two consumers: the keeper "
-    "dim broadcast into the linkage join and the count row)",
-)
-def pipeline_curation_capstone(spark, sf_dir):
+def _capstone_flags(spark, sf_dir):
+    """The capstone's per-doc survival flags (doc_id, f1..f6) plus the
+    persisted canonical media relations — the shared engine core of
+    the capstone report and the survivor dataset card."""
     from chiv_spark.queries.base import REGISTRY
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
@@ -882,6 +871,7 @@ def pipeline_curation_capstone(spark, sf_dir):
         .join(ne, "doc_id", "left")
         .join(dropmedia, "doc_id", "left")
         .select(
+            "doc_id",
             "f1",
             "f2",
             F.col("__nd").isNull().alias("f3"),
@@ -890,6 +880,33 @@ def pipeline_curation_capstone(spark, sf_dir):
             F.col("__md").isNull().alias("f6"),
         )
     )
+    return flags, cans
+
+
+@query(
+    "pipeline_curation_capstone",
+    None,  # oracle attached below (composes eight registered oracles)
+    doc="the cross-modality curation CAPSTONE (r12 verdict task 8 + "
+    "the r13 task-6 linkage stage) — the end-to-end 'build the "
+    "training set' report: sequential text tiers (paragraph-level "
+    "exact dedup -> ExactSubstr repeated-span gate -> MinHash "
+    "near-dup removal -> exact 4-gram eval decontamination -> "
+    "MinHash eval decontamination) as conditional survivor counts in "
+    "ONE pass over documents, then a MEDIA-LINKAGE stage — every doc "
+    "carries a stable-hash-attached image/audio/video triple, and a "
+    "doc survives only if all three attachments are canonical "
+    "survivors of their modality's dedup (what a real curation pass "
+    "does when attached media was deduped away) — then the three "
+    "media tiers' own canonical survivor counts. Every stage "
+    "composes the corresponding REGISTERED query's relation verbatim "
+    "— report and operators cannot drift; the oracle embeds the same "
+    "eight registered oracles MATERIALIZED. Plan: text flags fold by "
+    "union + one hash agg; each media canonical relation is computed "
+    "ONCE and persisted (bounded-universe, two consumers: the keeper "
+    "dim broadcast into the linkage join and the count row)",
+)
+def pipeline_curation_capstone(spark, sf_dir):
+    flags, cans = _capstone_flags(spark, sf_dir)
     agg = flags.agg(
         F.count(F.lit(1)).alias("total"),
         F.count(F.when(F.col("f1"), 1)).alias("s1"),
@@ -956,6 +973,76 @@ _FUNNEL_REG["pipeline_curation_capstone"] = _FUNNEL_REG[
     fn=_FUNNEL_REG["pipeline_curation_capstone"].fn,
     oracle=_curation_capstone_oracle(),
     doc=_FUNNEL_REG["pipeline_curation_capstone"].doc,
+)
+
+
+def _capstone_card_oracle() -> str:
+    return f"""
+    WITH {_capstone_flags_ctes()},
+    surv AS (SELECT doc_id FROM flags
+             WHERE in1 AND in2 AND f1 AND f2 AND f3 AND f4 AND f5 AND f6),
+    labeled AS (
+      SELECT d.lang,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS ntok,
+             CASE WHEN {_H} % 100 < 80 THEN 'train'
+                  WHEN {_H} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d JOIN surv USING (doc_id))
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens
+    FROM labeled GROUP BY split, lang
+    """
+
+
+@query(
+    "pipeline_capstone_dataset_card",
+    None,  # oracle attached below (composes the capstone flag CTEs)
+    doc="the dataset card of the CAPSTONE SURVIVORS (r13 verdict task "
+    "7): the end-to-end demo now terminates in the artifact a "
+    "training run consumes — the corpus that cleared every capstone "
+    "stage (paragraph dedup, repeated-span gate, near-dup removal, "
+    "both decontamination passes, AND the cross-modality media "
+    "linkage) labeled with the deterministic 80/10/10 split and "
+    "summarized per (split, lang): doc counts and token totals. "
+    "Engine and oracle both compose the capstone's flag relation "
+    "verbatim (_capstone_flags / _capstone_flags_ctes — one "
+    "implementation, the report and the card cannot disagree about "
+    "who survived). Plan: the flags multi-join + one broadcast-sized "
+    "semi-join back onto documents + one (split, lang)-sized hash agg",
+)
+def pipeline_capstone_dataset_card(spark, sf_dir):
+    flags, _ = _capstone_flags(spark, sf_dir)
+    surv = flags.filter(
+        F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4") & F.col("f5") & F.col("f6")
+    ).select("doc_id")
+    docs = t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.join(surv, "doc_id")
+        .select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split("text", " ")).cast("long").alias("ntok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_FUNNEL_REG["pipeline_capstone_dataset_card"] = _FUNNEL_REG[
+    "pipeline_capstone_dataset_card"
+].__class__(
+    name="pipeline_capstone_dataset_card",
+    fn=_FUNNEL_REG["pipeline_capstone_dataset_card"].fn,
+    oracle=_capstone_card_oracle(),
+    doc=_FUNNEL_REG["pipeline_capstone_dataset_card"].doc,
 )
 
 
