@@ -133,6 +133,25 @@ HEADLINE = [
     "ann_ivfpq_maintenance",
     "dedup_incremental_paragraph",
     "dedup_video_fingerprint",
+    # round 14: the r13 tail the verdict asked to make visible —
+    # the cross-modality capstone (composes eight registered stage
+    # relations), video keep-one-per-cluster, the streaming suffix
+    # fold twin, and the bloom false-positive audit — plus this
+    # round's additions: incremental media dedup vs the persisted
+    # chunk index (image/audio/video — codec on the delta only),
+    # the suffix-store deletion lifecycle (two probes through
+    # tombstones), the bounded capped fuzzy join, and the capstone
+    # survivors' dataset card
+    "pipeline_curation_capstone",
+    "dedup_video_canonical",
+    "streaming_incremental_exact_substr",
+    "dedup_bloom_fpr_report",
+    "dedup_incremental_phash",
+    "dedup_incremental_audio",
+    "dedup_incremental_video",
+    "exact_substr_delete_then_probe",
+    "join_fuzzy_levenshtein_capped",
+    "pipeline_capstone_dataset_card",
 ]
 
 

@@ -99,7 +99,57 @@ PLAN: dict[str, tuple[list[str], str]] = {
     "dedup_bloom_membership": ([SF01, SF1, PROBE_DIR], "documents"),
     "dedup_incremental_exact_substr": ([SF01, SF1, PROBE_DIR], "documents"),
     "ann_ivfpq_maintenance": ([SF01, SF1, PROBE_DIR], "embeddings"),
+    # round 14 (r13 verdict task 4 + the new rows): the composed
+    # curation capstone and its survivor dataset card (both dominated
+    # by the exact-substr stage at the replica), the video canonical
+    # chain and the incremental media tiers (bounded 60-item media
+    # universe -> expect near-flat: codec work does not grow with the
+    # corpus), the suffix streaming fold twin (single-file probe dir:
+    # the readStream pathGlobFilter matches the FILE documents.parquet,
+    # and the replica's spark-written documents.parquet is a
+    # directory), the bloom FPR audit, the suffix-store deletion
+    # lifecycle (two probes through tombstones), and the capped fuzzy
+    # join (output bounded by n_sub_blocks*cap^2/2 -> the
+    # sub-quadratic proof the r13 verdict asked for; fit over the SF
+    # ladder since part grows with SF, not with the doc replica)
+    "pipeline_curation_capstone": ([SF01, SF1, PROBE_DIR], "documents"),
+    "pipeline_capstone_dataset_card": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_video_canonical": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_incremental_phash": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_incremental_audio": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_incremental_video": ([SF01, SF1, PROBE_DIR], "documents"),
+    "streaming_incremental_exact_substr": (
+        [SF01, SF1, "/tmp/chiv-probe-10x-onefile"],
+        "documents",
+    ),
+    "dedup_bloom_fpr_report": ([SF01, SF1, PROBE_DIR], "documents"),
+    "exact_substr_delete_then_probe": ([SF01, SF1, PROBE_DIR], "documents"),
+    "join_fuzzy_levenshtein_capped": ([SF001, SF01, SF1], "part"),
 }
+
+#: single-FILE variant of the 10x replica for streaming rows: their
+#: readStream uses pathGlobFilter="documents.parquet", which matches
+#: file names — the replica's directory-shaped documents.parquet
+#: would stream zero rows
+PROBE_FILE_DIR = "/tmp/chiv-probe-10x-onefile"
+
+
+def build_onefile_probe(spark) -> None:
+    import glob
+    import shutil
+
+    shutil.rmtree(PROBE_FILE_DIR, ignore_errors=True)
+    os.makedirs(PROBE_FILE_DIR)
+    staged = f"{PROBE_FILE_DIR}/_staged"
+    (
+        spark.read.parquet(f"{PROBE_DIR}/documents.parquet")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    part = glob.glob(f"{staged}/part-*.parquet")[0]
+    shutil.move(part, f"{PROBE_FILE_DIR}/documents.parquet")
+    shutil.rmtree(staged)
 
 # single-object archive sinks (executor-side formatting since r6):
 # wall vs row count at three decades, constant 10-column cells —
@@ -201,8 +251,13 @@ def main() -> None:
     do_archive = not sys.argv[1:] or "archive" in sys.argv[1:]
     spark = get_spark("fit-scaling")
     spark.sparkContext.setLogLevel("ERROR")
-    if any(PROBE_DIR in PLAN[n][0] for n in names):
+    needs_probe = any(
+        PROBE_DIR in PLAN[n][0] or PROBE_FILE_DIR in PLAN[n][0] for n in names
+    )
+    if needs_probe:
         build_replicas(spark, SF1, PROBE_DIR)
+    if any(PROBE_FILE_DIR in PLAN[n][0] for n in names):
+        build_onefile_probe(spark)
     rows = []
     for name in names:
         dirs, table = PLAN[name]
