@@ -24,7 +24,7 @@ floating point (k/16, inter/union) — equal across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from chiv_spark.functions.hashing import hash64
@@ -955,27 +955,37 @@ def paragraph_index(docs: DataFrame) -> DataFrame:
     return paragraph_chunks(docs).select("doc_id", "h", "site")
 
 
+def paragraph_rebuild_where(
+    joined: DataFrame, kept: Column, n_dropped_name: str = "n_dropped"
+) -> DataFrame:
+    """Per-doc rebuild of a chunk relation (doc_id, idx, c, …) joined
+    with whatever per-fingerprint verdict columns ``kept`` consults: a
+    chunk survives iff ``kept`` holds; each document's cleaned_text is
+    rebuilt from its kept blocks in order (a doc whose every chunk is
+    dropped still emits a row with empty cleaned_text — the rebuild is
+    an aggregation over ALL its chunks, never a filter). One per-doc
+    hash-agg; chunk text stays on the chunk side only."""
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias(n_dropped_name),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(kept, F.struct("idx", "c")))),
+                lambda s: s["c"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 def paragraph_rebuild(chunks: DataFrame, firsts: DataFrame) -> DataFrame:
     """Per-doc rebuild against a first-occurrence relation ``firsts``
     = (h, s0): a chunk survives iff its site IS the minimum site of
     its fingerprint; each document's cleaned_text is rebuilt from its
     kept blocks in order. One equi-join on the 8-byte fingerprint +
     one per-doc agg — chunk text stays on the chunk side only."""
-    kept = F.col("site") == F.col("s0")
-    return (
-        chunks.join(firsts, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_chunks"),
-            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_dropped"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.when(kept, F.struct("idx", "c")))),
-                    lambda s: s["c"],
-                ),
-                " ",
-            ).alias("cleaned_text"),
-        )
+    return paragraph_rebuild_where(
+        chunks.join(firsts, "h"), F.col("site") == F.col("s0")
     )
 
 

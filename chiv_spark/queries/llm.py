@@ -204,6 +204,53 @@ def dedup_paragraph_top_repeats(spark, sf_dir):
     )
 
 
+#: boilerplate document-frequency threshold: a chunk carried by this
+#: many DISTINCT documents is boilerplate and every occurrence is
+#: dropped (C4's "any three-sentence span occurring more than once"
+#: rule, Raffel et al. 2020 §2.2, at the paragraph tier's chunk
+#: granularity; RefinedWeb applies the same df-threshold to lines).
+#: 3 bites at both test SFs: 15 of 2798 distinct chunks at sf0.01,
+#: 94 of 27559 at sf0.1
+_BP_DF = 3
+
+
+@query(
+    "dedup_paragraph_boilerplate",
+    f"""
+    WITH {_PARA_CTES},
+    bp AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd >= {_BP_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           COALESCE(string_agg(CASE WHEN nd < {_BP_DF} THEN c END, ' '
+                               ORDER BY idx), '') AS cleaned_text
+    FROM hashed JOIN bp USING (h)
+    GROUP BY doc_id
+    """,
+    doc="BOILERPLATE removal, the df-threshold companion to "
+    "dedup_paragraph_exact with opposite survival semantics: exact "
+    "dedup keeps the FIRST occurrence of a repeated chunk, the "
+    "boilerplate pass drops EVERY occurrence of a chunk carried by "
+    ">= 3 distinct documents (cookie banners, navigation, legal "
+    "footers — content that is noise wherever it appears; C4's "
+    "repeated-span rule / RefinedWeb's line-frequency filter). "
+    "Shares the chunking/fingerprint CTEs verbatim with the "
+    "paragraph tier. Plan: one map-side-combining hash-agg on the "
+    "8-byte fingerprint (COUNT DISTINCT doc_id partials), one "
+    "equi-join back, one per-doc rebuild agg — all linear, chunk "
+    "text never a shuffle key; a doc whose every chunk is "
+    "boilerplate still emits its row (empty cleaned_text), because "
+    "the rebuild aggregates over all chunks rather than filtering",
+)
+def dedup_paragraph_boilerplate(spark, sf_dir):
+    chunks = dedup.paragraph_chunks(t(spark, sf_dir, "documents"))
+    bp = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return dedup.paragraph_rebuild_where(
+        chunks.join(bp, "h"), F.col("nd") < _BP_DF, "n_boilerplate"
+    )
+
+
 #: bloom filter geometry — M bits / K md5-60bit seeded hashes; both
 #: literals are shared verbatim with the oracle so the bit positions
 #: replay exactly

@@ -791,3 +791,49 @@ class TestNeardupDecontamination:
 
         plan = physical_plan(self._pairs(spark, [(1, self.BASE)]))
         assert "BroadcastHashJoin" in plan
+
+
+class TestParagraphBoilerplate:
+    """dedup_paragraph_boilerplate semantics: a chunk carried by >= 3
+    DISTINCT docs is dropped from EVERY document (including its first
+    occurrence — the opposite survival rule from paragraph exact
+    dedup), df counts documents not occurrences, and a doc made
+    entirely of boilerplate still emits a row."""
+
+    W = dedup.PARA_W
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _rebuilt(self, spark, rows, df_threshold=3):
+        from pyspark.sql import functions as F
+
+        chunks = dedup.paragraph_chunks(self._docs(spark, rows))
+        bp = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+        out = dedup.paragraph_rebuild_where(
+            chunks.join(bp, "h"), F.col("nd") < df_threshold, "n_boilerplate"
+        )
+        return {r.doc_id: r for r in out.collect()}
+
+    def test_drops_all_occurrences_including_first(self, spark):
+        boiler = " ".join(f"b{i}" for i in range(self.W))
+        uniq = [" ".join(f"u{d}w{i}" for i in range(self.W)) for d in range(3)]
+        rows = [(d, f"{boiler} {uniq[d]}") for d in range(3)]
+        got = self._rebuilt(spark, rows)
+        for d in range(3):
+            assert got[d].n_boilerplate == 1
+            assert got[d].cleaned_text == uniq[d]
+
+    def test_df_counts_documents_not_occurrences(self, spark):
+        # one doc repeating a chunk 3x: df = 1, nothing is boilerplate
+        c = " ".join(f"r{i}" for i in range(self.W))
+        got = self._rebuilt(spark, [(1, f"{c} {c} {c}")])
+        assert got[1].n_boilerplate == 0
+        assert got[1].n_chunks == 3
+
+    def test_all_boilerplate_doc_still_emits_row(self, spark):
+        boiler = " ".join(f"b{i}" for i in range(self.W))
+        rows = [(d, boiler) for d in range(3)]
+        got = self._rebuilt(spark, rows)
+        assert set(got) == {0, 1, 2}
+        assert all(r.cleaned_text == "" for r in got.values())
