@@ -611,3 +611,151 @@ def quality_dp_noisy_counts(spark, sf_dir):
         F.lit(1_000_000).cast("long").alias("epsilon_micro"),
         det_round(F.col("n").cast("double") + noise).alias("noisy_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# quality_domain_report / quality_domain_gate — per-domain curation
+# (RefinedWeb/C4 drop whole domains whose aggregate quality is poor:
+# content farms, boilerplate mills, mirror hosts). `source` is the
+# corpus's domain key. The verdict is RELATIVE — a source is kept iff
+# its per-doc keep rate is at least the corpus-wide keep rate AND its
+# exact-duplicate rate is <= 10% — compared by INTEGER
+# cross-multiplication (n_keep * total_docs >= total_keep * n_docs),
+# so the gate is bit-exact in both engines with no float division.
+
+from chiv_spark.operators.text import fingerprints as _fps  # noqa: E402
+from chiv_spark.queries.base import REGISTRY as _QREG  # noqa: E402
+
+#: max tolerated share of exact-duplicate docs per source (rational)
+_DOM_DUP_NUM, _DOM_DUP_DEN = 1, 10
+
+_NORM_FP = (
+    "(('0x' || substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    "), 1, 15))::BIGINT)"
+)
+
+_DOMAIN_REPORT_ORACLE = f"""
+    WITH q AS ({{quality}}),
+    fp AS (SELECT doc_id, {_NORM_FP} AS f FROM documents),
+    dupf AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) >= 2),
+    per AS (
+      SELECT d.source, q.keep,
+             (fp.f IN (SELECT f FROM dupf)) AS is_dup
+      FROM documents d JOIN q USING (doc_id) JOIN fp USING (doc_id)),
+    dom AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_keep,
+             CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup
+      FROM per GROUP BY source),
+    tot AS (SELECT SUM(n_docs) AS td, SUM(n_keep) AS tk FROM dom)
+    SELECT source, n_docs, n_keep, n_dup,
+           {duckdb_det_round('n_keep / CAST(n_docs AS DOUBLE)')} AS keep_frac,
+           {duckdb_det_round('n_dup / CAST(n_docs AS DOUBLE)')} AS dup_rate,
+           (n_keep * td >= tk * n_docs
+            AND n_dup * {_DOM_DUP_DEN} <= n_docs * {_DOM_DUP_NUM}) AS kept
+    FROM dom, tot
+"""
+
+
+def _domain_report(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    from chiv_spark.queries.base import REGISTRY
+
+    verdict = REGISTRY["text_quality_filter"].fn(spark, sf_dir).select(
+        "doc_id", "keep"
+    )
+    fp = _fps(docs)
+    dupf = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter(F.col("nf") >= 2)
+        .select("fingerprint")
+    )
+    per = (
+        docs.select("doc_id", "source")
+        .join(verdict, "doc_id")
+        .join(
+            fp.join(F.broadcast(dupf), "fingerprint", "left_semi")
+            .select("doc_id", F.lit(True).alias("is_dup")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
+    )
+    dom = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("keep"), 1)).cast("long").alias("n_keep"),
+        F.count(F.when(F.col("is_dup"), 1)).cast("long").alias("n_dup"),
+    )
+    tot = dom.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_keep").alias("tk")
+    )
+    kept = (F.col("n_keep") * F.col("td") >= F.col("tk") * F.col("n_docs")) & (
+        F.col("n_dup") * _DOM_DUP_DEN <= F.col("n_docs") * _DOM_DUP_NUM
+    )
+    return dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_keep",
+        "n_dup",
+        det_round(F.col("n_keep") / F.col("n_docs").cast("double")).alias("keep_frac"),
+        det_round(F.col("n_dup") / F.col("n_docs").cast("double")).alias("dup_rate"),
+        kept.alias("kept"),
+    )
+
+
+@query(
+    "quality_domain_report",
+    _DOMAIN_REPORT_ORACLE.format(quality=_QREG["text_quality_filter"].oracle),
+    doc="PER-DOMAIN curation report (RefinedWeb drops whole domains, "
+    "not just documents — content farms and mirror hosts fail in "
+    "aggregate even when single pages pass): per source, doc count, "
+    "Gopher-keep count (composing the registered "
+    "text_quality_filter oracle verbatim), exact-duplicate count "
+    "(normalized 60-bit fingerprint seen in >= 2 docs), and a "
+    "RELATIVE verdict — kept iff the source's keep rate >= the "
+    "corpus-wide keep rate (INTEGER cross-multiplication, no float "
+    "compare) and its dup rate <= 10%. Plan: the quality verdict's "
+    "two hash-aggs, one fingerprint hash-agg, two doc-level joins "
+    "(dup set is vocabulary-sized -> broadcast), one domain-sized "
+    "agg + a 1-row totals broadcast. Domain cardinality << corpus "
+    "at any scale, so every post-doc-level relation is tiny",
+)
+def quality_domain_report(spark, sf_dir):
+    return _domain_report(spark, sf_dir)
+
+
+@query(
+    "quality_domain_gate",
+    f"""
+    WITH rep AS ({_DOMAIN_REPORT_ORACLE.format(quality=_QREG["text_quality_filter"].oracle)}),
+    q AS ({_QREG["text_quality_filter"].oracle})
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    JOIN rep ON d.source = rep.source AND rep.kept
+    JOIN q ON q.doc_id = d.doc_id AND q.keep
+    """,
+    doc="the GATE the report feeds: a document survives iff its "
+    "domain's aggregate verdict is kept AND its own Gopher verdict "
+    "is keep — RefinedWeb's two-level filter as one pass. The "
+    "domain report is domain-cardinality-sized, so the gate join is "
+    "a BROADCAST against the corpus scan; the per-doc verdict join "
+    "is the quality tier's existing linear shape. Composes both "
+    "registered oracles verbatim",
+)
+def quality_domain_gate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    from chiv_spark.queries.base import REGISTRY
+
+    rep = _domain_report(spark, sf_dir).filter(F.col("kept")).select("source")
+    verdict = (
+        REGISTRY["text_quality_filter"].fn(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(rep), "source")
+        .join(verdict, "doc_id")
+        .select("doc_id", "source", "lang")
+    )

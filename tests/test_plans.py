@@ -736,3 +736,21 @@ class TestJoinAudit:
             if join_ops.get(n, {}).get("BroadcastNestedLoopJoin", 0) == 0
         ]
         assert not stale, f"stale BNLJ_OK entries: {stale}"
+
+
+class TestDomainGatePlan:
+    """quality_domain_gate: the domain verdict (domain-cardinality-
+    sized) must reach the corpus scan as a BROADCAST join, and the
+    relative keep gate must actually bite (some source dropped, some
+    kept) — a gate that keeps everything tests nothing."""
+
+    def test_broadcast_and_bites(self, spark):
+        from chiv_spark.plans import physical_plan
+        from chiv_spark.queries.base import REGISTRY
+
+        rep = REGISTRY["quality_domain_report"].fn(spark, SF)
+        rows = rep.collect()
+        kept = {r.source for r in rows if r.kept}
+        assert 0 < len(kept) < len(rows)
+        gate = REGISTRY["quality_domain_gate"].fn(spark, SF)
+        assert "BroadcastHashJoin" in physical_plan(gate)
