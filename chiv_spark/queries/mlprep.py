@@ -2238,3 +2238,73 @@ def mlprep_dataset_card(spark, sf_dir):
         .select(F.col("lang").alias("top_lang"))
     )
     return base.crossJoin(F.broadcast(dup)).crossJoin(F.broadcast(top))
+
+
+# --------------------------------------------------------------------------
+# mlprep_shard_manifest — the artifact a training loader validates
+# against before consuming the shuffled corpus: per shard (the SAME
+# fate-hash shards mlprep_global_shuffle orders within), document and
+# token counts, an ORDER-FREE xor checksum of the shard's content
+# fingerprints (any dropped/duplicated/corrupted doc flips it; xor is
+# commutative so the checksum is identical at any parallelism), and a
+# balance audit vs the ideal equal-token split. One corpus-linear
+# projection + one shards-sized hash agg + a 1-row totals broadcast.
+
+
+@query(
+    "mlprep_shard_manifest",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST({_SHUF_H} % {_SHUF_SHARDS} AS INT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (('0x' || substring(md5(text), 1, 15))::BIGINT) AS h_text
+      FROM documents),
+    shards AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(bit_xor(h_text) AS BIGINT) AS content_xor
+      FROM keyed GROUP BY shard),
+    tot AS (SELECT SUM(n_tokens) AS tt FROM shards)
+    SELECT shard, n_docs, n_tokens, content_xor,
+           {duckdb_det_round(f'n_tokens * {_SHUF_SHARDS} / CAST(tt AS DOUBLE)')}
+             AS balance_ratio
+    FROM shards, tot
+    """,
+    doc="training-shard MANIFEST over the global-shuffle shards "
+    "(shard = fate-hash mod n_shards, shared verbatim with "
+    "mlprep_global_shuffle so the manifest describes exactly the "
+    "shards the ordering row emits): per shard, doc count, token "
+    "count, an order-free xor-fold checksum of the 60-bit content "
+    "fingerprints (commutative -> identical at any parallelism; a "
+    "loader re-xors what it read and compares), and balance_ratio "
+    "vs the ideal equal-token split (hash sharding balances by the "
+    "law of large numbers; the audit quantifies it). Plan: one "
+    "linear narrow projection, one map-side-combining hash agg "
+    "bounded by n_shards rows, one 1-row totals broadcast — no "
+    "sort, no window, no corpus shuffle beyond the n_shards-key agg",
+)
+def mlprep_shard_manifest(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        (h % _SHUF_SHARDS).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        hash64(F.col("text")).alias("h_text"),
+    )
+    shards = keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("bit_xor(h_text)").cast("long").alias("content_xor"),
+    )
+    tot = shards.agg(F.sum("n_tokens").alias("tt"))
+    return shards.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "content_xor",
+        det_round(
+            F.col("n_tokens") * _SHUF_SHARDS / F.col("tt").cast("double")
+        ).alias("balance_ratio"),
+    )
