@@ -562,6 +562,61 @@ def text_heavy_hitters(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# streaming_heavy_hitters — the candidate fold distributed over
+# microbatches (streaming.dedup_index.heavy_hitters_stream): pass 1's
+# per-partition Misra-Gries summaries run per arriving batch and fold
+# into a persisted candidate store; pass 2 exact-counts the
+# accumulated candidates over the corpus. Soundness across batches:
+# freq > n/width corpus-wide implies freq_b > n_b/width in >= 1 batch
+# (averaging), where MG certifies retention — so the candidate union
+# stays a superset and the final output is EXACT, sharing the batch
+# twin's oracle verbatim.
+
+
+@query(
+    "streaming_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    cnt AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w)
+    SELECT w, CAST(freq AS BIGINT) AS freq
+    FROM cnt, tot WHERE freq > n / {_MG_WIDTH}.0
+    """,
+    doc="streaming twin of text_heavy_hitters: each microbatch's "
+    "Misra-Gries candidate summaries (<= width rows per partition) "
+    "fold into a persisted generational candidate store — bounded "
+    "state per batch, replay-idempotent because the store is a set "
+    "of tokens under dynamic partition overwrite — and the final "
+    "pass exact-counts ONLY the accumulated candidates, so the "
+    "output is exact regardless of sketch behavior and the batch "
+    "oracle is shared verbatim (availableNow = one batch sees all "
+    "arrivals). The cross-batch superset argument lives on "
+    "heavy_hitters_stream's docstring",
+)
+def streaming_heavy_hitters(spark, sf_dir):
+    import tempfile
+
+    from chiv_spark.streaming.dedup_index import heavy_hitters_stream
+
+    docs = t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    work = tempfile.mkdtemp(prefix="chiv-hhstream-")
+    return heavy_hitters_stream(
+        spark,
+        docs,
+        stream.select("text"),
+        work,
+        _MG_WIDTH,
+        _mg_summaries(_MG_WIDTH),
+    )
+
+
+# --------------------------------------------------------------------------
 # text_freq_cms — Count-Min sketch as a native DataFrame operator
 
 _CMS_DEPTH = 4

@@ -626,3 +626,78 @@ def bloom_membership_stream(
     return spark.read.schema(f"{schema}, src_batch bigint").parquet(
         out_dir
     ).select(*cols)
+
+
+def heavy_hitters_stream(
+    spark: SparkSession,
+    corpus: DataFrame,
+    arrivals_stream: DataFrame,
+    work_dir: str,
+    width: int,
+    summaries_fn,
+    delta_predicate: Column | None = None,
+) -> DataFrame:
+    """Streaming CANDIDATE fold for exact heavy hitters — the
+    two-pass pattern of queries.mining.text_heavy_hitters with pass 1
+    distributed over microbatches: each arriving batch runs the
+    per-partition Misra-Gries summaries (``summaries_fn``, <= width
+    candidate rows per partition) and folds the candidate tokens into
+    a persisted generational store; after the stream drains, pass 2
+    exact-counts ONLY the accumulated candidates over ``corpus`` and
+    applies the n/width threshold on TRUE counts.
+
+    Soundness across batches: freq(w) > n/width corpus-wide implies
+    freq_b(w) > n_b/width in at least one batch (averaging over
+    batches), and Misra-Gries retains any such token in >= 1
+    partition summary of that batch — so the union of all batches'
+    candidates is a certified superset of the corpus heavy hitters,
+    and the exact pass makes the final output EXACT regardless of
+    sketch behavior (replayed or reordered batches only re-add
+    candidate tokens: the store is a set, replay is idempotent).
+    State is bounded by width x partitions rows per batch, never
+    corpus-sized. Under availableNow the batch twin's DuckDB oracle
+    is shared verbatim."""
+    work = work_dir.rstrip("/")
+    cand_dir = f"{work}/candidates"
+    ckpt_dir = f"{work}/ckpt"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df if delta_predicate is None else batch_df.filter(delta_predicate)
+        )
+        (
+            delta.select("text")
+            .mapInPandas(summaries_fn, "w string")
+            .distinct()
+            .withColumn("src_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch")
+            .parquet(cand_dir)
+        )
+
+    q = (
+        arrivals_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not _dir_exists(spark, cand_dir):
+        return spark.createDataFrame([], "w string, freq bigint")
+    cand = (
+        spark.read.schema("w string, src_batch bigint")
+        .parquet(cand_dir)
+        .select("w")
+        .distinct()
+    )
+    toks = corpus.select(F.explode(F.split("text", " ")).alias("w"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .join(F.broadcast(total))
+        .filter(F.col("freq") > F.col("n") / float(width))
+        .select("w", "freq")
+    )

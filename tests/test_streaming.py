@@ -1592,3 +1592,96 @@ class TestMaintainCodes:
         snap = self._cell_bytes(codes_dir)
         assert maintain_codes(spark, codes_dir, art, emb, dim=self.DIM, m=self.M) == []
         assert self._cell_bytes(codes_dir) == snap
+
+
+class TestHeavyHittersStream:
+    def test_candidates_fold_across_batches(self, spark, tmp_path):
+        """Two shard files under maxFilesPerTrigger=1 -> two
+        microbatches. Token 'hot' is heavy ONLY corpus-wide (spread
+        over both batches); each batch's MG summaries still retain it
+        (freq_b > n_b/width in both), and tokens heavy in just one
+        batch must also survive the fold. The final exact pass over
+        the full corpus makes the output exact — equal to the batch
+        formulation computed directly."""
+        from chiv_spark.queries.mining import _MG_WIDTH, _mg_summaries
+        from chiv_spark.streaming.dedup_index import heavy_hitters_stream
+
+        # width=4 forces real MG decrements inside each batch
+        width = 4
+        b0 = "hot hot alpha beta gamma delta one two three four"
+        b1 = "hot hot epsi zeta eta theta five six seven eight"
+        schema = "text string"
+        shards = tmp_path / "shards"
+        spark.createDataFrame([(b0,)], schema).coalesce(1).write.parquet(
+            str(shards / "part0")
+        )
+        spark.createDataFrame([(b1,)], schema).coalesce(1).write.parquet(
+            str(shards / "part1")
+        )
+        corpus = spark.createDataFrame([(b0,), (b1,)], schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+        out = heavy_hitters_stream(
+            spark,
+            corpus,
+            stream,
+            str(tmp_path / "work"),
+            width,
+            _mg_summaries(width),
+        )
+        got = {(r.w, r.freq) for r in out.collect()}
+        # oracle: the exact batch formulation over the same corpus
+        from pyspark.sql import functions as F
+
+        toks = corpus.select(F.explode(F.split("text", " ")).alias("w"))
+        n = toks.count()
+        exact = {
+            (r.w, r.freq)
+            for r in toks.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .filter(F.col("freq") > n / float(width))
+            .collect()
+        }
+        assert got == exact
+
+    def test_cross_batch_heavy_token_survives(self, spark, tmp_path):
+        """A corpus-heavy token spread over three batches: 'hh' is
+        heavy within each batch (freq_b > n_b/width, so MG certifies
+        retention per batch) and corpus-heavy overall; the candidate
+        store must carry it through all three generations and the
+        final count must be its TRUE corpus count (6) — pinning that
+        counts come from the corpus scan, not retained sketch
+        counters (any single batch's retained counter is <= 2)."""
+        from chiv_spark.queries.mining import _mg_summaries
+        from chiv_spark.streaming.dedup_index import heavy_hitters_stream
+
+        width = 2
+        batches = [f"hh hh filler{i}" for i in range(3)]
+        schema = "text string"
+        shards = tmp_path / "shards"
+        for i, b in enumerate(batches):
+            spark.createDataFrame([(b,)], schema).coalesce(1).write.parquet(
+                str(shards / f"part{i}")
+            )
+        corpus = spark.createDataFrame([(b,) for b in batches], schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+        out = heavy_hitters_stream(
+            spark,
+            corpus,
+            stream,
+            str(tmp_path / "work"),
+            width,
+            _mg_summaries(width),
+        )
+        # n=9 tokens, threshold > 4.5: exactly {('hh', 6)}
+        assert {(r.w, r.freq) for r in out.collect()} == {("hh", 6)}
+        cand = spark.read.parquet(str(tmp_path / "work" / "candidates"))
+        assert "hh" in {r.w for r in cand.select("w").distinct().collect()}
+        assert cand.select("src_batch").distinct().count() == 3
