@@ -989,6 +989,32 @@ def paragraph_rebuild(chunks: DataFrame, firsts: DataFrame) -> DataFrame:
     )
 
 
+def incremental_boilerplate_rebuild(
+    delta_chunks: DataFrame, index: DataFrame, df_threshold: int
+) -> DataFrame:
+    """Incremental BOILERPLATE removal: rebuild the ARRIVING shard's
+    documents against the corpus-wide chunk document-frequency,
+    computed as countDistinct(doc_id) over (matching index rows ∪
+    matching delta rows) — the persisted paragraph index carries
+    (doc_id, h, site) for every base occurrence, so that union's df
+    equals the full-recompute global df for every fingerprint the
+    delta touches. A delta chunk survives iff its df stays below
+    ``df_threshold`` (drop-ALL-occurrences semantics — the opposite
+    survival rule from incremental_paragraph_rebuild's min-site).
+    Only the delta is chunked; the corpus contributes fingerprint
+    rows only, and the bucketed index join prunes to the pb
+    partitions the delta's fingerprints touch."""
+    combined = delta_chunks.select("h", "doc_id").unionByName(
+        index.select("h", "doc_id")
+    )
+    df = combined.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return paragraph_rebuild_where(
+        delta_chunks.join(df, "h"),
+        F.col("nd") < df_threshold,
+        "n_boilerplate",
+    )
+
+
 def incremental_paragraph_rebuild(
     delta_chunks: DataFrame, index: DataFrame
 ) -> DataFrame:

@@ -822,6 +822,96 @@ def streaming_incremental_paragraph(spark, sf_dir):
     )
 
 
+_INC_BP_ORACLE = f"""
+    WITH {_PARA_CTES},
+    bp AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h),
+    fate AS (SELECT doc_id, {_INC_FATE} AS f FROM documents)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd >= {_BP_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           COALESCE(string_agg(CASE WHEN nd < {_BP_DF} THEN c END, ' '
+                               ORDER BY idx), '') AS cleaned_text
+    FROM hashed JOIN bp USING (h) JOIN fate USING (doc_id)
+    WHERE fate.f = 0
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "dedup_incremental_boilerplate",
+    _INC_BP_ORACLE,
+    doc="incremental BOILERPLATE removal — the df-threshold tier's "
+    "arrival path: the 1-in-10 fate slice plays the arriving shard; "
+    "only it is chunked, and each chunk's corpus-wide document "
+    "frequency is countDistinct(doc_id) over (persisted paragraph "
+    "index ∪ delta occurrences) — the index carries every base "
+    "occurrence's doc_id, so that union df EQUALS the full-recompute "
+    "global df for every fingerprint the delta touches (the oracle "
+    "identity; oracle = full boilerplate recompute restricted to the "
+    "delta). Drop-ALL-occurrences survival, per-doc rebuild from the "
+    "delta's own chunk payload. Plan: one equi-join on the 8-byte "
+    "fingerprint against the bucketed index (pb-pruned in the "
+    "streaming layout), one map-side countDistinct agg, one per-doc "
+    "rebuild agg — linear, no windows",
+)
+def dedup_incremental_boilerplate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    fate = hash64(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10
+    delta = docs.filter(fate == 0)
+    base = docs.filter(fate != 0)
+    index = dedup.paragraph_index(base)
+    return dedup.incremental_boilerplate_rebuild(
+        dedup.paragraph_chunks(delta), index, _BP_DF
+    )
+
+
+@query(
+    "streaming_incremental_boilerplate",
+    _INC_BP_ORACLE,
+    doc="streaming twin of dedup_incremental_boilerplate over the "
+    "shared foreachBatch fold harness — the SAME persisted "
+    "pb-bucketed (doc_id, h, site) paragraph index the min-site "
+    "streaming tier folds into (one index, two verdict rules): each "
+    "microbatch's chunks compute df against the pruned index plus "
+    "their own occurrences, rebuild, land partitioned by src_batch "
+    "(dynamic-overwrite idempotent), then fold fingerprints only "
+    "(fold_cols — chunk text never persists). Under availableNow the "
+    "single batch sees the whole delta slice, so the relation equals "
+    "the batch twin's and the oracle is shared verbatim",
+)
+def streaming_incremental_boilerplate(spark, sf_dir):
+    from chiv_spark.streaming.dedup_index import index_fold_stream
+
+    docs = t(spark, sf_dir, "documents")
+    fate = hash64(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 10
+    base = docs.filter(fate != 0)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    work = tempfile.mkdtemp(prefix="chiv-incbp-")
+    return index_fold_stream(
+        spark,
+        base,
+        stream,
+        work,
+        index_builder=dedup.paragraph_chunks,
+        pairs_builder=lambda d, i: dedup.incremental_boilerplate_rebuild(
+            d, i, _BP_DF
+        ),
+        key_col="h",
+        pair_cols=["doc_id", "n_chunks", "n_boilerplate", "cleaned_text"],
+        pair_schema=(
+            "doc_id bigint, n_chunks bigint, n_boilerplate bigint, "
+            "cleaned_text string"
+        ),
+        delta_predicate=(fate == 0),
+        fold_cols=["doc_id", "h", "site"],
+    )
+
+
 @query(
     "dedup_simhash",
     """

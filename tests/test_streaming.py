@@ -1685,3 +1685,62 @@ class TestHeavyHittersStream:
         cand = spark.read.parquet(str(tmp_path / "work" / "candidates"))
         assert "hh" in {r.w for r in cand.select("w").distinct().collect()}
         assert cand.select("src_batch").distinct().count() == 3
+
+
+class TestIncrementalBoilerplateStream:
+    def test_df_accumulates_across_batches(self, spark, tmp_path):
+        """Chunk X sits in the base corpus (df 1). It arrives again in
+        batch A (global df 2 -> below threshold 3, survives) and again
+        in batch B (df now 3 -> boilerplate, dropped). The B-time
+        verdict requires batch A's fingerprints to have FOLDED into
+        the persisted index — and batch A's already-emitted row keeps
+        its arrival-time verdict (the incremental tiers' documented
+        arrival-order semantics; a retroactive pass is the batch
+        dedup_paragraph_boilerplate row)."""
+        from pyspark.sql import functions as F
+
+        from chiv_spark.operators import dedup
+        from chiv_spark.streaming.dedup_index import index_fold_stream
+
+        w = dedup.PARA_W
+        x = " ".join(f"x{i}" for i in range(w))
+        ua = " ".join(f"a{i}" for i in range(w))
+        ub = " ".join(f"b{i}" for i in range(w))
+        schema = "doc_id long, text string"
+        base = spark.createDataFrame([(1, x)], schema)
+        shards = tmp_path / "shards"
+        spark.createDataFrame([(10, f"{x} {ua}")], schema).coalesce(1).write.parquet(
+            str(shards / "part0")
+        )
+        spark.createDataFrame([(20, f"{x} {ub}")], schema).coalesce(1).write.parquet(
+            str(shards / "part1")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+        out = index_fold_stream(
+            spark,
+            base,
+            stream,
+            str(tmp_path / "work"),
+            index_builder=dedup.paragraph_chunks,
+            pairs_builder=lambda d, i: dedup.incremental_boilerplate_rebuild(d, i, 3),
+            key_col="h",
+            pair_cols=["doc_id", "n_chunks", "n_boilerplate", "cleaned_text"],
+            pair_schema=(
+                "doc_id bigint, n_chunks bigint, n_boilerplate bigint, "
+                "cleaned_text string"
+            ),
+            fold_cols=["doc_id", "h", "site"],
+        )
+        got = {r.doc_id: r for r in out.collect()}
+        # file order maps to batch order under maxFilesPerTrigger=1,
+        # but either order leaves exactly one of the two docs seeing
+        # df=2 (keeps x) and the other df=3 (drops it)
+        kept_x = [d for d in (10, 20) if x in got[d].cleaned_text]
+        dropped_x = [d for d in (10, 20) if got[d].n_boilerplate == 1]
+        assert len(kept_x) == 1 and len(dropped_x) == 1
+        assert kept_x != dropped_x
+        assert all(got[d].n_chunks == 2 for d in (10, 20))
