@@ -152,6 +152,15 @@ HEADLINE = [
     "exact_substr_delete_then_probe",
     "join_fuzzy_levenshtein_capped",
     "pipeline_capstone_dataset_card",
+    # round 14, second batch: the curation additions beyond the r13
+    # verdict list — df-threshold boilerplate removal (+ its
+    # incremental twin against the paragraph index), the two-level
+    # domain quality gate, the training-shard manifest, and the
+    # streaming heavy-hitters candidate fold's static-corpus shape
+    "dedup_paragraph_boilerplate",
+    "dedup_incremental_boilerplate",
+    "quality_domain_gate",
+    "mlprep_shard_manifest",
 ]
 
 

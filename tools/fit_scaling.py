@@ -125,6 +125,23 @@ PLAN: dict[str, tuple[list[str], str]] = {
     "dedup_bloom_fpr_report": ([SF01, SF1, PROBE_DIR], "documents"),
     "exact_substr_delete_then_probe": ([SF01, SF1, PROBE_DIR], "documents"),
     "join_fuzzy_levenshtein_capped": ([SF001, SF01, SF1], "part"),
+    # round 14, second batch: df-threshold boilerplate removal (full
+    # + incremental-vs-index — the 10x replica is adversarial: every
+    # variant group multiplies chunk document frequencies, so far
+    # more chunks cross the df>=3 threshold), the two-level domain
+    # gate (two corpus-linear verdict passes + domain-sized
+    # broadcasts), the training-shard manifest (one linear
+    # projection + a 32-key agg), and the streaming heavy-hitters
+    # candidate fold (single-file probe dir, same readStream
+    # pathGlobFilter constraint as the suffix fold twin)
+    "dedup_paragraph_boilerplate": ([SF01, SF1, PROBE_DIR], "documents"),
+    "dedup_incremental_boilerplate": ([SF01, SF1, PROBE_DIR], "documents"),
+    "quality_domain_gate": ([SF01, SF1, PROBE_DIR], "documents"),
+    "mlprep_shard_manifest": ([SF01, SF1, PROBE_DIR], "documents"),
+    "streaming_heavy_hitters": (
+        [SF01, SF1, "/tmp/chiv-probe-10x-onefile"],
+        "documents",
+    ),
 }
 
 #: single-FILE variant of the 10x replica for streaming rows: their
