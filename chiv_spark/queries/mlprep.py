@@ -2308,3 +2308,86 @@ def mlprep_shard_manifest(spark, sf_dir):
             F.col("n_tokens") * _SHUF_SHARDS / F.col("tt").cast("double")
         ).alias("balance_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# mlprep_snapshot_diff — dataset-version reconciliation: what changed
+# between two corpus snapshots (the audit a reproducibility review
+# runs before re-training on "the same" dataset). Snapshot B is
+# synthesized from the corpus by three independent stable-hash fates
+# (1-in-20 deleted, 1-in-10 text-revised, 1-in-25 re-ingested under a
+# shifted id as genuinely new docs), so both engines see identical
+# snapshots and every status class is populated at both test SFs.
+
+_SNAP_DEL = "((('0x' || substring(md5('del:' || doc_id::VARCHAR), 1, 15))::BIGINT) % 20)"
+_SNAP_MOD = "((('0x' || substring(md5('mod:' || doc_id::VARCHAR), 1, 15))::BIGINT) % 10)"
+_SNAP_ADD = "((('0x' || substring(md5('add:' || doc_id::VARCHAR), 1, 15))::BIGINT) % 25)"
+
+
+@query(
+    "mlprep_snapshot_diff",
+    f"""
+    WITH a AS (
+      SELECT doc_id, (('0x' || substring(md5(text), 1, 15))::BIGINT) AS fp
+      FROM documents),
+    b_raw AS (
+      SELECT doc_id,
+             CASE WHEN {_SNAP_MOD} = 0 THEN text || ' rev2' ELSE text END AS text
+      FROM documents WHERE {_SNAP_DEL} <> 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text
+      FROM documents WHERE {_SNAP_ADD} = 0),
+    b AS (
+      SELECT doc_id, (('0x' || substring(md5(text), 1, 15))::BIGINT) AS fp
+      FROM b_raw)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.fp <> b.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+    doc="corpus SNAPSHOT DIFF — the dataset-version reconciliation a "
+    "reproducibility audit runs before re-training: each snapshot "
+    "reduced to (doc_id, 60-bit content fingerprint), one full-outer "
+    "equi-join on doc_id, status from null-sides and fingerprint "
+    "compare (added / removed / changed / unchanged). Snapshot B is "
+    "synthesized by stable-hash fates (delete 1-in-20, revise "
+    "1-in-10, ingest 1-in-25 under shifted ids) so every class is "
+    "populated and both engines see identical inputs. Plan: two "
+    "linear fingerprint projections + ONE shuffle on doc_id (the "
+    "raw text never shuffles — fingerprints only); at 100 TB both "
+    "snapshots bucket by doc_id and the join is co-located, zero "
+    "exchange",
+)
+def mlprep_snapshot_diff(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+
+    def _fate(tag):
+        return hash64(F.concat(F.lit(tag), F.col("doc_id").cast("string")))
+
+    a = docs.select("doc_id", hash64(F.col("text")).alias("fp"))
+    b_kept = docs.filter(_fate("del:") % 20 != 0).select(
+        "doc_id",
+        F.when(
+            _fate("mod:") % 10 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b_new = docs.filter(_fate("add:") % 25 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh")).alias("text"),
+    )
+    b = b_kept.unionByName(b_new).select(
+        "doc_id", hash64(F.col("text")).alias("fp")
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    return aa.join(bb, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
