@@ -161,6 +161,7 @@ HEADLINE = [
     "dedup_incremental_boilerplate",
     "quality_domain_gate",
     "mlprep_shard_manifest",
+    "mlprep_snapshot_diff",
 ]
 
 

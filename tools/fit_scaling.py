@@ -138,6 +138,7 @@ PLAN: dict[str, tuple[list[str], str]] = {
     "dedup_incremental_boilerplate": ([SF01, SF1, PROBE_DIR], "documents"),
     "quality_domain_gate": ([SF01, SF1, PROBE_DIR], "documents"),
     "mlprep_shard_manifest": ([SF01, SF1, PROBE_DIR], "documents"),
+    "mlprep_snapshot_diff": ([SF01, SF1, PROBE_DIR], "documents"),
     "streaming_heavy_hitters": (
         [SF01, SF1, "/tmp/chiv-probe-10x-onefile"],
         "documents",
