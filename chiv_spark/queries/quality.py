@@ -68,7 +68,14 @@ from chiv_spark.queries.base import query, t
     "fraction, distinct ratio) + keep verdict; explode + 2 hash-aggs, linear",
 )
 def text_quality_filter(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    return quality_verdict(t(spark, sf_dir, "documents"))
+
+
+def quality_verdict(docs):
+    """The Gopher-style per-document verdict over any (doc_id, text)
+    relation — the shared core of text_quality_filter and the
+    per-batch leg of the streaming domain-stats fold (a doc's verdict
+    is a pure function of its text, so it is batch-computable)."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
@@ -658,39 +665,58 @@ _DOMAIN_REPORT_ORACLE = f"""
 """
 
 
-def _domain_report(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    from chiv_spark.queries.base import REGISTRY
-
-    verdict = REGISTRY["text_quality_filter"].fn(spark, sf_dir).select(
-        "doc_id", "keep"
-    )
+def domain_counts(docs):
+    """Per-(source, normalized-fingerprint) counters over any
+    (doc_id, text, source) relation: n = docs, k = docs whose Gopher
+    verdict is keep. These are COMMUTATIVE-MONOID counters — summing
+    per-batch counter generations equals computing them over the
+    union of the batches — which is what makes the streaming
+    domain-stats fold RETROACTIVELY exact (the final report over
+    folded counters equals the full recompute, regardless of how the
+    corpus was batched; the dedup tiers' arrival-order caveat does
+    not apply here)."""
+    verdict = quality_verdict(docs).select("doc_id", "keep")
     fp = _fps(docs)
+    return (
+        docs.select("doc_id", "source")
+        .join(verdict, "doc_id")
+        .join(fp, "doc_id")
+        .groupBy("source", "fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("keep"), 1)).cast("long").alias("k"),
+        )
+    )
+
+
+def domain_report_from_counts(counts):
+    """The domain report from (source, fingerprint, n, k) counters —
+    the shared tail of quality_domain_report and the streaming fold:
+    a fingerprint is a duplicate iff its GLOBAL count (across all
+    sources) is >= 2; a source's n_dup counts its docs carrying such
+    fingerprints. Duplicate-fingerprint set is vocabulary-sized ->
+    broadcast; everything after the counters is domain-sized."""
     dupf = (
-        fp.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("nf"))
+        counts.groupBy("fingerprint")
+        .agg(F.sum("n").alias("nf"))
         .filter(F.col("nf") >= 2)
         .select("fingerprint")
     )
-    per = (
-        docs.select("doc_id", "source")
-        .join(verdict, "doc_id")
-        .join(
-            fp.join(F.broadcast(dupf), "fingerprint", "left_semi")
-            .select("doc_id", F.lit(True).alias("is_dup")),
-            "doc_id",
-            "left",
+    ndup = (
+        counts.join(F.broadcast(dupf), "fingerprint", "left_semi")
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_dup"))
+    )
+    dom = (
+        counts.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("k").cast("long").alias("n_keep"),
         )
-        .withColumn("is_dup", F.coalesce(F.col("is_dup"), F.lit(False)))
+        .join(ndup, "source", "left")
+        .withColumn("n_dup", F.coalesce(F.col("n_dup"), F.lit(0).cast("long")))
     )
-    dom = per.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count(F.when(F.col("keep"), 1)).cast("long").alias("n_keep"),
-        F.count(F.when(F.col("is_dup"), 1)).cast("long").alias("n_dup"),
-    )
-    tot = dom.agg(
-        F.sum("n_docs").alias("td"), F.sum("n_keep").alias("tk")
-    )
+    tot = dom.agg(F.sum("n_docs").alias("td"), F.sum("n_keep").alias("tk"))
     kept = (F.col("n_keep") * F.col("td") >= F.col("tk") * F.col("n_docs")) & (
         F.col("n_dup") * _DOM_DUP_DEN <= F.col("n_docs") * _DOM_DUP_NUM
     )
@@ -702,6 +728,12 @@ def _domain_report(spark, sf_dir):
         det_round(F.col("n_keep") / F.col("n_docs").cast("double")).alias("keep_frac"),
         det_round(F.col("n_dup") / F.col("n_docs").cast("double")).alias("dup_rate"),
         kept.alias("kept"),
+    )
+
+
+def _domain_report(spark, sf_dir):
+    return domain_report_from_counts(
+        domain_counts(t(spark, sf_dir, "documents"))
     )
 
 
@@ -759,3 +791,35 @@ def quality_domain_gate(spark, sf_dir):
         .join(verdict, "doc_id")
         .select("doc_id", "source", "lang")
     )
+
+
+@query(
+    "streaming_domain_stats",
+    _DOMAIN_REPORT_ORACLE.format(quality=_QREG["text_quality_filter"].oracle),
+    doc="streaming twin of quality_domain_report as a MERGEABLE-"
+    "COUNTER fold (streaming.domain_stats) — a different streaming "
+    "pattern from the index-fold dedup tiers: each microbatch "
+    "appends its per-(source, fingerprint) doc/keep counters as one "
+    "generation (replay-idempotent dynamic overwrite on src_batch), "
+    "and the report sums counters across generations through the "
+    "SHARED report tail (domain_report_from_counts). Because the "
+    "counters form a commutative monoid, the result is RETROACTIVELY "
+    "exact — equal to the batch recompute under ANY batching, with "
+    "no arrival-order caveat (cross-batch duplicate fingerprints "
+    "count as duplicates; multi-batch equality pytest-pinned) — so "
+    "the batch oracle is shared verbatim. State is counter rows, "
+    "never documents; compaction folds generations into one",
+)
+def streaming_domain_stats(spark, sf_dir):
+    import tempfile
+
+    from chiv_spark.streaming.domain_stats import domain_stats_stream
+
+    docs = t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    work = tempfile.mkdtemp(prefix="chiv-domstats-")
+    return domain_stats_stream(spark, stream, work)

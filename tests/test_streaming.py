@@ -1744,3 +1744,97 @@ class TestIncrementalBoilerplateStream:
         assert len(kept_x) == 1 and len(dropped_x) == 1
         assert kept_x != dropped_x
         assert all(got[d].n_chunks == 2 for d in (10, 20))
+
+
+class TestDomainStatsStream:
+    def test_retroactively_exact_across_batches(self, spark, tmp_path):
+        """The counter fold's headline property: splitting the corpus
+        into microbatches does NOT change the report — including
+        duplicate detection across batches (doc 1 and doc 20 share a
+        normalized fingerprint but arrive in different batches; both
+        must count as duplicates because global multiplicity is summed
+        at read time). The expected relation is the BATCH report
+        computed directly over the union."""
+        from chiv_spark.queries.quality import (
+            domain_counts,
+            domain_report_from_counts,
+        )
+        from chiv_spark.streaming.domain_stats import domain_stats_stream
+
+        good = " ".join(f"w{i}" for i in range(20))
+        schema = "doc_id long, text string, source string"
+        rows0 = [(1, good, "sA"), (2, "spam " * 20, "sB")]
+        rows1 = [(20, good.upper(), "sB"), (21, good + " tail", "sA")]
+        shards = tmp_path / "shards"
+        spark.createDataFrame(rows0, schema).coalesce(1).write.parquet(
+            str(shards / "part0")
+        )
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+            str(shards / "part1")
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+        got = {
+            r.source: r
+            for r in domain_stats_stream(
+                spark, stream, str(tmp_path / "work")
+            ).collect()
+        }
+        union = spark.createDataFrame(rows0 + rows1, schema)
+        want = {
+            r.source: r
+            for r in domain_report_from_counts(domain_counts(union)).collect()
+        }
+        assert {s: tuple(r) for s, r in got.items()} == {
+            s: tuple(r) for s, r in want.items()
+        }
+        # the cross-batch duplicate pair (docs 1 and 20 — same
+        # normalized fingerprint, different batches AND sources) was
+        # counted on both sides
+        assert got["sA"].n_dup >= 1 and got["sB"].n_dup >= 1
+
+    def test_compaction_preserves_report(self, spark, tmp_path):
+        from chiv_spark.queries.quality import domain_report_from_counts
+        from chiv_spark.streaming.domain_stats import (
+            compact_counts,
+            domain_stats_stream,
+            read_counts,
+        )
+
+        schema = "doc_id long, text string, source string"
+        good = " ".join(f"v{i}" for i in range(15))
+        shards = tmp_path / "shards"
+        for i in range(3):
+            spark.createDataFrame(
+                [(10 * i + j, f"{good} b{i}d{j}", f"s{j % 2}") for j in range(4)],
+                schema,
+            ).coalesce(1).write.parquet(str(shards / f"part{i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+        before = {
+            tuple(r)
+            for r in domain_stats_stream(
+                spark, stream, str(tmp_path / "work")
+            ).collect()
+        }
+        counts_dir = str(tmp_path / "work" / "counts")
+        gens = spark.read.parquet(counts_dir).select("src_batch").distinct().count()
+        assert gens == 3
+        compact_counts(spark, counts_dir)
+        after = {
+            tuple(r)
+            for r in domain_report_from_counts(
+                read_counts(spark, counts_dir)
+            ).collect()
+        }
+        assert after == before
+        assert (
+            spark.read.parquet(counts_dir).select("src_batch").distinct().count()
+            == 1
+        )
