@@ -162,6 +162,7 @@ HEADLINE = [
     "quality_domain_gate",
     "mlprep_shard_manifest",
     "mlprep_snapshot_diff",
+    "streaming_domain_stats",
 ]
 
 

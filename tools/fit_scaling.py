@@ -143,6 +143,10 @@ PLAN: dict[str, tuple[list[str], str]] = {
         [SF01, SF1, "/tmp/chiv-probe-10x-onefile"],
         "documents",
     ),
+    "streaming_domain_stats": (
+        [SF01, SF1, "/tmp/chiv-probe-10x-onefile"],
+        "documents",
+    ),
 }
 
 #: single-FILE variant of the 10x replica for streaming rows: their
