@@ -60,12 +60,17 @@ def write_counts_generation(
 
 def read_counts(spark: SparkSession, counts_dir: str) -> DataFrame:
     """The folded counter relation: generations summed per
-    (source, fingerprint) — the commutative-monoid collapse."""
+    (source, fingerprint) — the commutative-monoid collapse. Pairs
+    whose fold reaches n = 0 (every contributing doc later deleted
+    via a negative generation) are DROPPED: they represent no
+    documents, and leaving them in would feed n_docs = 0 sources into
+    the report's rate divisions."""
     return (
         spark.read.schema(f"{COUNTS_SCHEMA}, src_batch bigint")
         .parquet(counts_dir)
         .groupBy("source", "fingerprint")
         .agg(F.sum("n").alias("n"), F.sum("k").alias("k"))
+        .filter(F.col("n") != 0)
     )
 
 
@@ -124,3 +129,26 @@ def domain_stats_stream(
             "keep_frac double, dup_rate double, kept boolean",
         )
     return domain_report_from_counts(read_counts(spark, counts_dir))
+
+
+def delete_docs_counts(deleted_docs: DataFrame, counts_dir: str, batch_id: int) -> None:
+    """GDPR-style forget on the counter store, expressed IN the
+    monoid: a deletion writes the deleted documents' own counters
+    NEGATED as one more generation — the read-time sum then equals
+    the recompute without those documents, exactly (no tombstone
+    filter, no rewrite; compaction later folds the negation away
+    physically). ``deleted_docs`` is the (doc_id, text, source)
+    relation of the docs to forget — the caller supplies what it is
+    erasing, the store itself never held the documents. ``batch_id``
+    must be unique per deletion request (replay of the same id
+    overwrites, never double-subtracts — the same dynamic-overwrite
+    idempotency contract as the fold)."""
+    from chiv_spark.queries.quality import domain_counts
+
+    neg = domain_counts(deleted_docs).select(
+        "source",
+        "fingerprint",
+        (-F.col("n")).alias("n"),
+        (-F.col("k")).alias("k"),
+    )
+    write_counts_generation(neg, counts_dir, batch_id)

@@ -1838,3 +1838,48 @@ class TestDomainStatsStream:
             spark.read.parquet(counts_dir).select("src_batch").distinct().count()
             == 1
         )
+
+    def test_deletion_is_a_negative_generation(self, spark, tmp_path):
+        """GDPR forget in the monoid: deleting a doc writes its own
+        counters negated; the report then equals the recompute
+        WITHOUT it — including duplicate demotion (the deleted doc
+        was one side of a duplicate pair; its partner must stop
+        counting as a duplicate). Replaying the deletion generation
+        id must not double-subtract."""
+        from chiv_spark.queries.quality import (
+            domain_counts,
+            domain_report_from_counts,
+        )
+        from chiv_spark.streaming.domain_stats import (
+            delete_docs_counts,
+            domain_stats_stream,
+            read_counts,
+        )
+
+        good = " ".join(f"w{i}" for i in range(20))
+        schema = "doc_id long, text string, source string"
+        rows = [(1, good, "sA"), (2, good, "sB"), (3, good + " x", "sB")]
+        shards = tmp_path / "shards"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(shards / "part0")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(shards / "part*"))
+        domain_stats_stream(spark, stream, str(tmp_path / "work"))
+        counts_dir = str(tmp_path / "work" / "counts")
+        doomed = spark.createDataFrame([rows[0]], schema)
+        delete_docs_counts(doomed, counts_dir, 1000)
+        delete_docs_counts(doomed, counts_dir, 1000)  # replay: no-op
+        got = {
+            tuple(r)
+            for r in domain_report_from_counts(
+                read_counts(spark, counts_dir)
+            ).collect()
+        }
+        survivors = spark.createDataFrame(rows[1:], schema)
+        want = {
+            tuple(r)
+            for r in domain_report_from_counts(domain_counts(survivors)).collect()
+        }
+        assert got == want
+        # sB's doc 2 lost its duplicate partner: no dups remain
+        assert all(r[3] == 0 for r in got)
