@@ -2391,3 +2391,160 @@ def mlprep_snapshot_diff(spark, sf_dir):
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+# --------------------------------------------------------------------------
+# pipeline_quality_funnel — the round-14 curation tiers composed into
+# one per-stage (docs, tokens) survival report: domain gate ->
+# boilerplate rewrite -> paragraph dedup. TOKEN columns are the point
+# — the two rewrite tiers rarely DROP a document, they shrink it, so
+# a doc-count funnel under-reports what they remove. Stage semantics
+# are the capstone's (each registered tier evaluated on the raw
+# corpus; a stage's tokens are what ITS rewrite keeps among docs
+# surviving the funnel so far — stages are not text-chained, which
+# is documented, oracle-mirrored behavior, not an accident).
+
+
+def _quality_funnel_oracle() -> str:
+    from chiv_spark.queries import llm, quality  # noqa: F401 — registers tiers
+    from chiv_spark.queries.base import REGISTRY
+
+    dom = REGISTRY["quality_domain_report"].oracle
+    q = REGISTRY["text_quality_filter"].oracle
+    bp = REGISTRY["dedup_paragraph_boilerplate"].oracle
+    para = REGISTRY["dedup_paragraph_exact"].oracle
+    toks = "CASE WHEN {c} = '' THEN 0 ELSE len(string_split({c}, ' ')) END"
+    return f"""
+    WITH dom AS MATERIALIZED (SELECT source FROM ({dom}) WHERE kept),
+    q AS MATERIALIZED (SELECT doc_id FROM ({q}) WHERE keep),
+    bp AS MATERIALIZED (
+      SELECT doc_id, {toks.format(c='cleaned_text')} AS bp_toks FROM ({bp})),
+    para AS MATERIALIZED (
+      SELECT doc_id, {toks.format(c='cleaned_text')} AS para_toks FROM ({para})),
+    flags AS MATERIALIZED (
+      SELECT d.doc_id,
+             len(string_split(d.text, ' ')) AS raw_toks,
+             (d.source IN (SELECT source FROM dom)
+              AND d.doc_id IN (SELECT doc_id FROM q)) AS f1,
+             bp.bp_toks, para.para_toks
+      FROM documents d JOIN bp USING (doc_id) JOIN para USING (doc_id))
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      SELECT '0_total' AS stage, COUNT(*) AS n_docs,
+             SUM(raw_toks) AS n_tokens FROM flags
+      UNION ALL
+      SELECT '1_domain_gate', COUNT(*) FILTER (WHERE f1),
+             SUM(raw_toks) FILTER (WHERE f1) FROM flags
+      UNION ALL
+      SELECT '2_boilerplate_rewrite', COUNT(*) FILTER (WHERE f1 AND bp_toks > 0),
+             SUM(bp_toks) FILTER (WHERE f1) FROM flags
+      UNION ALL
+      SELECT '3_paragraph_dedup',
+             COUNT(*) FILTER (WHERE f1 AND bp_toks > 0 AND para_toks > 0),
+             SUM(para_toks) FILTER (WHERE f1 AND bp_toks > 0) FROM flags)
+    """
+
+
+@query(
+    "pipeline_quality_funnel",
+    None,  # oracle attached below (composes four registered oracles)
+    doc="the round-14 curation tiers as ONE per-stage (docs, tokens) "
+    "survival report: domain gate (RefinedWeb two-level verdict) -> "
+    "boilerplate rewrite (df-threshold chunk removal) -> paragraph "
+    "dedup (first-occurrence chunk survival). TOKEN columns are the "
+    "point: rewrite tiers shrink documents rather than drop them, so "
+    "a doc-count funnel under-reports their effect — each stage row "
+    "carries the docs surviving so far AND the tokens its own "
+    "rewrite keeps among them. Composes FOUR registered oracles "
+    "verbatim (domain report, quality verdict, boilerplate, "
+    "paragraph dedup), MATERIALIZED; stages evaluate on the raw "
+    "corpus (the capstone's documented conditional-count semantics, "
+    "not text-chaining). Engine side joins the same registered "
+    "relations; one conditional aggregate on top",
+)
+def pipeline_quality_funnel(spark, sf_dir):
+    from chiv_spark.queries.base import REGISTRY
+
+    docs = t(spark, sf_dir, "documents")
+    dom = (
+        REGISTRY["quality_domain_report"].fn(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("source")
+    )
+    q = (
+        REGISTRY["text_quality_filter"].fn(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .withColumn("__q", F.lit(1))
+    )
+
+    def _toks(c):
+        return F.when(F.col(c) == "", 0).otherwise(
+            F.size(F.split(F.col(c), " "))
+        ).cast("long")
+
+    bp = (
+        REGISTRY["dedup_paragraph_boilerplate"].fn(spark, sf_dir)
+        .select("doc_id", _toks("cleaned_text").alias("bp_toks"))
+    )
+    para = (
+        REGISTRY["dedup_paragraph_exact"].fn(spark, sf_dir)
+        .select("doc_id", _toks("cleaned_text").alias("para_toks"))
+    )
+    flags = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("raw_toks"),
+        )
+        .join(F.broadcast(dom.withColumn("__d", F.lit(1))), "source", "left")
+        .join(q, "doc_id", "left")
+        .join(bp, "doc_id")
+        .join(para, "doc_id")
+        .select(
+            "doc_id",
+            "raw_toks",
+            (F.col("__d").isNotNull() & F.col("__q").isNotNull()).alias("f1"),
+            "bp_toks",
+            "para_toks",
+        )
+    )
+    f1 = F.col("f1")
+    bp_pos = F.col("bp_toks") > 0
+    para_pos = F.col("para_toks") > 0
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("raw_toks").alias("t0"),
+        F.count(F.when(f1, 1)).alias("n1"),
+        F.sum(F.when(f1, F.col("raw_toks"))).alias("t1"),
+        F.count(F.when(f1 & bp_pos, 1)).alias("n2"),
+        F.sum(F.when(f1, F.col("bp_toks"))).alias("t2"),
+        F.count(F.when(f1 & bp_pos & para_pos, 1)).alias("n3"),
+        F.sum(F.when(f1 & bp_pos, F.col("para_toks"))).alias("t3"),
+    )
+    rows = [
+        ("0_total", "n0", "t0"),
+        ("1_domain_gate", "n1", "t1"),
+        ("2_boilerplate_rewrite", "n2", "t2"),
+        ("3_paragraph_dedup", "n3", "t3"),
+    ]
+    stages = None
+    for stage, n, tk in rows:
+        one = agg.select(
+            F.lit(stage).alias("stage"),
+            F.col(n).cast("long").alias("n_docs"),
+            F.col(tk).cast("long").alias("n_tokens"),
+        )
+        stages = one if stages is None else stages.unionByName(one)
+    return stages
+
+
+_FUNNEL_REG["pipeline_quality_funnel"] = _FUNNEL_REG[
+    "pipeline_quality_funnel"
+].__class__(
+    name="pipeline_quality_funnel",
+    fn=_FUNNEL_REG["pipeline_quality_funnel"].fn,
+    oracle=_quality_funnel_oracle(),
+    doc=_FUNNEL_REG["pipeline_quality_funnel"].doc,
+)
