@@ -163,6 +163,7 @@ HEADLINE = [
     "mlprep_shard_manifest",
     "mlprep_snapshot_diff",
     "streaming_domain_stats",
+    "pipeline_quality_funnel",
 ]
 
 
