@@ -693,6 +693,18 @@ class TestJoinAudit:
         "text_heavy_hitters": "SCALAR (threshold row)",
         "text_keyword_tfidf": "SCALAR (corpus doc-count row)",
         "text_lm_perplexity": "SCALAR (vocab-size row)",
+        # round-14 second batch: every entry is the 1-row global-
+        # totals broadcast of the domain report's relative verdict
+        # (n_keep * total_docs >= total_keep * n_docs needs the
+        # corpus totals next to each domain row), or heavy hitters'
+        # threshold row — all SCALAR composes over domain-sized or
+        # vocabulary-sized left sides
+        "mlprep_shard_manifest": "SCALAR (total-tokens row for balance_ratio)",
+        "pipeline_quality_funnel": "SCALAR (domain-report totals + stage-agg composes)",
+        "quality_domain_gate": "SCALAR (domain-report totals row)",
+        "quality_domain_report": "SCALAR (corpus keep-rate totals row)",
+        "streaming_domain_stats": "SCALAR (shared report tail's totals row)",
+        "streaming_heavy_hitters": "SCALAR (threshold row — the batch twin's shape)",
     }
 
     @pytest.fixture(scope="class")
