@@ -46,6 +46,14 @@ echo "== sweeping at ${SWEEP_SHA}" >&2
 REG_COUNT=$(python -c "from chiv_spark.queries import REGISTRY; print(len(REGISTRY))")
 echo "== registry: ${REG_COUNT} queries" >&2
 
+# Fail fast on the registry-wide plan audits (~5 min) before paying
+# the full suite: a query added with an unregistered
+# BroadcastNestedLoopJoin (any 1-row totals crossJoin plans one) or
+# an unpartitioned window otherwise surfaces ~20 min in, costing a
+# whole pytest leg per offender batch (this happened in r14).
+echo "== 0/4 plan audits (fail-fast)" >&2
+timeout 900 python -m pytest tests/test_plans.py::TestJoinAudit tests/test_plans.py::TestWindowAudit -q
+
 echo "== 1/4 pytest" >&2
 # Measured suite time: ~15 min uncontended at r11 (398 tests), and it
 # degrades badly under CPU contention (an r10 close saw a `timeout
