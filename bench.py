@@ -38,6 +38,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from chiv_spark.queries import REGISTRY
 from chiv_spark.session import get_spark
 
+def _compact_line(out: dict, limit: int = 1800) -> str:
+    """Serialize ``out`` for stdout, shrinking ``queries`` to the
+    slowest rows until the line fits under ``limit`` bytes.
+
+    The full per-query map lives in bench_detail.json; the stdout line
+    exists only to feed the driver's 2000-char tail window, so it keeps
+    the headline total exact and trades per-query completeness for a
+    guaranteed fit. ``queries_shown``/``queries_total`` record the
+    truncation explicitly so a reader never mistakes top-N for all.
+    """
+    full = json.dumps(out, separators=(",", ":"))
+    if len(full) < limit:
+        return full
+    ranked = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    for n in range(len(ranked), 0, -1):
+        slim = dict(out)
+        slim["queries"] = dict(sorted(ranked[:n]))
+        slim["queries_shown"] = n
+        slim["queries_total"] = len(ranked)
+        line = json.dumps(slim, separators=(",", ":"))
+        if len(line) < limit:
+            return line
+    slim = {k: v for k, v in out.items() if k != "queries"}
+    slim["queries_total"] = len(out["queries"])
+    return json.dumps(slim, separators=(",", ":"))
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -378,7 +405,14 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass  # read-only checkout: the stdout line still carries the result
-    line = json.dumps(out, separators=(",", ":"))
+    # The driver's tail capture is 2000 chars; at 75 headline rows the
+    # full-map line hit 2379 bytes and BENCH_r14.json came back
+    # parsed:null. The compact stdout line therefore carries only the
+    # top-N slowest rows (the full map is already in bench_detail.json)
+    # and is hard-asserted under 1900 bytes so growth can never
+    # silently break the driver's perf gate again.
+    line = _compact_line(out)
+    assert len(line) < 1900, f"compact bench line {len(line)}B >= 1900B"
     # printed twice so a fixed-size tail window that starts mid-line
     # still contains one complete copy
     print(line)

@@ -1002,10 +1002,16 @@ def incremental_boilerplate_rebuild(
     ``df_threshold`` (drop-ALL-occurrences semantics — the opposite
     survival rule from incremental_paragraph_rebuild's min-site).
     Only the delta is chunked; the corpus contributes fingerprint
-    rows only, and the bucketed index join prunes to the pb
-    partitions the delta's fingerprints touch."""
+    rows only, pre-pruned here by a LEFT SEMI join against the
+    delta's fingerprints (the delta side is small, so it broadcasts
+    — index rows for untouched fingerprints never enter the df agg,
+    in the batch path as well as under the streaming harness's
+    pb-bucket pruning)."""
+    touched = delta_chunks.select("h").distinct()
     combined = delta_chunks.select("h", "doc_id").unionByName(
-        index.select("h", "doc_id")
+        index.join(F.broadcast(touched), "h", "left_semi").select(
+            "h", "doc_id"
+        )
     )
     df = combined.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     return paragraph_rebuild_where(

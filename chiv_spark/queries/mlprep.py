@@ -807,11 +807,31 @@ def _curation_capstone_oracle() -> str:
     """
 
 
+#: (applicationId, sf_dir) -> (persisted flags, persisted cans): the
+#: capstone report and the survivor dataset card share ONE flag
+#: computation per session — before this cache each row rebuilt the
+#: full eight-stage stack (~35 s each at sf0.1, ~22% of the r14
+#: headline bench doing the same work twice). Keyed by applicationId
+#: (unique per SparkSession lifetime) so a stopped session's stale
+#: persisted handles are never returned to a new one. At 100 TB the
+#: same idea is a checkpoint: write the flags relation to parquet
+#: once and have both reports scan it.
+_CAPSTONE_CACHE: dict = {}
+
+
 def _capstone_flags(spark, sf_dir):
     """The capstone's per-doc survival flags (doc_id, f1..f6) plus the
     persisted canonical media relations — the shared engine core of
-    the capstone report and the survivor dataset card."""
+    the capstone report and the survivor dataset card. Computed once
+    per (session, sf_dir) and persisted: every consumer after the
+    first reads the materialized flags instead of re-running the
+    eight-stage dedup/decontamination stack."""
     from chiv_spark.queries.base import REGISTRY
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CAPSTONE_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     para = (
@@ -879,7 +899,8 @@ def _capstone_flags(spark, sf_dir):
             F.col("__ne").isNull().alias("f5"),
             F.col("__md").isNull().alias("f6"),
         )
-    )
+    ).persist()
+    _CAPSTONE_CACHE[key] = (flags, cans)
     return flags, cans
 
 
@@ -2322,6 +2343,13 @@ def mlprep_shard_manifest(spark, sf_dir):
 _SNAP_DEL = "((('0x' || substring(md5('del:' || doc_id::VARCHAR), 1, 15))::BIGINT) % 20)"
 _SNAP_MOD = "((('0x' || substring(md5('mod:' || doc_id::VARCHAR), 1, 15))::BIGINT) % 10)"
 _SNAP_ADD = "((('0x' || substring(md5('add:' || doc_id::VARCHAR), 1, 15))::BIGINT) % 25)"
+# Re-ingested docs get doc_id + _SNAP_ADD_OFFSET. The offset must
+# exceed any real corpus doc_id or synthesized ids collide with kept
+# ids, duplicating doc_ids in snapshot B and multiplying full-outer
+# rows IDENTICALLY in both engines (the oracle cannot catch it) — so
+# it is 2^40, far above any doc_id the sf-scaled generators emit
+# (doc_id is dense from 0; sf1000 ≈ 6e8 docs), not a near-corpus 3e6.
+_SNAP_ADD_OFFSET = 1 << 40
 
 
 @query(
@@ -2335,7 +2363,7 @@ _SNAP_ADD = "((('0x' || substring(md5('add:' || doc_id::VARCHAR), 1, 15))::BIGIN
              CASE WHEN {_SNAP_MOD} = 0 THEN text || ' rev2' ELSE text END AS text
       FROM documents WHERE {_SNAP_DEL} <> 0
       UNION ALL
-      SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text
+      SELECT doc_id + {_SNAP_ADD_OFFSET} AS doc_id, text || ' fresh' AS text
       FROM documents WHERE {_SNAP_ADD} = 0),
     b AS (
       SELECT doc_id, (('0x' || substring(md5(text), 1, 15))::BIGINT) AS fp
@@ -2376,7 +2404,7 @@ def mlprep_snapshot_diff(spark, sf_dir):
         .alias("text"),
     )
     b_new = docs.filter(_fate("add:") % 25 == 0).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
+        (F.col("doc_id") + _SNAP_ADD_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" fresh")).alias("text"),
     )
     b = b_kept.unionByName(b_new).select(

@@ -43,6 +43,14 @@ from chiv_spark.streaming.dedup_index import SEED_BATCH, _dir_exists
 #: counter-store schema (src_batch is the partition column)
 COUNTS_SCHEMA = "source string, fingerprint bigint, n bigint, k bigint"
 
+#: deletion generations live in their own reserved id range,
+#: DELETE_BASE - request_id, strictly below SEED_BATCH (-1) and every
+#: foreachBatch generation (>= 0) — a deletion id can therefore never
+#: collide with (and dynamically OVERWRITE) a stream generation's
+#: counters, which would have replaced that generation with the
+#: negation instead of subtracting.
+DELETE_BASE = -1_000_000
+
 
 def write_counts_generation(
     counts: DataFrame, counts_dir: str, batch_id: int
@@ -140,15 +148,21 @@ def delete_docs_counts(deleted_docs: DataFrame, counts_dir: str, batch_id: int) 
     physically). ``deleted_docs`` is the (doc_id, text, source)
     relation of the docs to forget — the caller supplies what it is
     erasing, the store itself never held the documents. ``batch_id``
-    must be unique per deletion request (replay of the same id
-    overwrites, never double-subtracts — the same dynamic-overwrite
-    idempotency contract as the fold)."""
+    is the caller's deletion-request id (>= 0, unique per request:
+    replay of the same id overwrites, never double-subtracts — the
+    same dynamic-overwrite idempotency contract as the fold); it is
+    mapped into the reserved DELETE_BASE range so it can never
+    collide with a stream generation or SEED_BATCH."""
     from chiv_spark.queries.quality import domain_counts
 
+    if batch_id < 0:
+        raise ValueError(
+            f"deletion request id must be >= 0, got {batch_id}"
+        )
     neg = domain_counts(deleted_docs).select(
         "source",
         "fingerprint",
         (-F.col("n")).alias("n"),
         (-F.col("k")).alias("k"),
     )
-    write_counts_generation(neg, counts_dir, batch_id)
+    write_counts_generation(neg, counts_dir, DELETE_BASE - int(batch_id))

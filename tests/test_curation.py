@@ -459,3 +459,33 @@ class TestBloomMembership:
         assert counts.get("CartesianProduct", 0) == 0
         assert counts.get("BroadcastNestedLoopJoin", 0) == 0
         assert counts.get("BroadcastHashJoin", 0) >= 1
+
+
+class TestCapstoneFlagsCache:
+    """The capstone report and the survivor dataset card must share
+    ONE flag computation per (session, sf_dir): before the
+    _CAPSTONE_CACHE each row rebuilt the full eight-stage stack
+    (~35 s each at sf0.1 — the r14 verdict's double-compute watch
+    item)."""
+
+    def test_flags_computed_once_per_session_and_sf(self, spark):
+        from chiv_spark.queries import mlprep
+
+        mlprep._CAPSTONE_CACHE.clear()
+        try:
+            f1, c1 = mlprep._capstone_flags(spark, SF)
+            f2, c2 = mlprep._capstone_flags(spark, SF)
+            assert f1 is f2 and c1 is c2  # second call is a cache hit
+            assert f1.storageLevel.useMemory or f1.storageLevel.useDisk
+            # both registry rows run green off the shared relation
+            a = REGISTRY["pipeline_curation_capstone"].fn(spark, SF)
+            b = REGISTRY["pipeline_capstone_dataset_card"].fn(spark, SF)
+            assert a.count() == 10
+            assert b.count() > 0
+            # the key carries the applicationId: a NEW session (new
+            # app id) would rebuild rather than reuse stale handles
+            assert set(mlprep._CAPSTONE_CACHE) == {
+                (spark.sparkContext.applicationId, SF)
+            }
+        finally:
+            mlprep._CAPSTONE_CACHE.clear()

@@ -1883,3 +1883,68 @@ class TestDomainStatsStream:
         assert got == want
         # sB's doc 2 lost its duplicate partner: no dups remain
         assert all(r[3] == 0 for r in got)
+        # the deletion landed in the reserved DELETE_BASE range and
+        # left every stream generation (>= 0) physically intact — a
+        # deletion id equal to an existing generation id would
+        # otherwise dynamic-overwrite that generation's counters with
+        # the negation instead of subtracting
+        from chiv_spark.streaming.domain_stats import DELETE_BASE
+
+        gens = {
+            r[0]
+            for r in spark.read.parquet(counts_dir)
+            .select("src_batch")
+            .distinct()
+            .collect()
+        }
+        assert DELETE_BASE - 1000 in gens
+        assert 0 in gens  # stream generation 0 survived the deletion
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            delete_docs_counts(doomed, counts_dir, -1)
+
+    def test_deletion_id_reuse_of_stream_generation_is_safe(
+        self, spark, tmp_path
+    ):
+        """A deletion request id that NUMERICALLY equals an existing
+        stream generation id (0) must subtract, not replace: before
+        the reserved range, delete_docs_counts(…, 0) dynamically
+        overwrote generation 0 with the negation, corrupting the
+        store."""
+        from chiv_spark.queries.quality import (
+            domain_counts,
+            domain_report_from_counts,
+        )
+        from chiv_spark.streaming.domain_stats import (
+            delete_docs_counts,
+            domain_stats_stream,
+            read_counts,
+        )
+
+        good = " ".join(f"w{i}" for i in range(20))
+        schema = "doc_id long, text string, source string"
+        rows = [(1, good, "sA"), (2, good + " y", "sA")]
+        shards = tmp_path / "shards"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(shards / "part0")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(shards / "part*"))
+        domain_stats_stream(spark, stream, str(tmp_path / "work"))
+        counts_dir = str(tmp_path / "work" / "counts")
+        delete_docs_counts(
+            spark.createDataFrame([rows[0]], schema), counts_dir, 0
+        )
+        got = {
+            tuple(r)
+            for r in domain_report_from_counts(
+                read_counts(spark, counts_dir)
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in domain_report_from_counts(
+                domain_counts(spark.createDataFrame([rows[1]], schema))
+            ).collect()
+        }
+        assert got == want
