@@ -191,6 +191,8 @@ HEADLINE = [
     "mlprep_snapshot_diff",
     "streaming_domain_stats",
     "pipeline_quality_funnel",
+    # round 15: the media-tier deletion lifecycle (r14 verdict task 3)
+    "media_delete_then_probe",
 ]
 
 

@@ -1631,6 +1631,157 @@ def dedup_incremental_video(spark, sf_dir):
     return _inc_media_pairs(spark, sf_dir, "incvid:", _video_fp_sig, "vhash")
 
 
+def _media_delete_oracle(ctes: str, sig_prefix: str, del_prefix: str) -> str:
+    """Delete-then-probe oracle for a media chunk index: 'before' is
+    the full closed-form recompute restricted to delta-involving
+    pairs (the incremental-media oracle shape); 'after' is the same
+    minus every pair touching the deleted 1-in-5 stable-hash slice of
+    the STORED (base) media — exactly what the tombstone anti-join
+    leaves read_index_pruned."""
+    fate = (
+        f"((('0x' || substring(md5('{sig_prefix}' || media_id::VARCHAR), 1, 15))"
+        "::BIGINT) % 10)"
+    )
+    dl = (
+        f"((('0x' || substring(md5('{del_prefix}' || media_id::VARCHAR), 1, 15))"
+        "::BIGINT) % 5)"
+    )
+    return f"""
+    WITH {ctes},
+    fate AS (SELECT media_id, {fate} AS f, {dl} AS d5 FROM m),
+    pairs AS (
+      SELECT media_a, media_b,
+             CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+             (fa.f <> 0 AND fa.d5 = 0) AS del_a,
+             (fb.f <> 0 AND fb.d5 = 0) AS del_b
+      FROM cand
+      JOIN fate fa ON fa.media_id = cand.media_a
+      JOIN fate fb ON fb.media_id = cand.media_b
+      WHERE bit_count(xor(ha, hb)) <= 3 AND (fa.f = 0 OR fb.f = 0))
+    SELECT 'before' AS phase, media_a, media_b, hamming, TRUE AS ok FROM pairs
+    UNION ALL
+    SELECT 'after' AS phase, media_a, media_b, hamming,
+           NOT (del_a OR del_b) AS ok
+    FROM pairs WHERE NOT (del_a OR del_b)
+    """
+
+
+def media_delete_then_probe_rel(
+    spark, sf_dir, sig_prefix, del_prefix, sig_builder, sig_col, work_dir=None
+):
+    """The deletion lifecycle of a PERSISTED media chunk index,
+    modality-parameterized (image/audio/video share the layout): seed
+    the pb-bucketed index from the stored (base) slice, probe the
+    arriving delta through it, tombstone a deterministic 1-in-5
+    stable-hash slice of the stored media, re-probe THROUGH the
+    tombstones. The 'before' plan is safe to stay lazy across the
+    delete: it was built while no tombstone dir existed, so it
+    contains no tombstone scan, and write_tombstones never touches
+    data files (the exact_substr_delete_then_probe pattern,
+    queries/curation.py). Physical drop at compact_index is pinned by
+    tests/test_streaming.py::TestMediaIndexDeletion."""
+    from chiv_spark.streaming.dedup_index import (
+        SEED_BATCH,
+        _pb,
+        read_index_pruned,
+        write_index_generation,
+        write_tombstones,
+    )
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def _fate(c):
+        return hash64(F.concat(F.lit(sig_prefix), c.cast("string"))) % 10
+
+    def _is_del(c):
+        d5 = hash64(F.concat(F.lit(del_prefix), c.cast("string"))) % 5
+        return (_fate(c) != 0) & (d5 == 0)
+
+    delta_ids = ids.filter(_fate(F.col("media_id")) == 0)
+    base_ids = ids.filter(_fate(F.col("media_id")) != 0)
+    work = work_dir or tempfile.mkdtemp(prefix="chiv-mediadel-")
+    index_dir = f"{work}/index"
+    write_index_generation(
+        dedup.hamming_chunk_index(
+            sig_builder(base_ids), id_col="media_id", sig_col=sig_col
+        ),
+        "ck",
+        index_dir,
+        SEED_BATCH,
+    )
+    # delta signatures pay the codec once (three consumers: touched-
+    # bucket list + both probes); the touched collect is bounded by
+    # P_BUCKETS — the standing touched-bucket-list convention
+    dsig = dedup.hamming_chunk_index(
+        sig_builder(delta_ids), id_col="media_id", sig_col=sig_col
+    ).persist()
+    touched = [
+        r.pb for r in dsig.select(_pb("ck").alias("pb")).distinct().collect()
+    ]
+
+    def probe():
+        idx = read_index_pruned(spark, index_dir, touched, id_col="media_id")
+        return dedup.incremental_hamming_pairs(
+            dsig, idx, id_col="media_id"
+        ).selectExpr("doc_a AS media_a", "doc_b AS media_b", "hamming")
+
+    before = probe()
+    write_tombstones(
+        spark,
+        index_dir,
+        base_ids.filter(_is_del(F.col("media_id"))),
+        id_col="media_id",
+    )
+    after = probe()
+    both = before.withColumn("phase", F.lit("before")).unionByName(
+        after.withColumn("phase", F.lit("after"))
+    )
+    return both.select(
+        "phase",
+        "media_a",
+        "media_b",
+        "hamming",
+        (
+            (F.col("phase") == "before")
+            | ~(_is_del(F.col("media_a")) | _is_del(F.col("media_b")))
+        ).alias("ok"),
+    ), index_dir
+
+
+@query(
+    "media_delete_then_probe",
+    _media_delete_oracle(_IMG_PHASH_CTES, "incimg:", "delimg:"),
+    doc="the deletion lifecycle of the MEDIA chunk indexes as a query "
+    "(r14 verdict task 3 — the text tiers prove their GDPR path with "
+    "ann_delete_then_probe / exact_substr_delete_then_probe; the "
+    "media tiers ride the same tombstone-capable harness and now "
+    "carry the same registered proof, image modality as the "
+    "representative since all three share the hamming_chunk_index "
+    "layout): seed the pb-bucketed dHash chunk index from the stored "
+    "corpus slice, probe the arriving 1-in-10 fate shard through it "
+    "(real PNG codec on the delta only), write_tombstones for a "
+    "1-in-5 stable-hash slice of the STORED media, re-probe THROUGH "
+    "the tombstones — no rewrite, no re-decode: the forgotten "
+    "media_ids stop nominating pairs immediately. Emits both phases' "
+    "pairs plus an ok gate (no post-delete pair may touch a deleted "
+    "id). compact_index physically drops the tombstoned rows "
+    "(pytest-pinned for all THREE modalities: the deleted ids are "
+    "GONE from the post-compaction parquet). Oracle = two full "
+    "closed-form recomputes, 'after' restricted to pairs with no "
+    "deleted end — exactly what the tombstone anti-join leaves the "
+    "pruned read",
+)
+def media_delete_then_probe(spark, sf_dir):
+    rel, _ = media_delete_then_probe_rel(
+        spark, sf_dir, "incimg:", "delimg:", multimodal.image_dhash, "dhash"
+    )
+    return rel
+
+
 #: shingles appearing in more docs than this are dropped from the Jaccard
 #: universe (stop-word n-grams: no near-dup signal, quadratic join cost).
 #: Shared as a literal with the oracle SQL below.

@@ -492,6 +492,99 @@ class TestParagraphIndexTombstones:
         assert rebuild() == (1, 0, X)
 
 
+class TestMediaIndexDeletion:
+    """The media chunk indexes' GDPR lifecycle (r14 verdict task 3):
+    a forgotten media_id stops nominating pairs immediately (the
+    tombstone anti-join) and is PHYSICALLY dropped at compact_index —
+    pinned for all THREE modalities, which share the
+    hamming_chunk_index layout the registered image row
+    (media_delete_then_probe) exercises."""
+
+    import pytest as _pytest
+
+    @_pytest.mark.parametrize("modality", ["img", "aud", "vid"])
+    def test_delete_stops_pairs_and_compaction_drops_rows(
+        self, spark, sf_dir, tmp_path, modality
+    ):
+        from pyspark.sql import functions as F
+
+        from chiv_spark.functions.hashing import hash64
+        from chiv_spark.operators import multimodal
+        from chiv_spark.queries import llm
+        from chiv_spark.streaming.dedup_index import (
+            _tombstone_dir,
+            compact_index,
+        )
+
+        sig_prefix, del_prefix, sig_builder, sig_col = {
+            "img": ("incimg:", "delimg:", multimodal.image_dhash, "dhash"),
+            "aud": (
+                "incaud:",
+                "delaud:",
+                lambda ids: multimodal.audio_fingerprint(
+                    multimodal.synth_audio_fp(ids)
+                ),
+                "afp",
+            ),
+            "vid": ("incvid:", "delvid:", llm._video_fp_sig, "vhash"),
+        }[modality]
+        rel, index_dir = llm.media_delete_then_probe_rel(
+            spark,
+            sf_dir,
+            sig_prefix,
+            del_prefix,
+            sig_builder,
+            sig_col,
+            work_dir=str(tmp_path / modality),
+        )
+        rows = rel.collect()
+        ids = (
+            read_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 60)
+            .select(F.col("doc_id").alias("media_id"))
+        )
+        fate = hash64(
+            F.concat(F.lit(sig_prefix), F.col("media_id").cast("string"))
+        ) % 10
+        d5 = hash64(
+            F.concat(F.lit(del_prefix), F.col("media_id").cast("string"))
+        ) % 5
+        deleted = {
+            r.media_id for r in ids.filter((fate != 0) & (d5 == 0)).collect()
+        }
+        assert deleted  # the fate slice is non-empty at sf0.001
+        before = [r for r in rows if r.phase == "before"]
+        after = [r for r in rows if r.phase == "after"]
+        # non-vacuous: the before phase HAS pairs touching deleted ids
+        assert any(
+            r.media_a in deleted or r.media_b in deleted for r in before
+        )
+        # the delete took effect at read time: no after pair touches a
+        # deleted id, and every ok gate holds
+        assert all(
+            r.media_a not in deleted and r.media_b not in deleted
+            for r in after
+        )
+        assert all(r.ok for r in rows)
+        # compaction PHYSICALLY drops the tombstoned rows and consumes
+        # the fully-applied tombstones
+        compact_index(spark, index_dir, id_col="media_id")
+        surviving = {
+            r.media_id
+            for r in spark.read.parquet(index_dir)
+            .select("media_id")
+            .distinct()
+            .collect()
+        }
+        assert not (surviving & deleted)
+        import os
+
+        tdir = _tombstone_dir(index_dir)
+        assert not os.path.isdir(tdir) or not any(
+            f.endswith(".parquet") for f in os.listdir(tdir)
+        )
+
+
 class TestIncrementalExactSubstrStream:
     def test_cross_batch_span_via_index_and_doc_store(self, spark, tmp_path):
         """r13: the suffix tier's fold twin. A 12-token span S appears

@@ -147,6 +147,11 @@ PLAN: dict[str, tuple[list[str], str]] = {
         [SF01, SF1, "/tmp/chiv-probe-10x-onefile"],
         "documents",
     ),
+    # round 15: the media deletion lifecycle (bounded 60-item media
+    # universe like the other media tiers -> expect near-flat; the
+    # two probes and the tombstone anti-join cost scale with the
+    # index slice, not the corpus)
+    "media_delete_then_probe": ([SF01, SF1, PROBE_DIR], "documents"),
 }
 
 #: single-FILE variant of the 10x replica for streaming rows: their
