@@ -192,7 +192,9 @@ HEADLINE = [
     "streaming_domain_stats",
     "pipeline_quality_funnel",
     # round 15: the media-tier deletion lifecycle (r14 verdict task 3)
+    # and the counter-store domain gate (task 5)
     "media_delete_then_probe",
+    "quality_domain_gate_incremental",
 ]
 
 

@@ -794,6 +794,58 @@ def quality_domain_gate(spark, sf_dir):
 
 
 @query(
+    "quality_domain_gate_incremental",
+    f"""
+    WITH rep AS ({_DOMAIN_REPORT_ORACLE.format(quality=_QREG["text_quality_filter"].oracle)}),
+    q AS ({_QREG["text_quality_filter"].oracle})
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    JOIN rep ON d.source = rep.source AND rep.kept
+    JOIN q ON q.doc_id = d.doc_id AND q.keep
+    """,
+    doc="the domain gate computed FROM the folded counter store (r14 "
+    "verdict task 5): quality_domain_gate re-aggregates the whole "
+    "corpus into a fresh domain report on every gating pass, but the "
+    "streaming fold (streaming.domain_stats) already holds exactly "
+    "the sufficient statistics — so this row folds the corpus stream "
+    "into per-(source, fingerprint) counters, derives the per-domain "
+    "verdict from the counters alone, and touches the corpus only "
+    "for the per-doc verdict join + final projection. Domain gating "
+    "thereby becomes delta-cost in the ingest pipeline like every "
+    "dedup tier: a new shard folds its own counters and the gate "
+    "reads the store, never re-scanning resident documents for "
+    "domain statistics. Retroactively exact under ANY batching (the "
+    "counter monoid), so the oracle is quality_domain_gate's shared "
+    "verbatim; cross-batch equality pytest-pinned",
+)
+def quality_domain_gate_incremental(spark, sf_dir):
+    import tempfile
+
+    from chiv_spark.queries.base import REGISTRY
+    from chiv_spark.streaming.domain_stats import (
+        domain_gate_from_counts,
+        domain_stats_stream,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    work = tempfile.mkdtemp(prefix="chiv-domgate-")
+    # run the fold for its side effect (the counter store); the
+    # returned report relation is not consumed here
+    domain_stats_stream(spark, stream, work)
+    doc_keep = (
+        REGISTRY["text_quality_filter"].fn(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    return domain_gate_from_counts(spark, f"{work}/counts", docs, doc_keep)
+
+
+@query(
     "streaming_domain_stats",
     _DOMAIN_REPORT_ORACLE.format(quality=_QREG["text_quality_filter"].oracle),
     doc="streaming twin of quality_domain_report as a MERGEABLE-"

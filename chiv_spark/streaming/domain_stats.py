@@ -139,6 +139,37 @@ def domain_stats_stream(
     return domain_report_from_counts(read_counts(spark, counts_dir))
 
 
+def domain_gate_from_counts(
+    spark: SparkSession,
+    counts_dir: str,
+    docs: DataFrame,
+    doc_keep: DataFrame,
+) -> DataFrame:
+    """The two-level domain gate computed FROM the folded counter
+    store (r14 verdict task 5): the per-domain verdict needs only the
+    sufficient statistics the fold already holds, so the corpus is
+    touched exactly once — for the per-doc verdict join and the final
+    projection — instead of being re-aggregated into a fresh domain
+    report on every gating pass. Because the counters are
+    retroactively exact under ANY batching, the gate equals the batch
+    recompute no matter how the corpus arrived (pytest-pinned
+    cross-batch). ``doc_keep`` is the (doc_id)-only relation of docs
+    whose own per-doc verdict is keep (the text_quality_filter
+    surviving set)."""
+    from chiv_spark.queries.quality import domain_report_from_counts
+
+    kept = (
+        domain_report_from_counts(read_counts(spark, counts_dir))
+        .filter(F.col("kept"))
+        .select("source")
+    )
+    return (
+        docs.join(F.broadcast(kept), "source")
+        .join(doc_keep, "doc_id")
+        .select("doc_id", "source", "lang")
+    )
+
+
 def delete_docs_counts(deleted_docs: DataFrame, counts_dir: str, batch_id: int) -> None:
     """GDPR-style forget on the counter store, expressed IN the
     monoid: a deletion writes the deleted documents' own counters

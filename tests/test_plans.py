@@ -702,6 +702,7 @@ class TestJoinAudit:
         "mlprep_shard_manifest": "SCALAR (total-tokens row for balance_ratio)",
         "pipeline_quality_funnel": "SCALAR (domain-report totals + stage-agg composes)",
         "quality_domain_gate": "SCALAR (domain-report totals row)",
+        "quality_domain_gate_incremental": "SCALAR (shared report tail's totals row)",
         "quality_domain_report": "SCALAR (corpus keep-rate totals row)",
         "streaming_domain_stats": "SCALAR (shared report tail's totals row)",
         "streaming_heavy_hitters": "SCALAR (threshold row — the batch twin's shape)",

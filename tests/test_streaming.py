@@ -1932,6 +1932,60 @@ class TestDomainStatsStream:
             == 1
         )
 
+    def test_gate_from_counters_matches_batch_gate_cross_batch(
+        self, spark, sf_dir, tmp_path
+    ):
+        """r14 verdict task 5: the domain gate computed FROM the
+        folded counter store must equal the batch-recompute gate
+        (quality_domain_gate) even when the corpus arrived in several
+        microbatches — the counter monoid makes the verdict
+        retroactively exact, so gating is delta-cost at ingest."""
+        from pyspark.sql import functions as F
+
+        from chiv_spark.queries.base import REGISTRY
+        from chiv_spark.streaming.domain_stats import (
+            domain_gate_from_counts,
+            domain_stats_stream,
+        )
+
+        docs = read_t(spark, sf_dir, "documents")
+        shards = tmp_path / "shards"
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+                str(shards / f"part{i}")
+            )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shards / "part*"))
+        )
+        domain_stats_stream(spark, stream, str(tmp_path / "work"))
+        counts_dir = str(tmp_path / "work" / "counts")
+        gens = (
+            spark.read.parquet(counts_dir)
+            .select("src_batch")
+            .distinct()
+            .count()
+        )
+        assert gens == 3  # the corpus really arrived cross-batch
+        doc_keep = (
+            REGISTRY["text_quality_filter"].fn(spark, sf_dir)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        got = {
+            tuple(r)
+            for r in domain_gate_from_counts(
+                spark, counts_dir, docs, doc_keep
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in REGISTRY["quality_domain_gate"].fn(spark, sf_dir).collect()
+        }
+        assert got == want
+        assert got  # non-vacuous: the gate keeps documents at sf0.001
+
     def test_deletion_is_a_negative_generation(self, spark, tmp_path):
         """GDPR forget in the monoid: deleting a doc writes its own
         counters negated; the report then equals the recompute

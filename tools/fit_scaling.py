@@ -152,6 +152,14 @@ PLAN: dict[str, tuple[list[str], str]] = {
     # two probes and the tombstone anti-join cost scale with the
     # index slice, not the corpus)
     "media_delete_then_probe": ([SF01, SF1, PROBE_DIR], "documents"),
+    # the counter-store gate: one stream fold + the per-doc verdict
+    # pass — corpus-linear like quality_domain_gate, minus its
+    # second domain-report aggregation (single-file probe dir: the
+    # readStream pathGlobFilter matches FILE names)
+    "quality_domain_gate_incremental": (
+        [SF01, SF1, "/tmp/chiv-probe-10x-onefile"],
+        "documents",
+    ),
 }
 
 #: single-FILE variant of the 10x replica for streaming rows: their
