@@ -195,6 +195,7 @@ HEADLINE = [
     # and the counter-store domain gate (task 5)
     "media_delete_then_probe",
     "quality_domain_gate_incremental",
+    "pipeline_quality_funnel_chained",
 ]
 
 

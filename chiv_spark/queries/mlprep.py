@@ -2576,3 +2576,162 @@ _FUNNEL_REG["pipeline_quality_funnel"] = _FUNNEL_REG[
     oracle=_quality_funnel_oracle(),
     doc=_FUNNEL_REG["pipeline_quality_funnel"].doc,
 )
+
+
+# --------------------------------------------------------------------------
+# pipeline_quality_funnel_chained — the TEXT-CHAINED twin of the
+# funnel (r14 verdict task 4): the unchained funnel evaluates every
+# tier on the RAW corpus (documented conditional-count semantics);
+# production curation chains rewrites — paragraph dedup runs ON the
+# boilerplate-cleaned text of gate-surviving docs. Both tiers operate
+# at the shared 10-token chunk granularity, so chaining is chunk-set
+# composition: gate survivors' chunks -> drop df>=threshold chunks
+# (df computed over the CHAINED input, not the raw corpus) ->
+# first-occurrence dedup over the SURVIVING chunks -> reassemble.
+# The divergence from the unchained funnel is quantified in the row
+# itself (the registered funnel relation joined on stage).
+
+
+def _quality_funnel_chained_oracle() -> str:
+    from chiv_spark.queries.base import REGISTRY
+    from chiv_spark.queries.llm import _BP_DF, _PARA_CTES
+
+    funnel = REGISTRY["pipeline_quality_funnel"].oracle
+    dom = REGISTRY["quality_domain_report"].oracle
+    q = REGISTRY["text_quality_filter"].oracle
+    ctoks = "CASE WHEN c = '' THEN 0 ELSE len(string_split(c, ' ')) END"
+    return f"""
+    WITH u AS MATERIALIZED ({funnel}),
+    domc AS MATERIALIZED (SELECT source FROM ({dom}) WHERE kept),
+    qc AS MATERIALIZED (SELECT doc_id FROM ({q}) WHERE keep),
+    {_PARA_CTES},
+    g AS (SELECT d.doc_id FROM documents d
+          JOIN domc ON d.source = domc.source
+          JOIN qc ON qc.doc_id = d.doc_id),
+    gh AS (SELECT hashed.* FROM hashed JOIN g USING (doc_id)),
+    gdf AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM gh GROUP BY h),
+    s2 AS (SELECT gh.* FROM gh JOIN gdf USING (h) WHERE gdf.nd < {_BP_DF}),
+    s2f AS (SELECT h, MIN(site) AS s0 FROM s2 GROUP BY h),
+    s3 AS (SELECT s2.* FROM s2 JOIN s2f USING (h) WHERE s2.site = s2f.s0),
+    agg2 AS (SELECT COUNT(DISTINCT doc_id) AS nd, COALESCE(SUM({ctoks}), 0) AS tk FROM s2),
+    agg3 AS (SELECT COUNT(DISTINCT doc_id) AS nd, COALESCE(SUM({ctoks}), 0) AS tk FROM s3),
+    ch AS (
+      SELECT u.stage,
+             CAST(CASE u.stage WHEN '2_boilerplate_rewrite' THEN agg2.nd
+                               WHEN '3_paragraph_dedup' THEN agg3.nd
+                               ELSE u.n_docs END AS BIGINT) AS n_docs,
+             CAST(CASE u.stage WHEN '2_boilerplate_rewrite' THEN agg2.tk
+                               WHEN '3_paragraph_dedup' THEN agg3.tk
+                               ELSE u.n_tokens END AS BIGINT) AS n_tokens,
+             u.n_docs AS n_docs_unchained,
+             u.n_tokens AS n_tokens_unchained
+      FROM u, agg2, agg3)
+    SELECT stage, n_docs, n_tokens, n_docs_unchained, n_tokens_unchained,
+           n_docs - n_docs_unchained AS docs_delta,
+           n_tokens - n_tokens_unchained AS tokens_delta
+    FROM ch
+    """
+
+
+@query(
+    "pipeline_quality_funnel_chained",
+    None,  # oracle attached below (composes the registered funnel oracle)
+    doc="the TEXT-CHAINED funnel twin (r14 verdict task 4): the "
+    "unchained funnel evaluates each tier on the raw corpus; here "
+    "stage N+1 consumes stage N's OUTPUT at the shared 10-token "
+    "chunk granularity — gate survivors are chunked, the "
+    "df-threshold is computed over the CHAINED input (a content farm "
+    "dropped by the gate no longer inflates chunk document "
+    "frequencies), and first-occurrence dedup runs over only the "
+    "boilerplate-surviving chunks (a chunk whose first occurrence "
+    "was boilerplate-dropped or gate-dropped survives at its next "
+    "site). Each row carries BOTH the chained and unchained "
+    "(n_docs, n_tokens) plus their deltas — the divergence the r14 "
+    "verdict asked to quantify, computed by joining the REGISTERED "
+    "funnel relation so twin and baseline cannot drift. Plan: the "
+    "gate broadcast + one doc-level verdict join, then the paragraph "
+    "tier's linear chunk shapes (two fingerprint hash-aggs, two "
+    "equi-joins back — chunk text never a shuffle key), two 1-row "
+    "chained aggs crossed under the funnel's 4-row relation",
+)
+def pipeline_quality_funnel_chained(spark, sf_dir):
+    from chiv_spark.operators import dedup
+    from chiv_spark.queries.base import REGISTRY
+    from chiv_spark.queries.llm import _BP_DF
+
+    docs = t(spark, sf_dir, "documents")
+    dom = (
+        REGISTRY["quality_domain_report"].fn(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("source")
+    )
+    qk = (
+        REGISTRY["text_quality_filter"].fn(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    gated = (
+        docs.join(F.broadcast(dom), "source")
+        .join(qk, "doc_id")
+        .select("doc_id", "text")
+    )
+    # chaining = chunk only the gate survivors: dropped docs never
+    # reach the chunk explode, and the df stats see the chained input
+    chunks = dedup.paragraph_chunks(gated)
+    gdf = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    s2 = chunks.join(gdf, "h").filter(F.col("nd") < _BP_DF)
+    s2f = s2.groupBy("h").agg(F.min("site").alias("s0"))
+    s3 = s2.join(s2f, "h").filter(F.col("site") == F.col("s0"))
+
+    def _ctoks():
+        return (
+            F.when(F.col("c") == "", 0)
+            .otherwise(F.size(F.split(F.col("c"), " ")))
+            .cast("long")
+        )
+
+    def _stage_agg(rel, n, tk):
+        return rel.agg(
+            F.countDistinct("doc_id").cast("long").alias(n),
+            F.coalesce(F.sum(_ctoks()), F.lit(0)).cast("long").alias(tk),
+        )
+
+    agg2 = _stage_agg(s2, "nd2", "tk2")
+    agg3 = _stage_agg(s3, "nd3", "tk3")
+    u = REGISTRY["pipeline_quality_funnel"].fn(spark, sf_dir)
+    st = F.col("stage")
+    n_docs = (
+        F.when(st == "2_boilerplate_rewrite", F.col("nd2"))
+        .when(st == "3_paragraph_dedup", F.col("nd3"))
+        .otherwise(F.col("n_docs"))
+        .cast("long")
+    )
+    n_tokens = (
+        F.when(st == "2_boilerplate_rewrite", F.col("tk2"))
+        .when(st == "3_paragraph_dedup", F.col("tk3"))
+        .otherwise(F.col("n_tokens"))
+        .cast("long")
+    )
+    return (
+        u.crossJoin(F.broadcast(agg2))
+        .crossJoin(F.broadcast(agg3))
+        .select(
+            "stage",
+            n_docs.alias("n_docs"),
+            n_tokens.alias("n_tokens"),
+            F.col("n_docs").alias("n_docs_unchained"),
+            F.col("n_tokens").alias("n_tokens_unchained"),
+            (n_docs - F.col("n_docs")).alias("docs_delta"),
+            (n_tokens - F.col("n_tokens")).alias("tokens_delta"),
+        )
+    )
+
+
+_FUNNEL_REG["pipeline_quality_funnel_chained"] = _FUNNEL_REG[
+    "pipeline_quality_funnel_chained"
+].__class__(
+    name="pipeline_quality_funnel_chained",
+    fn=_FUNNEL_REG["pipeline_quality_funnel_chained"].fn,
+    oracle=_quality_funnel_chained_oracle(),
+    doc=_FUNNEL_REG["pipeline_quality_funnel_chained"].doc,
+)

@@ -701,6 +701,7 @@ class TestJoinAudit:
         # vocabulary-sized left sides
         "mlprep_shard_manifest": "SCALAR (total-tokens row for balance_ratio)",
         "pipeline_quality_funnel": "SCALAR (domain-report totals + stage-agg composes)",
+        "pipeline_quality_funnel_chained": "SCALAR (funnel composes + two 1-row chained stage aggs)",
         "quality_domain_gate": "SCALAR (domain-report totals row)",
         "quality_domain_gate_incremental": "SCALAR (shared report tail's totals row)",
         "quality_domain_report": "SCALAR (corpus keep-rate totals row)",

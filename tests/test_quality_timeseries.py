@@ -224,3 +224,44 @@ class TestRound5Contracts:
         ).collect()
         assert all(r["residual_var"] >= 0 for r in rows)
         assert sum(r["n"] for r in rows) == 1000  # every event in one cell
+
+
+class TestChainedFunnel:
+    """pipeline_quality_funnel_chained: the text-chained twin's rows
+    must be internally consistent and diverge from the unchained
+    funnel in the theorem-backed direction (chunk document frequency
+    over the gate survivors is <= the raw-corpus df, so FEWER chunks
+    cross the boilerplate threshold and the chained stage-2 token
+    count can only be >= the unchained one)."""
+
+    def test_divergence_shape_and_direction(self, spark, sf_dir):
+        from chiv_spark.queries.base import REGISTRY
+
+        rows = {
+            r.stage: r
+            for r in REGISTRY["pipeline_quality_funnel_chained"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        assert set(rows) == {
+            "0_total",
+            "1_domain_gate",
+            "2_boilerplate_rewrite",
+            "3_paragraph_dedup",
+        }
+        for r in rows.values():
+            # delta columns are exactly chained - unchained
+            assert r.docs_delta == r.n_docs - r.n_docs_unchained
+            assert r.tokens_delta == r.n_tokens - r.n_tokens_unchained
+        # stages 0/1 precede any text rewrite: no divergence possible
+        assert rows["0_total"].tokens_delta == 0
+        assert rows["0_total"].docs_delta == 0
+        assert rows["1_domain_gate"].tokens_delta == 0
+        assert rows["1_domain_gate"].docs_delta == 0
+        # df over a subset never exceeds df over the corpus -> the
+        # chained boilerplate pass drops a SUBSET of the unchained
+        # drops among gate survivors
+        assert rows["2_boilerplate_rewrite"].tokens_delta >= 0
+        # survival counts are monotone down the funnel on both sides
+        chained = [rows[s].n_tokens for s in sorted(rows)]
+        assert chained == sorted(chained, reverse=True)

@@ -160,6 +160,10 @@ PLAN: dict[str, tuple[list[str], str]] = {
         [SF01, SF1, "/tmp/chiv-probe-10x-onefile"],
         "documents",
     ),
+    # the text-chained funnel twin: the unchained funnel's linear
+    # shapes plus one more chunk-granularity df/first-occurrence pass
+    # over the gate survivors — still corpus-linear
+    "pipeline_quality_funnel_chained": ([SF01, SF1, PROBE_DIR], "documents"),
 }
 
 #: single-FILE variant of the 10x replica for streaming rows: their
