@@ -56,3 +56,63 @@ class TestCompactLine:
         # fail main()'s assert; this guards the helper's math.
         out = _out(120)
         assert len(bench._compact_line(out)) < 1900
+
+
+class TestSweepCompaction:
+    """tools/check_correctness.py's per-block compacted value check
+    (r14 verdict task 7): at sf >= 0.1 the fuzzy join's 11M-row
+    multiset compare collapses to per-block (count, dist-sum,
+    hash-sum) aggregates. These pin that (a) the compacted relations
+    agree between engines, (b) the check is BINDING — a single
+    perturbed row flips it, (c) the threshold keeps the full compare
+    at the small sweep SF."""
+
+    def test_threshold_parses_sf_dirs(self):
+        from tools.check_correctness import _COMPACT_MIN_SF, _sf_of
+
+        assert _sf_of("/root/testdata/sf0.01") < _COMPACT_MIN_SF
+        assert _sf_of("/root/testdata/sf0.001/") < _COMPACT_MIN_SF
+        assert _sf_of("/root/testdata/sf0.1") >= _COMPACT_MIN_SF
+        assert _sf_of("/root/testdata/sf1") >= _COMPACT_MIN_SF
+        assert _sf_of("/weird/path") < _COMPACT_MIN_SF
+
+    def test_compacted_sides_agree_and_check_is_binding(self, spark):
+        import duckdb
+
+        from chiv_spark.queries.base import REGISTRY
+        from tools.check_correctness import (
+            _fuzzy_compact_oracle,
+            _fuzzy_compact_spark,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        spec = REGISTRY["join_fuzzy_levenshtein"]
+        got = {
+            tuple(r)
+            for r in _fuzzy_compact_spark(spec.fn(spark, sf)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW part AS SELECT * FROM '{sf}/part.parquet'"
+        )
+        want = {
+            tuple(r)
+            for r in con.execute(
+                _fuzzy_compact_oracle(spec.oracle)
+            ).fetchall()
+        }
+        assert got == want
+        assert got  # non-vacuous
+        # binding: perturb ONE row's dist on the oracle side — the
+        # block's dist_sum AND hash_sum must both move
+        tampered = f"""
+        SELECT key_a, key_b, name_a, name_b,
+               CASE WHEN ROW_NUMBER() OVER (ORDER BY key_a, key_b) = 1
+                    THEN dist + 1 ELSE dist END AS dist
+        FROM ({spec.oracle})
+        """
+        bad = {
+            tuple(r)
+            for r in con.execute(_fuzzy_compact_oracle(tampered)).fetchall()
+        }
+        assert bad != got

@@ -39,7 +39,82 @@ def norm(v: object) -> object:
     return v
 
 
-def typed_shape_problems(sdf, con, oracle: str) -> list[str]:
+# ---------------------------------------------------------------------------
+# Sweep-scale value-check compaction (r14 verdict task 7).
+#
+# join_fuzzy_levenshtein emits 11M rows at sf0.1; its naive oracle plus
+# the full row-multiset compare made it the sweep's largest single row
+# (~220s, ~8% of the sf0.1 wall). For the queries below, at scale
+# factors >= the threshold BOTH sides are collapsed to per-block
+# aggregates — row count, dist-sum, and a sum over the shared md5-60bit
+# per-row hash (mod 2^30 so an 11M-row sum stays far inside BIGINT) —
+# before the compare. Equally binding: any row-level difference moves
+# its block's count, dist-sum, or hash-sum w.h.p.; and the FULL row-set
+# compare still runs at sf0.01 (below the threshold), so the row
+# semantics themselves stay pinned every sweep.
+
+_COMPACT_MIN_SF = 0.1
+_H_MOD = 1 << 30
+
+
+def _fuzzy_compact_spark(sdf):
+    from pyspark.sql import functions as F
+
+    from chiv_spark.functions.hashing import hash64
+
+    row_h = F.pmod(
+        hash64(
+            F.concat_ws(
+                "|",
+                F.lit("fzck:"),
+                F.col("key_a").cast("string"),
+                F.col("key_b").cast("string"),
+                F.col("name_a"),
+                F.col("name_b"),
+                F.col("dist").cast("string"),
+            )
+        ),
+        F.lit(_H_MOD),
+    )
+    return sdf.groupBy(
+        F.element_at(F.split(F.col("name_a"), " "), -1).alias("block")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("dist").cast("long").alias("dist_sum"),
+        F.sum(row_h).cast("long").alias("h_sum"),
+    )
+
+
+def _fuzzy_compact_oracle(oracle: str) -> str:
+    row_h = (
+        "((('0x' || substring(md5('fzck:' || '|' || key_a::VARCHAR || '|' "
+        "|| key_b::VARCHAR || '|' || name_a || '|' || name_b || '|' "
+        f"|| dist::VARCHAR), 1, 15))::BIGINT) % {_H_MOD})"
+    )
+    return f"""
+    SELECT string_split(name_a, ' ')[-1] AS block,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(dist) AS BIGINT) AS dist_sum,
+           CAST(SUM({row_h}) AS BIGINT) AS h_sum
+    FROM ({oracle}) GROUP BY 1
+    """
+
+
+#: query name -> (spark-side compactor, oracle-side wrapper)
+SWEEP_COMPACT = {
+    "join_fuzzy_levenshtein": (_fuzzy_compact_spark, _fuzzy_compact_oracle),
+}
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base[2:]) if base.startswith("sf") else 0.0
+    except ValueError:
+        return 0.0
+
+
+def typed_shape_problems(sdf, con, oracle: str, frames=None) -> list[str]:
     """Replay the driver's pandas-typed view of both sides: per-column
     dtype-kind comparison (int-vs-float is a hash mismatch even when
     values are equal) plus an unhashable-cell scan.
@@ -50,12 +125,18 @@ def typed_shape_problems(sdf, con, oracle: str) -> list[str]:
     NaN/NaT) and type scalars differently (Python vs numpy/pandas),
     and the driver's typed hash sees the *pandas* view — deriving it
     from the Python-object rows would test a different encoding than
-    the one being replayed. The ~2x harness cost is accepted."""
+    the one being replayed. The ~2x harness cost is accepted — except
+    for SWEEP_COMPACT queries, which pass ``frames`` (their value pass
+    already went through pandas, so re-executing the heavy oracle a
+    second time would buy nothing)."""
     import numpy as np
 
     problems: list[str] = []
-    spdf = sdf.toPandas()
-    odf = con.execute(oracle).fetchdf()
+    if frames is not None:
+        spdf, odf = frames
+    else:
+        spdf = sdf.toPandas()
+        odf = con.execute(oracle).fetchdf()
     if sorted(spdf.columns) != sorted(odf.columns):
         return problems  # column mismatch already reported by the value pass
     for c in sorted(spdf.columns):
@@ -120,10 +201,33 @@ def run(sf_dir: str, names: list[str]) -> int:
     for name in names:
         spec = REGISTRY[name]
         t0 = time.time()
+        compact = (
+            SWEEP_COMPACT.get(name)
+            if _sf_of(sf_dir) >= _COMPACT_MIN_SF and spec.oracle is not None
+            else None
+        )
+        oracle_sql = spec.oracle
+        tag = ""
+        frames = None
         try:
             sdf = spec.fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(norm(v) for v in row) for row in sdf.collect()]
+            if compact:
+                sdf = compact[0](sdf)
+                oracle_sql = compact[1](spec.oracle)
+                tag = " (per-block compacted value check)"
+                # one execution per side: the value rows AND the
+                # typed-shape frames both come from this pandas pull
+                # (re-running the heavy oracle twice is the cost this
+                # compaction exists to remove)
+                spdf_c = sdf.toPandas()
+                scols = list(spdf_c.columns)
+                srows = [
+                    tuple(norm(v) for v in row)
+                    for row in spdf_c.itertuples(index=False, name=None)
+                ]
+            else:
+                scols = sdf.columns
+                srows = [tuple(norm(v) for v in row) for row in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
@@ -134,9 +238,18 @@ def run(sf_dir: str, names: list[str]) -> int:
                 print(f"WARN {name}: zero rows from rows-only query")
             continue
         try:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = [tuple(norm(v) for v in row) for row in res.fetchall()]
+            if compact:
+                odf_c = con.execute(oracle_sql).fetchdf()
+                ocols = list(odf_c.columns)
+                orows = [
+                    tuple(norm(v) for v in row)
+                    for row in odf_c.itertuples(index=False, name=None)
+                ]
+                frames = (spdf_c, odf_c)
+            else:
+                res = con.execute(oracle_sql)
+                ocols = [d[0] for d in res.description]
+                orows = [tuple(norm(v) for v in row) for row in res.fetchall()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
@@ -157,12 +270,17 @@ def run(sf_dir: str, names: list[str]) -> int:
                 ][:3]
                 problems.append(f"values differ; first mismatches: {mism}")
             else:
-                problems.extend(typed_shape_problems(sdf, con, spec.oracle))
+                problems.extend(
+                    typed_shape_problems(sdf, con, oracle_sql, frames=frames)
+                )
         if problems:
             failures += 1
             print(f"FAIL {name}: " + " | ".join(problems))
         else:
-            print(f"PASS {name}: {len(srows)} rows, {len(scols)} cols  [{time.time()-t0:.1f}s]")
+            print(
+                f"PASS {name}: {len(srows)} rows, {len(scols)} cols"
+                f"{tag}  [{time.time()-t0:.1f}s]"
+            )
     return failures
 
 
