@@ -1,0 +1,196 @@
+"""Organic third decade for the HEAVY tier (r14 verdict task 6).
+
+Local test data tops out at sf0.1; the prior 100x claims for the
+suffix/capstone tiers rest on REPLICATED corpora (tools/probe_scale),
+which SCALING.md honestly flags as adversarial-not-organic: every
+variant group multiplies true-duplicate density, so superlinear walls
+there are output-bound, not plan defects. This tool generates an
+ORGANIC sf1-equivalent — drawn from the same generative process the
+driver's testdata exhibits, measured off sf0.01/sf0.1:
+
+- documents: 10x sf0.1's row count; 30-word uniform vocabulary (the
+  exact observed vocab), doc length uniform[10, 100] tokens, lang
+  multinomial (en 0.4, de/es/fr/zh 0.15), source uniform over
+  src0..src19, and the observed ORGANIC duplication process: 5% of
+  docs copy a uniformly chosen earlier doc's text + ' dup' (exact-dup
+  collisions then arise naturally when two dup-docs pick the same
+  base, matching the 8-groups-in-5000 rate at sf0.1).
+- embeddings: continuing the observed 500 -> 2000 progression (4x per
+  docs-decade), 64-dim float32 unit Gaussian vectors, label uniform
+  0..9, no duplicate vectors (none exist at either test SF).
+
+Then it times the TOP-10 heaviest registry rows (by the r14 sf0.1
+bench) at sf0.01 -> sf0.1 -> organic-sf1 and fits the top-decade
+exponent b = log(w2/w1)/log(N2/N1). One timed noop-sink wall per
+scale after a count() warmup (the fit_decade3 protocol: top-decade
+walls are far above this box's job overhead). The capstone flag cache
+is cleared before every timed run so each wall measures the cold
+stage stack, not a memoized read.
+
+Usage: python tools/organic_decade.py [names...]
+Output: one markdown table (append to SCALING.md) + per-run lines.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ORGANIC_DIR = "/tmp/chiv-organic-sf1"
+SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
+SEED = 15
+
+#: the exact vocabulary observed in the driver's documents tables
+#: (31 distinct words at both SFs; 'dup' only ever appears as the
+#: near-dup suffix, so it is not in the fresh-text vocab)
+VOCAB = (
+    "spark window merge table column vector stream value data small "
+    "join filter big group hash customer sort order slow line part "
+    "fast row the agg key query a scan batch"
+).split()
+
+#: observed lang weights (sf0.1: en 2059/5000, others ~744/5000 each)
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_W = [0.4, 0.15, 0.15, 0.15, 0.15]
+
+DUP_FRAC = 0.05  # 250 of 5000 sf0.1 docs carry the ' dup' suffix
+
+#: top-10 heaviest registry rows by the r14 sf0.1 bench, with the
+#: input table whose row count the exponent fits against (the ANN
+#: rows read embeddings, which grow 4x per docs-decade here exactly
+#: as they do between the driver's own SFs)
+HEAVY = {
+    "pipeline_capstone_dataset_card": "documents",
+    "streaming_incremental_exact_substr": "documents",
+    "pipeline_curation_capstone": "documents",
+    "exact_substr_delete_then_probe": "documents",
+    "dedup_exact_substr": "documents",
+    "dedup_incremental_exact_substr": "documents",
+    "dedup_exact_substr_fixpoint": "documents",
+    "ann_delete_then_probe": "embeddings",
+    "ann_ivfpq_maintenance": "embeddings",
+    "ann_ivfpq_topk": "embeddings",
+}
+
+
+def build_organic(out_dir: str = ORGANIC_DIR, n_docs: int = 50_000,
+                  n_emb: int = 8_000, seed: int = SEED) -> None:
+    """Write documents.parquet / embeddings.parquet as single FILES
+    (the streaming rows' pathGlobFilter matches file names)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    texts: list[str] = []
+    for i in range(n_docs):
+        if i > 0 and rng.random() < DUP_FRAC:
+            texts.append(texts[int(rng.integers(0, i))] + " dup")
+        else:
+            n = int(rng.integers(10, 101))
+            texts.append(" ".join(rng.choice(VOCAB, size=n)))
+    langs = rng.choice(LANGS, size=n_docs, p=LANG_W)
+    sources = [f"src{int(s)}" for s in rng.integers(0, 20, size=n_docs)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([str(x) for x in langs], pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int32()),
+        }
+    )
+    pq.write_table(docs, f"{out_dir}/documents.parquet")
+
+    vecs = rng.standard_normal((n_emb, 64)).astype("float32")
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n_emb), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                [int(x) for x in rng.integers(0, 10, size=n_emb)], pa.int32()
+            ),
+        }
+    )
+    pq.write_table(emb, f"{out_dir}/embeddings.parquet")
+
+
+def _clear_capstone_cache() -> None:
+    from chiv_spark.queries.mlprep import _CAPSTONE_CACHE
+
+    for flags, cans in _CAPSTONE_CACHE.values():
+        flags.unpersist()
+        for c in cans.values():
+            c.unpersist()
+    _CAPSTONE_CACHE.clear()
+
+
+def main() -> None:
+    from chiv_spark.queries import REGISTRY
+    from chiv_spark.session import get_spark
+
+    names = sys.argv[1:] or list(HEAVY)
+    spark = get_spark("organic-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_organic()
+    ncache: dict[tuple[str, str], int] = {}
+
+    def n_of(d: str, table: str) -> int:
+        if (d, table) not in ncache:
+            ncache[(d, table)] = spark.read.parquet(
+                f"{d}/{table}.parquet"
+            ).count()
+        return ncache[(d, table)]
+
+    rows = []
+    for name in names:
+        table = HEAVY.get(name, "documents")
+        ns, ts, outs = [], [], []
+        for d in (SF001, SF01, ORGANIC_DIR):
+            n = n_of(d, table)
+            _clear_capstone_cache()
+            t0 = time.perf_counter()
+            out = REGISTRY[name].fn(spark, d).count()  # warmup + volume
+            warm = time.perf_counter() - t0
+            _clear_capstone_cache()
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            w = time.perf_counter() - t0
+            ns.append(n)
+            ts.append(w)
+            outs.append(out)
+            print(
+                f"{name} @ {os.path.basename(d)}: N={n:,} out={out:,} "
+                f"wall={w:.2f}s (warmup {warm:.2f}s)",
+                flush=True,
+            )
+        top = math.log(ts[2] / ts[1]) / math.log(ns[2] / ns[1])
+        rows.append((name, ns, ts, outs, top))
+    print("\n| row | N input rows (ladder) | walls (s) | out rows | organic-decade b |")
+    print("|---|---|---|---|---|")
+    for name, ns, ts, outs, top in rows:
+        walls = " / ".join(f"{x:.2f}" for x in ts)
+        os_ = " / ".join(f"{o:,}" for o in outs)
+        print(
+            f"| `{name}` | {ns[0]:,} → {ns[1]:,} → {ns[2]:,} | {walls} | "
+            f"{os_} | {top:.2f} |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
