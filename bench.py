@@ -196,6 +196,7 @@ HEADLINE = [
     "media_delete_then_probe",
     "quality_domain_gate_incremental",
     "pipeline_quality_funnel_chained",
+    "join_fuzzy_cap_autotune",
 ]
 
 

@@ -144,6 +144,14 @@ _FZ_NAMED_SQL = f"""
     "is pinned, not hidden; join_fuzzy_capped_report quantifies it",
 )
 def join_fuzzy_levenshtein_capped(spark, sf_dir):
+    return capped_fuzzy_pairs(spark, sf_dir, _FZ_CAP)
+
+
+def capped_fuzzy_pairs(spark, sf_dir, cap: int = _FZ_CAP):
+    """The capped join body with the cap as a parameter — the
+    registered row pins cap = _FZ_CAP; tools/fuzzy_cap_curve.py walks
+    the ladder to measure the recall/cost curve the autotune row's
+    bounds predict."""
     from pyspark.sql import Window
 
     from chiv_spark.functions.hashing import hash64
@@ -159,7 +167,7 @@ def join_fuzzy_levenshtein_capped(spark, sf_dir):
             hash64(F.concat(F.lit("fzcap:"), F.col("k").cast("string"))), F.col("k")
         )
     )
-    kept = named.withColumn("rk", rk).filter(F.col("rk") <= _FZ_CAP)
+    kept = named.withColumn("rk", rk).filter(F.col("rk") <= cap)
     a, b = kept.alias("a"), kept.alias("b")
     d = F.levenshtein(F.col("a.name"), F.col("b.name"))
     return (
@@ -217,3 +225,150 @@ def join_fuzzy_capped_report(spark, sf_dir):
         "n_capped",
         "saturated",
     )
+
+
+# --------------------------------------------------------------------------
+# join_fuzzy_cap_autotune — saturation-aware cap tuning (r14 verdict
+# task 8): _FZ_CAP was a constant; this row turns it into an
+# evidence-backed knob. From the capped report's sufficient
+# statistics alone (per-sub-block membership — ONE hash agg, no join,
+# no pairwise work), it evaluates a ladder of candidate caps: members
+# kept/dropped, the drop rate, the pair-work upper bound
+# sum(min(m, cap) choose 2) that bounds BOTH output volume and join
+# cost at any corpus size, and how many sub-blocks saturate. The
+# recommended cap is the smallest whose member drop-rate stays within
+# _FZ_DROP_TARGET (falling back to the ladder's largest when none
+# qualifies — the report then says the target itself is infeasible at
+# this corpus shape). The sweep runs this at both SFs, so the curve
+# is committed evidence, not a one-off; tools/fuzzy_cap_curve.py adds
+# the MEASURED pair-recall/cost curve for SCALING.md.
+
+#: candidate cap ladder around the production default (_FZ_CAP = 64)
+_FZ_CAP_LADDER = [16, 32, 64, 128, 256, 512]
+
+#: member drop-rate budget the recommendation enforces
+_FZ_DROP_TARGET = 0.25
+
+
+def _cap_autotune_oracle() -> str:
+    from chiv_spark.functions.detmath import duckdb_det_round
+
+    ladder = ", ".join(str(c) for c in _FZ_CAP_LADDER)
+    return f"""
+    WITH named AS ({_FZ_NAMED_SQL}),
+    blocks AS (SELECT block, lb, COUNT(*) AS m FROM named GROUP BY block, lb),
+    caps AS (SELECT unnest([{ladder}]) AS cap),
+    curve AS (
+      SELECT cap,
+             CAST(SUM(LEAST(m, cap)) AS BIGINT) AS n_kept_members,
+             CAST(SUM(GREATEST(m - cap, 0)) AS BIGINT) AS n_dropped_members,
+             CAST(SUM((LEAST(m, cap) * (LEAST(m, cap) - 1)) // 2) AS BIGINT)
+               AS bound_pairs,
+             CAST(SUM(CASE WHEN m > cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS saturated_blocks
+      FROM blocks CROSS JOIN caps GROUP BY cap),
+    rated AS (
+      SELECT *,
+             {duckdb_det_round("n_dropped_members / CAST(n_kept_members + n_dropped_members AS DOUBLE)")}
+               AS drop_rate
+      FROM curve),
+    pick AS (
+      SELECT COALESCE(MIN(CASE WHEN drop_rate <= {_FZ_DROP_TARGET} THEN cap END),
+                      MAX(cap)) AS rec
+      FROM rated)
+    SELECT CAST(cap AS BIGINT) AS cap, n_kept_members, n_dropped_members,
+           drop_rate, bound_pairs, saturated_blocks,
+           drop_rate <= {_FZ_DROP_TARGET} AS meets_target,
+           cap = pick.rec AS recommended
+    FROM rated, pick
+    """
+
+
+@query(
+    "join_fuzzy_cap_autotune",
+    None,  # oracle attached below (needs _cap_autotune_oracle())
+    doc="saturation-aware CAP AUTO-TUNING for the capped fuzzy join "
+    "(r14 verdict task 8 — the LSH bucket-cap precedent applied to "
+    "the fuzzy dial): evaluates a cap ladder from the sub-block "
+    "membership statistics ALONE — members kept/dropped and drop "
+    "rate per candidate cap, the pair-work upper bound "
+    "sum(min(m,cap) choose 2) that bounds output and join cost at "
+    "any corpus size, saturated-block counts — and recommends the "
+    "smallest cap whose member drop-rate stays within the target "
+    "(largest-ladder fallback = 'target infeasible here'). Plan: one "
+    "map-side hash agg on the block keys, a TINY 6-row cap ladder "
+    "broadcast under the blocks relation, one 6-row curve agg + a "
+    "1-row pick broadcast — no pairwise work anywhere, so the knob "
+    "can be re-evaluated every ingest at any scale",
+)
+def join_fuzzy_cap_autotune(spark, sf_dir):
+    from chiv_spark.functions.detmath import det_round
+
+    named = t(spark, sf_dir, "part").select(
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+        F.expr(f"CAST(length(p_name) AS INT) div {_FZ_LEN_W}").alias("lb"),
+    )
+    blocks = named.groupBy("block", "lb").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    caps = spark.createDataFrame(
+        [(c,) for c in _FZ_CAP_LADDER], "cap int"
+    )
+    k = F.least(F.col("m"), F.col("cap"))
+    curve = (
+        blocks.crossJoin(F.broadcast(caps))
+        .groupBy("cap")
+        .agg(
+            F.sum(k).cast("long").alias("n_kept_members"),
+            F.sum(F.greatest(F.col("m") - F.col("cap"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped_members"),
+            F.sum(F.expr(
+                f"(least(m, cap) * (least(m, cap) - 1)) div 2"
+            )).cast("long").alias("bound_pairs"),
+            F.sum(F.when(F.col("m") > F.col("cap"), 1).otherwise(0))
+            .cast("long")
+            .alias("saturated_blocks"),
+        )
+    )
+    rated = curve.withColumn(
+        "drop_rate",
+        det_round(
+            F.col("n_dropped_members")
+            / (F.col("n_kept_members") + F.col("n_dropped_members")).cast(
+                "double"
+            )
+        ),
+    )
+    pick = rated.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("drop_rate") <= _FZ_DROP_TARGET, F.col("cap")
+                )
+            ),
+            F.max("cap"),
+        ).alias("rec")
+    )
+    return rated.crossJoin(F.broadcast(pick)).select(
+        F.col("cap").cast("long").alias("cap"),
+        "n_kept_members",
+        "n_dropped_members",
+        "drop_rate",
+        "bound_pairs",
+        "saturated_blocks",
+        (F.col("drop_rate") <= _FZ_DROP_TARGET).alias("meets_target"),
+        (F.col("cap") == F.col("rec")).alias("recommended"),
+    )
+
+
+from chiv_spark.queries.base import REGISTRY as _FZ_REG  # noqa: E402
+
+_FZ_REG["join_fuzzy_cap_autotune"] = _FZ_REG[
+    "join_fuzzy_cap_autotune"
+].__class__(
+    name="join_fuzzy_cap_autotune",
+    fn=_FZ_REG["join_fuzzy_cap_autotune"].fn,
+    oracle=_cap_autotune_oracle(),
+    doc=_FZ_REG["join_fuzzy_cap_autotune"].doc,
+)

@@ -164,6 +164,9 @@ PLAN: dict[str, tuple[list[str], str]] = {
     # shapes plus one more chunk-granularity df/first-occurrence pass
     # over the gate survivors — still corpus-linear
     "pipeline_quality_funnel_chained": ([SF01, SF1, PROBE_DIR], "documents"),
+    # the cap-ladder autotune: one block-keyed hash agg + a 6-row
+    # ladder broadcast — expect near-flat over the part SF ladder
+    "join_fuzzy_cap_autotune": ([SF001, SF01, SF1], "part"),
 }
 
 #: single-FILE variant of the 10x replica for streaming rows: their
