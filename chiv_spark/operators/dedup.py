@@ -1033,10 +1033,17 @@ def incremental_paragraph_rebuild(
     equals the full-recompute global minimum — the oracle identity.
     Only the delta is chunked (O(|delta|) arrival cost); the corpus
     contributes pre-computed (h, site) rows, its raw text is never
-    re-read, and the join against a bucketed index prunes to the pb
-    partitions the delta's fingerprints touch."""
+    re-read, and the index relation is pre-pruned here by a LEFT
+    SEMI join against the delta's fingerprints (the delta side is
+    small, so it broadcasts — index rows for untouched fingerprints
+    never enter the min-site agg, in the batch path as well as under
+    the streaming harness's pb-bucket pruning; the
+    incremental_boilerplate_rebuild shape)."""
+    touched = delta_chunks.select("h").distinct()
     combined = delta_chunks.select("h", "site").unionByName(
-        index.select("h", "site")
+        index.join(F.broadcast(touched), "h", "left_semi").select(
+            "h", "site"
+        )
     )
     firsts = combined.groupBy("h").agg(F.min("site").alias("s0"))
     return paragraph_rebuild(delta_chunks, firsts)
