@@ -432,10 +432,12 @@ def main() -> None:
     # full-map line hit 2379 bytes and BENCH_r14.json came back
     # parsed:null. The compact stdout line therefore carries only the
     # top-N slowest rows (the full map is already in bench_detail.json)
-    # and is hard-asserted under 1900 bytes so growth can never
-    # silently break the driver's perf gate again.
+    # and is hard-gated under 1900 bytes so growth can never silently
+    # break the driver's perf gate again (RuntimeError, not assert:
+    # python -O must not strip the gate — r15 advice, bench.py:438).
     line = _compact_line(out)
-    assert len(line) < 1900, f"compact bench line {len(line)}B >= 1900B"
+    if len(line) >= 1900:
+        raise RuntimeError(f"compact bench line {len(line)}B >= 1900B")
     # printed twice so a fixed-size tail window that starts mid-line
     # still contains one complete copy
     print(line)

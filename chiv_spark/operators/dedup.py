@@ -1003,15 +1003,16 @@ def incremental_boilerplate_rebuild(
     survival rule from incremental_paragraph_rebuild's min-site).
     Only the delta is chunked; the corpus contributes fingerprint
     rows only, pre-pruned here by a LEFT SEMI join against the
-    delta's fingerprints (the delta side is small, so it broadcasts
-    — index rows for untouched fingerprints never enter the df agg,
-    in the batch path as well as under the streaming harness's
-    pb-bucket pruning)."""
+    delta's fingerprints (no forced broadcast: a typical delta is
+    tiny and AQE picks a broadcast semi join on its runtime size,
+    but a bulk-backfill delta larger than the broadcast threshold
+    degrades to a shuffle semi join instead of blowing driver
+    memory — index rows for untouched fingerprints never enter the
+    df agg either way, in the batch path as well as under the
+    streaming harness's pb-bucket pruning)."""
     touched = delta_chunks.select("h").distinct()
     combined = delta_chunks.select("h", "doc_id").unionByName(
-        index.join(F.broadcast(touched), "h", "left_semi").select(
-            "h", "doc_id"
-        )
+        index.join(touched, "h", "left_semi").select("h", "doc_id")
     )
     df = combined.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     return paragraph_rebuild_where(
@@ -1034,16 +1035,15 @@ def incremental_paragraph_rebuild(
     Only the delta is chunked (O(|delta|) arrival cost); the corpus
     contributes pre-computed (h, site) rows, its raw text is never
     re-read, and the index relation is pre-pruned here by a LEFT
-    SEMI join against the delta's fingerprints (the delta side is
-    small, so it broadcasts — index rows for untouched fingerprints
-    never enter the min-site agg, in the batch path as well as under
-    the streaming harness's pb-bucket pruning; the
-    incremental_boilerplate_rebuild shape)."""
+    SEMI join against the delta's fingerprints (no forced broadcast:
+    AQE broadcasts a small delta on its runtime size and falls back
+    to a shuffle semi join for a bulk backfill — index rows for
+    untouched fingerprints never enter the min-site agg either way,
+    in the batch path as well as under the streaming harness's
+    pb-bucket pruning; the incremental_boilerplate_rebuild shape)."""
     touched = delta_chunks.select("h").distinct()
     combined = delta_chunks.select("h", "site").unionByName(
-        index.join(F.broadcast(touched), "h", "left_semi").select(
-            "h", "site"
-        )
+        index.join(touched, "h", "left_semi").select("h", "site")
     )
     firsts = combined.groupBy("h").agg(F.min("site").alias("s0"))
     return paragraph_rebuild(delta_chunks, firsts)

@@ -11,6 +11,7 @@ DuckDB's list_dot_product), or integer-quantized arithmetic.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -1666,6 +1667,15 @@ def _media_delete_oracle(ctes: str, sig_prefix: str, del_prefix: str) -> str:
     """
 
 
+#: one outstanding (persisted dsig, owned work dir) per (application,
+#: modality): the returned relation is LAZY over dsig, so the persist
+#: cannot be released inside the builder — instead the NEXT invocation
+#: for the same modality releases the previous one, bounding repeated
+#: bench/sweep runs at one persisted block + one temp index tree per
+#: modality instead of accumulating (r15 advice, llm.py:318).
+_MEDIA_DEL_STATE: dict = {}
+
+
 def media_delete_then_probe_rel(
     spark, sf_dir, sig_prefix, del_prefix, sig_builder, sig_col, work_dir=None
 ):
@@ -1703,6 +1713,16 @@ def media_delete_then_probe_rel(
 
     delta_ids = ids.filter(_fate(F.col("media_id")) == 0)
     base_ids = ids.filter(_fate(F.col("media_id")) != 0)
+    state_key = (spark.sparkContext.applicationId, sig_prefix)
+    prev = _MEDIA_DEL_STATE.pop(state_key, None)
+    if prev is not None:
+        prev_dsig, prev_owned_work = prev
+        try:
+            prev_dsig.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped context is fine
+            pass
+        if prev_owned_work is not None:
+            shutil.rmtree(prev_owned_work, ignore_errors=True)
     work = work_dir or tempfile.mkdtemp(prefix="chiv-mediadel-")
     index_dir = f"{work}/index"
     write_index_generation(
@@ -1737,6 +1757,10 @@ def media_delete_then_probe_rel(
         id_col="media_id",
     )
     after = probe()
+    _MEDIA_DEL_STATE[state_key] = (
+        dsig,
+        work if work_dir is None else None,
+    )
     both = before.withColumn("phase", F.lit("before")).unionByName(
         after.withColumn("phase", F.lit("after"))
     )

@@ -183,7 +183,17 @@ def delete_docs_counts(deleted_docs: DataFrame, counts_dir: str, batch_id: int) 
     replay of the same id overwrites, never double-subtracts — the
     same dynamic-overwrite idempotency contract as the fold); it is
     mapped into the reserved DELETE_BASE range so it can never
-    collide with a stream generation or SEED_BATCH."""
+    collide with a stream generation or SEED_BATCH.
+
+    FORMAT NOTE: the DELETE_BASE remapping is a store-format break
+    versus the original scheme that wrote deletions under the raw
+    request id. No store written under the old scheme persists (the
+    layout ships fresh per store dir and nothing in-repo ever wrote
+    the old format to a durable path), so no migration is shipped;
+    if one ever surfaces, replaying a request id against it would
+    leave the legacy raw-id negation in place AND write the remapped
+    one — compact or rebuild such a store rather than replaying into
+    it."""
     from chiv_spark.queries.quality import domain_counts
 
     if batch_id < 0:

@@ -116,3 +116,56 @@ class TestSweepCompaction:
             for r in con.execute(_fuzzy_compact_oracle(tampered)).fetchall()
         }
         assert bad != got
+        # binding on DROPPED rows too (r15 verdict task 7): remove a
+        # single pair — n_pairs, dist_sum and h_sum all move for its
+        # block, so the compacted compare catches a silently-missing
+        # row exactly like a perturbed one
+        dropped = f"""
+        SELECT * FROM (
+            SELECT key_a, key_b, name_a, name_b, dist,
+                   ROW_NUMBER() OVER (ORDER BY key_a, key_b) AS rn
+            FROM ({spec.oracle})
+        ) WHERE rn > 1
+        """
+        dropped_q = _fuzzy_compact_oracle(
+            f"SELECT key_a, key_b, name_a, name_b, dist FROM ({dropped})"
+        )
+        short = {tuple(r) for r in con.execute(dropped_q).fetchall()}
+        assert short != got
+
+    def test_null_fields_hash_identically_on_both_sides(self, spark):
+        """A NULL field must hash to the SAME sentinel value on both
+        engines (r15 advice, check_correctness.py:112): Spark's
+        concat_ws silently skips NULLs while DuckDB's || nulls the
+        whole expression and SUM drops it — both sides now coalesce
+        every field to '<null>' so a future nullable column fails the
+        compare loudly instead of diverging asymmetrically."""
+        import duckdb
+        import pandas as pd
+
+        from tools.check_correctness import (
+            _fuzzy_compact_oracle,
+            _fuzzy_compact_spark,
+        )
+
+        pdf = pd.DataFrame(
+            {
+                "key_a": [1, 2, 3],
+                "key_b": [10, 20, 30],
+                "name_a": ["alpha blue", None, "gamma blue"],
+                "name_b": ["x", "y", None],
+                "dist": [1, 2, 3],
+            }
+        )
+        sdf = spark.createDataFrame(pdf)
+        got = {tuple(r) for r in _fuzzy_compact_spark(sdf).collect()}
+        con = duckdb.connect()
+        con.register("fz", pdf)
+        want = {
+            tuple(r)
+            for r in con.execute(
+                _fuzzy_compact_oracle("SELECT * FROM fz")
+            ).fetchall()
+        }
+        assert got == want
+        assert got  # non-vacuous

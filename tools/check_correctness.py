@@ -62,16 +62,24 @@ def _fuzzy_compact_spark(sdf):
 
     from chiv_spark.functions.hashing import hash64
 
+    # coalesce every field on BOTH sides: concat_ws silently skips
+    # NULLs while DuckDB's || nulls the whole hash (and SUM ignores
+    # it) — without the sentinel a future nullable column would make
+    # the two sides diverge asymmetrically instead of failing loudly
+    # (r15 advice, check_correctness.py:112)
+    def _nn(c):
+        return F.coalesce(c, F.lit("<null>"))
+
     row_h = F.pmod(
         hash64(
             F.concat_ws(
                 "|",
                 F.lit("fzck:"),
-                F.col("key_a").cast("string"),
-                F.col("key_b").cast("string"),
-                F.col("name_a"),
-                F.col("name_b"),
-                F.col("dist").cast("string"),
+                _nn(F.col("key_a").cast("string")),
+                _nn(F.col("key_b").cast("string")),
+                _nn(F.col("name_a")),
+                _nn(F.col("name_b")),
+                _nn(F.col("dist").cast("string")),
             )
         ),
         F.lit(_H_MOD),
@@ -86,10 +94,16 @@ def _fuzzy_compact_spark(sdf):
 
 
 def _fuzzy_compact_oracle(oracle: str) -> str:
+    # COALESCE each field to the same '<null>' sentinel the Spark
+    # side uses, so both hashes treat NULLs identically (see
+    # _fuzzy_compact_spark)
     row_h = (
-        "((('0x' || substring(md5('fzck:' || '|' || key_a::VARCHAR || '|' "
-        "|| key_b::VARCHAR || '|' || name_a || '|' || name_b || '|' "
-        f"|| dist::VARCHAR), 1, 15))::BIGINT) % {_H_MOD})"
+        "((('0x' || substring(md5('fzck:' || '|' "
+        "|| COALESCE(key_a::VARCHAR, '<null>') || '|' "
+        "|| COALESCE(key_b::VARCHAR, '<null>') || '|' "
+        "|| COALESCE(name_a, '<null>') || '|' "
+        "|| COALESCE(name_b, '<null>') || '|' "
+        f"|| COALESCE(dist::VARCHAR, '<null>')), 1, 15))::BIGINT) % {_H_MOD})"
     )
     return f"""
     SELECT string_split(name_a, ' ')[-1] AS block,
