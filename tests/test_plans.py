@@ -703,6 +703,7 @@ class TestJoinAudit:
         "pipeline_quality_funnel": "SCALAR (domain-report totals + stage-agg composes)",
         "pipeline_quality_funnel_chained": "SCALAR (funnel composes + two 1-row chained stage aggs)",
         "join_fuzzy_cap_autotune": "TINY+SCALAR (6-row cap ladder under the blocks agg; 1-row pick)",
+        "join_fuzzy_cluster_recall": "SCALAR (three 1-row gate totals composed)",
         "quality_domain_gate": "SCALAR (domain-report totals row)",
         "quality_domain_gate_incremental": "SCALAR (shared report tail's totals row)",
         "quality_domain_report": "SCALAR (corpus keep-rate totals row)",
