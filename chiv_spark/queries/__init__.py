@@ -18,6 +18,7 @@ from chiv_spark.queries import (  # noqa: E402,F401
     events,
     fuzzy,
     graphrag,
+    ingest,
     llm,
     mining,
     mlprep,

@@ -719,11 +719,40 @@ def _att_col(mod: str):
     return F.when(has == 0, h)
 
 
-def _capstone_flags_ctes() -> str:
-    """The capstone's shared WITH block — eight registered stage
+def _capstone_media_ctes() -> str:
+    """The capstone's MEDIA WITH block — the three canonical
+    survivor relations plus their count rows. Split from the text
+    block (r15 verdict task 1) because the ingest card's base-only
+    restriction shadows ``documents`` for the TEXT stages while the
+    media universe stays full-corpus (media arrive through their own
+    tier; a text shard arrival never changes the keeper dims)."""
+    from chiv_spark.queries import llm  # noqa: F401 — registers the dedup tiers
+    from chiv_spark.queries.base import REGISTRY
+
+    img = REGISTRY["dedup_image_canonical"].oracle
+    aud = REGISTRY["dedup_audio_canonical"].oracle
+    vid = REGISTRY["dedup_video_canonical"].oracle
+    return f"""imgc AS MATERIALIZED ({img}),
+    audc AS MATERIALIZED ({aud}),
+    vidc AS MATERIALIZED ({vid}),
+    img AS (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM imgc),
+    aud AS (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM audc),
+    vid AS (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM vidc)"""
+
+
+def _capstone_text_flag_ctes(ns: str = "") -> str:
+    """The capstone's TEXT-stage WITH block — five registered stage
     oracles MATERIALIZED, the optional media attachments, and the
-    per-doc survival flags — composed verbatim by BOTH the capstone
-    report and the survivor dataset card so the two cannot drift."""
+    per-doc survival flags. References imgc/audc/vidc from
+    _capstone_media_ctes, which must be in an enclosing (or the
+    same) WITH scope; every reference to ``documents`` is unqualified
+    so an enclosing scope can shadow it with a base-slice CTE (the
+    ingest card oracle's mechanism). ``ns`` prefixes every CTE name
+    this block DEFINES (para -> {ns}para, ..., flags -> {ns}flags):
+    DuckDB rejects a nested WITH that redefines an enclosing scope's
+    CTE name ('Duplicate alias'), so the ingest card's base-only
+    nested copy uses ns='b' to coexist with the outer full-corpus
+    block."""
     from chiv_spark.queries import llm  # noqa: F401 — registers the dedup tiers
     from chiv_spark.queries.base import REGISTRY
 
@@ -735,48 +764,47 @@ def _capstone_flags_ctes() -> str:
     mh = REGISTRY["dedup_minhash_lsh"].oracle
     overlap = REGISTRY["decontaminate_eval_overlap"].oracle
     ne = _neardup_decon_oracle()
-    img = REGISTRY["dedup_image_canonical"].oracle
-    aud = REGISTRY["dedup_audio_canonical"].oracle
-    vid = REGISTRY["dedup_video_canonical"].oracle
     att = ", ".join(f"{_att_sql(m)} AS {m}_mid" for m in _ATT_MODS)
     # flags fold by UNION + one hash agg, NOT an n-way join: the r14
     # capstone lesson — DuckDB's join-order handling of 5+ relation
     # joins over materialized CTEs collapsed 10x; the fold is
     # join-free and scales to any number of stages
-    return f"""para AS MATERIALIZED (SELECT doc_id, (cleaned_text <> '') AS f1 FROM ({para})),
-    spans AS MATERIALIZED (SELECT doc_id, keep AS f2 FROM ({spans})),
-    ndrop AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM ({mh})),
-    ov AS MATERIALIZED (SELECT DISTINCT doc_id FROM ({overlap})),
-    ne AS MATERIALIZED (SELECT DISTINCT doc_id FROM ({ne})),
-    imgc AS MATERIALIZED ({img}),
-    audc AS MATERIALIZED ({aud}),
-    vidc AS MATERIALIZED ({vid}),
-    img AS (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM imgc),
-    aud AS (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM audc),
-    vid AS (SELECT COUNT(*) AS surv, SUM(cluster_size) AS tot FROM vidc),
-    att AS (SELECT doc_id, {att} FROM documents),
-    dropmedia AS (
+    return f"""{ns}para AS MATERIALIZED (SELECT doc_id, (cleaned_text <> '') AS f1 FROM ({para})),
+    {ns}spans AS MATERIALIZED (SELECT doc_id, keep AS f2 FROM ({spans})),
+    {ns}ndrop AS MATERIALIZED (SELECT DISTINCT doc_b AS doc_id FROM ({mh})),
+    {ns}ov AS MATERIALIZED (SELECT DISTINCT doc_id FROM ({overlap})),
+    {ns}ne AS MATERIALIZED (SELECT DISTINCT doc_id FROM ({ne})),
+    {ns}att AS (SELECT doc_id, {att} FROM documents),
+    {ns}dropmedia AS (
       SELECT a.doc_id
-      FROM att a
+      FROM {ns}att a
       LEFT JOIN imgc ik ON ik.media_id = a.img_mid
       LEFT JOIN audc ak ON ak.media_id = a.aud_mid
       LEFT JOIN vidc vk ON vk.media_id = a.vid_mid
       WHERE (a.img_mid IS NOT NULL AND ik.media_id IS NULL)
          OR (a.aud_mid IS NOT NULL AND ak.media_id IS NULL)
          OR (a.vid_mid IS NOT NULL AND vk.media_id IS NULL)),
-    flags AS MATERIALIZED (
+    {ns}flags AS MATERIALIZED (
       SELECT doc_id,
              bool_or(src = 1) AS in1, bool_or(src = 2) AS in2,
              bool_or(src = 1 AND f) AS f1, bool_or(src = 2 AND f) AS f2,
              NOT bool_or(src = 3) AS f3, NOT bool_or(src = 4) AS f4,
              NOT bool_or(src = 5) AS f5, NOT bool_or(src = 6) AS f6
-      FROM (SELECT doc_id, 1 AS src, f1 AS f FROM para
-            UNION ALL SELECT doc_id, 2, f2 FROM spans
-            UNION ALL SELECT doc_id, 3, true FROM ndrop
-            UNION ALL SELECT doc_id, 4, true FROM ov
-            UNION ALL SELECT doc_id, 5, true FROM ne
-            UNION ALL SELECT doc_id, 6, true FROM dropmedia)
+      FROM (SELECT doc_id, 1 AS src, f1 AS f FROM {ns}para
+            UNION ALL SELECT doc_id, 2, f2 FROM {ns}spans
+            UNION ALL SELECT doc_id, 3, true FROM {ns}ndrop
+            UNION ALL SELECT doc_id, 4, true FROM {ns}ov
+            UNION ALL SELECT doc_id, 5, true FROM {ns}ne
+            UNION ALL SELECT doc_id, 6, true FROM {ns}dropmedia)
       GROUP BY doc_id)"""
+
+
+def _capstone_flags_ctes() -> str:
+    """The capstone's full shared WITH block (media + text stages) —
+    composed verbatim by the capstone report, the survivor dataset
+    card, and the ingest flags oracle so none can drift."""
+    return f"""{_capstone_media_ctes()},
+    {_capstone_text_flag_ctes()}"""
 
 
 def _curation_capstone_oracle() -> str:
@@ -823,15 +851,37 @@ def _capstone_flags(spark, sf_dir):
     """The capstone's per-doc survival flags (doc_id, f1..f6) plus the
     persisted canonical media relations — the shared engine core of
     the capstone report and the survivor dataset card. Computed once
-    per (session, sf_dir) and persisted: every consumer after the
-    first reads the materialized flags instead of re-running the
-    eight-stage dedup/decontamination stack."""
-    from chiv_spark.queries.base import REGISTRY
+    per (session, sf_dir, input fingerprint) and persisted: every
+    consumer after the first reads the materialized flags instead of
+    re-running the eight-stage dedup/decontamination stack. The
+    fingerprint (path, size, mtime of the documents/embeddings
+    files — base.table_fingerprint) keys the cache on CONTENT, not
+    just path (r15 verdict task 3): a corpus rewritten at the same
+    sf_dir mid-session — exactly the ingest scenario — re-computes
+    instead of serving stale flags, with the stale persisted handle
+    released. Bench cold/warm semantics are unchanged: bench.py
+    clears the cache before every timed capstone run regardless of
+    key shape."""
+    from chiv_spark.queries.base import REGISTRY, table_fingerprint
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir),
+    )
     hit = _CAPSTONE_CACHE.get(key)
     if hit is not None:
         return hit
+    # same (session, sf_dir) but different content: drop the stale
+    # entry and release its persisted blocks before recomputing
+    for old_key in [k for k in _CAPSTONE_CACHE if k[:2] == key[:2]]:
+        old_flags, old_cans = _CAPSTONE_CACHE.pop(old_key)
+        try:
+            old_flags.unpersist()
+            for c in old_cans.values():
+                c.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped context is fine
+            pass
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     para = (

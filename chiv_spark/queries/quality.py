@@ -819,14 +819,54 @@ def quality_domain_gate(spark, sf_dir):
     "verbatim; cross-batch equality pytest-pinned",
 )
 def quality_domain_gate_incremental(spark, sf_dir):
+    from chiv_spark.queries.base import REGISTRY
+    from chiv_spark.streaming.domain_stats import domain_gate_from_counts
+
+    docs = t(spark, sf_dir, "documents")
+    work = _domain_counts_store(spark, sf_dir)
+    doc_keep = (
+        REGISTRY["text_quality_filter"].fn(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    return domain_gate_from_counts(spark, f"{work}/counts", docs, doc_keep)
+
+
+#: (applicationId, sf_dir, input fingerprint) -> persistent counter
+#: store work dir (counts generations + the stream CHECKPOINT). The
+#: checkpoint is what makes the second gating call genuinely
+#: delta-cost (r15 verdict task 6): availableNow over an already-
+#: processed source folds ZERO new batches — Structured Streaming's
+#: own file tracking is the delta detector — so call 2 reads the
+#: persisted store without touching resident documents at all
+#: (pytest-pinned: the store's generation files are byte-untouched
+#: across calls, the dedup_incremental_lsh index-untouched pattern).
+_DOMGATE_STORE: dict = {}
+
+
+def _domain_counts_store(spark, sf_dir) -> str:
+    """Fold-once persistent counter store per (session, sf_dir,
+    content fingerprint): first call folds the corpus stream into
+    counter generations; later calls re-trigger availableNow against
+    the SAME checkpoint, which processes only files not yet seen
+    (zero for an unchanged corpus, just the new shard files after an
+    ingest append)."""
+    import shutil
     import tempfile
 
-    from chiv_spark.queries.base import REGISTRY
-    from chiv_spark.streaming.domain_stats import (
-        domain_gate_from_counts,
-        domain_stats_stream,
-    )
+    from chiv_spark.queries.base import table_fingerprint
+    from chiv_spark.streaming.domain_stats import domain_stats_stream
 
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, ("documents",)),
+    )
+    hit = _DOMGATE_STORE.get(key)
+    if hit is not None:
+        return hit
+    for old_key in [k for k in _DOMGATE_STORE if k[:2] == key[:2]]:
+        shutil.rmtree(_DOMGATE_STORE.pop(old_key), ignore_errors=True)
     docs = t(spark, sf_dir, "documents")
     stream = (
         spark.readStream.schema(docs.schema)
@@ -837,6 +877,43 @@ def quality_domain_gate_incremental(spark, sf_dir):
     # run the fold for its side effect (the counter store); the
     # returned report relation is not consumed here
     domain_stats_stream(spark, stream, work)
+    _DOMGATE_STORE[key] = work
+    return work
+
+
+@query(
+    "quality_domain_gate_compacted",
+    f"""
+    WITH rep AS ({_DOMAIN_REPORT_ORACLE.format(quality=_QREG["text_quality_filter"].oracle)}),
+    q AS ({_QREG["text_quality_filter"].oracle})
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    JOIN rep ON d.source = rep.source AND rep.kept
+    JOIN q ON q.doc_id = d.doc_id AND q.keep
+    """,
+    doc="the domain gate read from a COMPACTED counter store (r15 "
+    "verdict task 6's lifecycle closer): the persistent store "
+    "accumulates one generation per folded batch plus any deletion "
+    "negations; compact_counts folds them all into one SEED_BATCH "
+    "generation — the report is unchanged (summing is associative, "
+    "the registered proof of compaction invariance) while the store "
+    "shrinks to one row per distinct (source, fingerprint). This "
+    "row folds (or reuses) the session's persistent store, compacts "
+    "it in place, and gates from the compacted store; oracle = "
+    "quality_domain_gate's, shared verbatim like the incremental "
+    "twin. Gate cost after compaction is the minimum possible: one "
+    "generation scanned, no fold-time sum fan-in",
+)
+def quality_domain_gate_compacted(spark, sf_dir):
+    from chiv_spark.queries.base import REGISTRY
+    from chiv_spark.streaming.domain_stats import (
+        compact_counts,
+        domain_gate_from_counts,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    work = _domain_counts_store(spark, sf_dir)
+    compact_counts(spark, f"{work}/counts")
     doc_keep = (
         REGISTRY["text_quality_filter"].fn(spark, sf_dir)
         .filter(F.col("keep"))

@@ -482,10 +482,45 @@ class TestCapstoneFlagsCache:
             b = REGISTRY["pipeline_capstone_dataset_card"].fn(spark, SF)
             assert a.count() == 10
             assert b.count() > 0
-            # the key carries the applicationId: a NEW session (new
-            # app id) would rebuild rather than reuse stale handles
+            # the key carries the applicationId (a NEW session would
+            # rebuild rather than reuse stale handles) AND the input
+            # fingerprint (r15 verdict task 3 — see the test below)
+            from chiv_spark.queries.base import table_fingerprint
+
             assert set(mlprep._CAPSTONE_CACHE) == {
-                (spark.sparkContext.applicationId, SF)
+                (spark.sparkContext.applicationId, SF, table_fingerprint(SF))
             }
+        finally:
+            mlprep._CAPSTONE_CACHE.clear()
+
+    def test_rewritten_corpus_invalidates_the_cache(self, spark, tmp_path):
+        """r15 verdict task 3: the cache key carries a content
+        fingerprint of the input files, so rewriting documents.parquet
+        at the same sf_dir mid-session recomputes the flags instead of
+        serving the stale relation — and drops the stale entry."""
+        import shutil
+
+        from chiv_spark.queries import mlprep
+
+        sf_copy = str(tmp_path / "sfcopy")
+        shutil.copytree(SF, sf_copy)
+        mlprep._CAPSTONE_CACHE.clear()
+        try:
+            f1, _ = mlprep._capstone_flags(spark, sf_copy)
+            n1 = f1.count()
+            # rewrite the corpus in place: drop half the documents
+            import duckdb
+
+            con = duckdb.connect()
+            con.execute(
+                f"COPY (SELECT * FROM '{sf_copy}/documents.parquet' "
+                "WHERE doc_id % 2 = 0) TO "
+                f"'{sf_copy}/documents.parquet' (FORMAT PARQUET)"
+            )
+            spark.catalog.clearCache()
+            f2, _ = mlprep._capstone_flags(spark, sf_copy)
+            assert f2 is not f1  # recomputed, not the stale handle
+            assert f2.count() < n1  # reflects the rewritten corpus
+            assert len(mlprep._CAPSTONE_CACHE) == 1  # stale entry gone
         finally:
             mlprep._CAPSTONE_CACHE.clear()

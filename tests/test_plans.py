@@ -706,6 +706,7 @@ class TestJoinAudit:
         "join_fuzzy_cluster_recall": "SCALAR (three 1-row gate totals composed)",
         "quality_domain_gate": "SCALAR (domain-report totals row)",
         "quality_domain_gate_incremental": "SCALAR (shared report tail's totals row)",
+        "quality_domain_gate_compacted": "SCALAR (shared report tail's totals row)",
         "quality_domain_report": "SCALAR (corpus keep-rate totals row)",
         "streaming_domain_stats": "SCALAR (shared report tail's totals row)",
         "streaming_heavy_hitters": "SCALAR (threshold row — the batch twin's shape)",

@@ -2095,3 +2095,110 @@ class TestDomainStatsStream:
             ).collect()
         }
         assert got == want
+
+
+class TestPersistentDomainStore:
+    """r15 verdict task 6: the gating store is PERSISTENT — a second
+    fold against the same work dir processes only files the stream
+    checkpoint has not seen (the delta), leaving the existing counter
+    generations byte-untouched (the dedup_incremental_lsh
+    index-untouched pattern, via Structured Streaming's own file
+    tracking instead of a bespoke delta detector)."""
+
+    def test_second_fold_touches_only_the_new_shard(self, spark, tmp_path):
+        import os
+
+        from chiv_spark.queries.quality import (
+            domain_counts,
+            domain_report_from_counts,
+        )
+        from chiv_spark.streaming.domain_stats import domain_stats_stream
+
+        good = " ".join(f"w{i}" for i in range(20))
+        schema = "doc_id long, text string, source string"
+        rows0 = [(1, good, "sA"), (2, "spam " * 20, "sB")]
+        rows1 = [(20, good.upper(), "sB"), (21, good + " tail", "sA")]
+        shards = tmp_path / "shards"
+        work = str(tmp_path / "work")
+        spark.createDataFrame(rows0, schema).coalesce(1).write.parquet(
+            str(shards / "part0")
+        )
+
+        def _stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(shards / "part*"))
+            )
+
+        domain_stats_stream(spark, _stream(), work)
+
+        def _store_files():
+            out = {}
+            for root, _dirs, files in os.walk(f"{work}/counts"):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+            return out
+
+        gen1 = _store_files()
+        assert gen1  # the seed fold wrote generations
+
+        # shard 2 ARRIVES; re-trigger against the same work dir
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+            str(shards / "part1")
+        )
+        got = {
+            r.source: tuple(r)
+            for r in domain_stats_stream(spark, _stream(), work).collect()
+        }
+        gen2 = _store_files()
+        # every generation file from fold 1 is byte-untouched
+        assert all(gen2.get(p) == meta for p, meta in gen1.items())
+        # and the delta fold added at least one NEW generation file
+        assert set(gen2) - set(gen1)
+        # the report equals the batch recompute over the union —
+        # retroactive exactness carries across persistent folds
+        union = spark.createDataFrame(rows0 + rows1, schema)
+        want = {
+            r.source: tuple(r)
+            for r in domain_report_from_counts(domain_counts(union)).collect()
+        }
+        assert got == want
+
+    def test_unchanged_corpus_refold_is_a_noop(self, spark, tmp_path):
+        import os
+
+        from chiv_spark.streaming.domain_stats import domain_stats_stream
+
+        schema = "doc_id long, text string, source string"
+        good = " ".join(f"w{i}" for i in range(20))
+        shards = tmp_path / "shards"
+        work = str(tmp_path / "work")
+        spark.createDataFrame(
+            [(1, good, "sA")], schema
+        ).coalesce(1).write.parquet(str(shards / "part0"))
+
+        def _stream():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(shards / "part*"))
+            )
+
+        r1 = {r.source: tuple(r) for r in domain_stats_stream(spark, _stream(), work).collect()}
+
+        def _listing():
+            out = {}
+            for root, _dirs, files in os.walk(f"{work}/counts"):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+            return out
+
+        before = _listing()
+        r2 = {r.source: tuple(r) for r in domain_stats_stream(spark, _stream(), work).collect()}
+        assert _listing() == before  # zero new generations, zero rewrites
+        assert r1 == r2
