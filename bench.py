@@ -197,6 +197,18 @@ HEADLINE = [
     "quality_domain_gate_incremental",
     "pipeline_quality_funnel_chained",
     "join_fuzzy_cap_autotune",
+    # round 16: the composed delta-cost ingest capstone (flags + card,
+    # both WARM — state seeded by the untimed warmup, so the number
+    # is the per-shard ARRIVAL cost, the row's whole claim; the seed
+    # pass is the capstone-cold class already benched above), the
+    # cluster-output fuzzy formulation + its member-recall gate, the
+    # autotune-wired capped join, and the compacted domain gate
+    "pipeline_incremental_ingest",
+    "pipeline_incremental_ingest_card",
+    "join_fuzzy_cluster_assign",
+    "join_fuzzy_cluster_recall",
+    "join_fuzzy_at_autotuned_cap",
+    "quality_domain_gate_compacted",
 ]
 
 

@@ -167,6 +167,28 @@ PLAN: dict[str, tuple[list[str], str]] = {
     # the cap-ladder autotune: one block-keyed hash agg + a 6-row
     # ladder broadcast — expect near-flat over the part SF ladder
     "join_fuzzy_cap_autotune": ([SF001, SF01, SF1], "part"),
+    # round 16: the autotune-wired capped join — pair work bounded by
+    # n_sub_blocks * pick^2/2 at whatever cap the dial recommends
+    "join_fuzzy_at_autotuned_cap": ([SF001, SF01, SF1], "part"),
+    # cluster-output fuzzy matching: members * cap levenshtein evals
+    # per sub-block — expect near-linear in part rows
+    "join_fuzzy_cluster_assign": ([SF001, SF01, SF1], "part"),
+    # its member-recall gate: assignment + the name-level dictionary
+    # truth (vocab-quadratic per block — the uncapped row's shape)
+    "join_fuzzy_cluster_recall": ([SF001, SF01, SF1], "part"),
+    # the composed ingest capstone, measured WARM (state seeded by
+    # the untimed warmup, memoized per session+fingerprint): the
+    # fitted exponent is the ARRIVAL cost — delta work + touched
+    # index rows — which is the row's whole claim
+    "pipeline_incremental_ingest": ([SF01, SF1, PROBE_DIR], "documents"),
+    "pipeline_incremental_ingest_card": ([SF01, SF1, PROBE_DIR], "documents"),
+    # the compacted domain gate (single-file probe dir: readStream
+    # pathGlobFilter matches file names); warm after the first fold,
+    # compaction idempotent per run
+    "quality_domain_gate_compacted": (
+        [SF01, SF1, "/tmp/chiv-probe-10x-onefile"],
+        "documents",
+    ),
 }
 
 #: single-FILE variant of the 10x replica for streaming rows: their

@@ -28,7 +28,16 @@ is cleared before every timed run so each wall measures the cold
 stage stack, not a memoized read.
 
 Usage: python tools/organic_decade.py [names...]
+       python tools/organic_decade.py --ann-fourth
 Output: one markdown table (append to SCALING.md) + per-run lines.
+
+``--ann-fourth`` (round 16, r15 verdict task 8): the ANN rows fit
+b = 0.75-0.82 over the 500 -> 2,000 -> 8,000 embeddings ladder —
+closest to linear of any family. This mode extends the ladder ONE
+more 4x step (32,000 embeddings, same unit-Gaussian generative
+process) for the two index-lifecycle rows and reports the fourth
+point + the last-step exponent, confirming whether the bounded-probe
+design bends the curve before the next corpus decade.
 """
 
 from __future__ import annotations
@@ -137,10 +146,67 @@ def _clear_capstone_cache() -> None:
     _CAPSTONE_CACHE.clear()
 
 
+#: the fourth-4x embeddings point (r15 verdict task 8): docs stay at
+#: the organic-sf1 count (the ANN rows read only embeddings; keeping
+#: documents identical isolates the embeddings-ladder effect)
+ORGANIC4_DIR = "/tmp/chiv-organic-sf1-emb4x"
+
+#: the two index-lifecycle ANN rows the verdict asked to extend
+ANN_FOURTH = ["ann_ivfpq_topk", "ann_delete_then_probe"]
+
+
+def ann_fourth() -> None:
+    """Four-point embeddings ladder for the ANN rows: 500 -> 2,000 ->
+    8,000 -> 32,000 vectors, per-step exponents printed alongside the
+    last-step b (the task-8 deliverable)."""
+    from chiv_spark.queries import REGISTRY
+    from chiv_spark.session import get_spark
+
+    spark = get_spark("organic-ann-fourth")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_organic()
+    build_organic(out_dir=ORGANIC4_DIR, n_emb=32_000)
+    ladder = [SF001, SF01, ORGANIC_DIR, ORGANIC4_DIR]
+    rows = []
+    for name in ANN_FOURTH:
+        ns, ts = [], []
+        for d in ladder:
+            n = spark.read.parquet(f"{d}/embeddings.parquet").count()
+            REGISTRY[name].fn(spark, d).count()  # warmup
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            w = time.perf_counter() - t0
+            ns.append(n)
+            ts.append(w)
+            print(
+                f"{name} @ {os.path.basename(d)}: N={n:,} wall={w:.2f}s",
+                flush=True,
+            )
+        bs = [
+            math.log(ts[i] / ts[i - 1]) / math.log(ns[i] / ns[i - 1])
+            for i in range(1, len(ts))
+        ]
+        rows.append((name, ns, ts, bs))
+    print("\n| row | embeddings ladder | walls (s) | per-step b | last-step b |")
+    print("|---|---|---|---|---|")
+    for name, ns, ts, bs in rows:
+        print(
+            f"| `{name}` | {' → '.join(f'{n:,}' for n in ns)} | "
+            f"{' / '.join(f'{t:.2f}' for t in ts)} | "
+            f"{' / '.join(f'{b:.2f}' for b in bs)} | {bs[-1]:.2f} |"
+        )
+    spark.stop()
+
+
 def main() -> None:
     from chiv_spark.queries import REGISTRY
     from chiv_spark.session import get_spark
 
+    if sys.argv[1:] == ["--ann-fourth"]:
+        ann_fourth()
+        return
     names = sys.argv[1:] or list(HEAVY)
     spark = get_spark("organic-decade")
     spark.sparkContext.setLogLevel("ERROR")
