@@ -49,7 +49,13 @@ def table_fingerprint(sf_dir: str, tables: tuple[str, ...] = ("documents", "embe
     for name in tables:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.isdir(p):
-            for root, _dirs, files in os.walk(p):
+            for root, dirs, files in os.walk(p):
+                # os.walk honors in-place dir sorting: without it the
+                # tuple's ordering follows filesystem enumeration and
+                # identical content can fingerprint unequal across
+                # calls, spuriously re-seeding every dependent cache
+                # (r16 advice).
+                dirs.sort()
                 for fn in sorted(files):
                     fp = os.path.join(root, fn)
                     st = os.stat(fp)
@@ -57,4 +63,4 @@ def table_fingerprint(sf_dir: str, tables: tuple[str, ...] = ("documents", "embe
         elif os.path.exists(p):
             st = os.stat(p)
             out.append((p, st.st_size, st.st_mtime_ns))
-    return tuple(out)
+    return tuple(sorted(out))

@@ -56,6 +56,13 @@ from pyspark.sql import functions as F
 from chiv_spark.functions.hashing import hash64
 from chiv_spark.operators import dedup
 from chiv_spark.queries.base import query, t, table_fingerprint
+from chiv_spark.streaming.dedup_index import (
+    SEED_BATCH,
+    anti_join_tombstones,
+    compact_index,
+    read_tombstones,
+    write_tombstones,
+)
 
 #: the standing 1-in-10 stable-hash arrival fate (queries/llm.py)
 from chiv_spark.queries.llm import _INC_FATE
@@ -198,7 +205,13 @@ def _resident_flags(spark, resident, keepers):
     ev = sh.filter(smp < 2).select("shingle").distinct()
     ov = (
         sh.filter(smp >= 2)
-        .join(F.broadcast(ev), "shingle")
+        # no broadcast hint: ev is the distinct 4-grams of the 2%
+        # eval-fated slice, which grows LINEARLY with the corpus — a
+        # forced broadcast blows the driver at scale (r16 verdict
+        # task 1). AQE still picks broadcast when the estimate is
+        # small; at 100 TB this becomes a shuffled hash/sort-merge
+        # semi-join on the shingle key, the correct plan.
+        .join(ev, "shingle")
         .select("doc_id")
         .distinct()
         .withColumn("__ov", F.lit(1))
@@ -234,35 +247,155 @@ def _resident_flags(spark, resident, keepers):
     )
 
 
+# --------------------------------------------------------------------------
+# The persisted state's GENERATION layout (r16 verdict tasks 2+3).
+#
+# Every deletable tier rides the streaming.dedup_index conventions:
+# rows live under (pb, src_batch) directory partitions, each fold is
+# one generation written with DYNAMIC partition overwrite keyed by
+# batch_id (a crashed-and-retried fold REPLACES its own partitions —
+# replay-idempotent, never double-counts), reads honor pending
+# generation-scoped tombstones (a GDPR-style takedown takes effect at
+# READ time), and compact_ingest_state folds generations into one and
+# PHYSICALLY drops tombstoned rows — including the raw text in
+# text_store, the one tier where physical drop is a privacy
+# obligation. eval_grams is stored DOC-ATTRIBUTED ((doc_id, shingle),
+# distinct applied at read) precisely so the takedown anti-join works
+# at this tier too — a global-distinct gram set cannot subtract one
+# document's grams.
+
+#: directory-partition fan-out of every ingest tier (matches
+#: streaming.dedup_index.P_BUCKETS / suffixes.WINDOW_PB at test
+#: scale; thousands at 100 TB)
+ING_PB = 16
+
+#: every tombstone-capable tier, in fold order
+_DEL_TIERS = (
+    "para_index",
+    "win_index",
+    "band_index",
+    "eval_grams",
+    "eval_bands",
+    "text_store",
+    "flags_store",
+)
+
+
+def _pb_of(col: str):
+    return F.pmod(F.col(col), F.lit(ING_PB)).cast("int")
+
+
+def _write_gen(rel, out_dir: str, batch_id: int) -> None:
+    import json
+
+    rel = rel.withColumn("src_batch", F.lit(int(batch_id)))
+    (
+        rel.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pb", "src_batch")
+        .parquet(out_dir)
+    )
+    # schema sidecar (leading underscore: invisible to partition
+    # discovery, the _tombstones convention): a generation can be
+    # legitimately EMPTY (no eval-fated doc in a tiny shard — a
+    # partitioned write of zero rows leaves a file-less dir that
+    # schema inference rejects), and the reader must survive that
+    # state. Local-FS like the rest of the test layout; a cloud
+    # deployment gets this from the table format's metadata.
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_schema.json"), "w") as fh:
+        fh.write(json.dumps(rel.schema.jsonValue()))
+
+
+def _tier_schema(state_dir: str, tier: str):
+    import json
+
+    from pyspark.sql.types import StructType
+
+    p = os.path.join(state_dir, tier, "_schema.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return StructType.fromJson(json.loads(fh.read()))
+
+
+def _read_tier(spark, state_dir: str, tier: str, exclude_batch: int | None = None):
+    """A tier's visible relation: all generations minus the reader's
+    own (the replay guard — a retried fold must not self-join the
+    generation it already wrote) minus tombstoned ids whose
+    generation falls inside the tombstone's scope. Bookkeeping
+    columns dropped — downstream operators see the builder schema."""
+    schema = _tier_schema(state_dir, tier)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    rel = reader.parquet(f"{state_dir}/{tier}")
+    if exclude_batch is not None:
+        rel = rel.filter(F.col("src_batch") != int(exclude_batch))
+    tomb = read_tombstones(spark, f"{state_dir}/{tier}")
+    if tomb is not None:
+        rel = anti_join_tombstones(rel, tomb, "doc_id")
+    return rel.drop("pb", "src_batch")
+
+
+def _fold_tiers(spark, docs, state_dir: str, batch_id: int) -> None:
+    """One generation of every index tier + the doc-store from
+    ``docs`` — shared verbatim between the seed (batch_id =
+    SEED_BATCH) and every shard fold, so the two layouts can never
+    drift."""
+    from chiv_spark.operators.suffixes import window_index
+
+    _write_gen(
+        dedup.paragraph_index(docs).withColumn("pb", _pb_of("h")),
+        f"{state_dir}/para_index",
+        batch_id,
+    )
+    _write_gen(window_index(docs), f"{state_dir}/win_index", batch_id)
+    _write_gen(
+        dedup.minhash_band_index(docs).withColumn("pb", _pb_of("bh")),
+        f"{state_dir}/band_index",
+        batch_id,
+    )
+    smp = _smp_col()
+    _write_gen(
+        dedup.shingles(docs.filter(smp < 2), words=4).withColumn(
+            "pb", F.pmod(hash64(F.col("shingle")), F.lit(ING_PB)).cast("int")
+        ),
+        f"{state_dir}/eval_grams",
+        batch_id,
+    )
+    _write_gen(
+        dedup.minhash_band_index(docs.filter(smp < 2)).withColumn(
+            "pb", _pb_of("bh")
+        ),
+        f"{state_dir}/eval_bands",
+        batch_id,
+    )
+    _write_gen(
+        docs.select("doc_id", "text").withColumn("pb", _pb_of("doc_id")),
+        f"{state_dir}/text_store",
+        batch_id,
+    )
+
+
 def seed_ingest_state(spark, resident, keepers, state_dir) -> None:
     """Write the persisted per-tier state the ingest path reads:
     fingerprint/window/band indexes, eval dims, the twin-lookup
-    doc-store, keeper dims, and the seed counter generation. One
-    full pass over the resident corpus — paid once, at corpus load."""
-    from chiv_spark.operators.suffixes import window_index
-
-    dedup.paragraph_index(resident).write.mode("overwrite").parquet(
-        f"{state_dir}/para_index"
-    )
-    window_index(resident).write.mode("overwrite").partitionBy("pb").parquet(
-        f"{state_dir}/win_index"
-    )
-    dedup.minhash_band_index(resident).write.mode("overwrite").parquet(
-        f"{state_dir}/band_index"
-    )
-    smp = _smp_col()
-    dedup.shingles(resident.filter(smp < 2), words=4).select(
-        "shingle"
-    ).distinct().write.mode("overwrite").parquet(f"{state_dir}/eval_grams")
-    dedup.minhash_band_index(resident.filter(smp < 2)).write.mode(
-        "overwrite"
-    ).parquet(f"{state_dir}/eval_bands")
-    resident.select("doc_id", "text").write.mode("overwrite").parquet(
-        f"{state_dir}/text_store"
-    )
+    doc-store, keeper dims, the per-doc flags store (counter
+    provenance — what a takedown negates), and the seed counter
+    generation. One full pass over the resident corpus — paid once,
+    at corpus load."""
+    _fold_tiers(spark, resident, state_dir, SEED_BATCH)
     for m, rel in keepers.items():
         rel.write.mode("overwrite").parquet(f"{state_dir}/keepers_{m}")
-    _flags_to_funnel(_resident_flags(spark, resident, keepers)).write.mode(
+    _write_gen(
+        _resident_flags(spark, resident, keepers).withColumn(
+            "pb", _pb_of("doc_id")
+        ),
+        f"{state_dir}/flags_store",
+        SEED_BATCH,
+    )
+    # the seed counters derive FROM the stored flags (one compute,
+    # and the counters provably equal what a later negation subtracts)
+    _flags_to_funnel(_read_tier(spark, state_dir, "flags_store")).write.mode(
         "overwrite"
     ).parquet(f"{state_dir}/counters/gen=seed")
 
@@ -306,25 +439,27 @@ def ingest_state(spark, sf_dir) -> str:
     return state_dir
 
 
-def shard_flags(spark, shard, state_dir):
+def shard_flags(spark, shard, state_dir, exclude_batch: int | None = None):
     """The arriving shard's per-doc survival flags against the
     persisted state — every stage in its incremental form, resident
-    text touched only via the doc-store twin lookup."""
+    text touched only via the doc-store twin lookup. Pass
+    ``exclude_batch`` when probing as part of a fold (fold_shard): a
+    replayed fold must not see the generation it already wrote."""
     from chiv_spark.operators.suffixes import window_index
     from chiv_spark.queries.curation import (
         EXACTSUBSTR_THRESHOLD,
         _suffix_scratch,
     )
 
-    para_idx = spark.read.parquet(f"{state_dir}/para_index")
+    para_idx = _read_tier(spark, state_dir, "para_index", exclude_batch)
     para = dedup.incremental_paragraph_rebuild(
         dedup.paragraph_chunks(shard), para_idx
     ).select("doc_id", (F.col("cleaned_text") != "").alias("f1"))
 
     from chiv_spark.operators.suffixes import incremental_span_trim
 
-    win_idx = spark.read.parquet(f"{state_dir}/win_index")
-    doc_store = spark.read.parquet(f"{state_dir}/text_store")
+    win_idx = _read_tier(spark, state_dir, "win_index", exclude_batch)
+    doc_store = _read_tier(spark, state_dir, "text_store", exclude_batch)
     spans = incremental_span_trim(
         shard.select("doc_id", "text"),
         window_index(shard),
@@ -335,7 +470,7 @@ def shard_flags(spark, shard, state_dir):
     ).select("doc_id", F.col("keep").alias("f2"))
 
     shard_bands = dedup.minhash_band_index(shard)
-    band_idx = spark.read.parquet(f"{state_dir}/band_index")
+    band_idx = _read_tier(spark, state_dir, "band_index", exclude_batch)
     ndrop = (
         dedup.incremental_lsh_pairs(None, band_idx, delta_index=shard_bands)
         .select(F.col("doc_b").alias("doc_id"))
@@ -346,20 +481,24 @@ def shard_flags(spark, shard, state_dir):
     smp = _smp_col()
     sh = dedup.shingles(shard, words=4)
     ev_all = (
-        spark.read.parquet(f"{state_dir}/eval_grams")
+        _read_tier(spark, state_dir, "eval_grams", exclude_batch)
+        .select("shingle")
         .unionByName(sh.filter(smp < 2).select("shingle"))
         .distinct()
     )
     ov = (
         sh.filter(smp >= 2)
-        .join(F.broadcast(ev_all), "shingle")
+        # no broadcast hint — ev_all is corpus-proportional (resident
+        # eval grams ∪ shard's): see the identical note in
+        # _resident_flags; AQE chooses the strategy (r16 task 1).
+        .join(ev_all, "shingle")
         .select("doc_id")
         .distinct()
         .withColumn("__ov", F.lit(1))
     )
-    ev_bands_all = spark.read.parquet(f"{state_dir}/eval_bands").unionByName(
-        shard_bands.filter(smp < 2)
-    )
+    ev_bands_all = _read_tier(
+        spark, state_dir, "eval_bands", exclude_batch
+    ).unionByName(shard_bands.filter(smp < 2))
     ne = (
         dedup.crosscorpus_lsh_pairs(
             shard_bands.filter(smp >= 2), ev_bands_all, threshold=0.5
@@ -394,36 +533,130 @@ def shard_flags(spark, shard, state_dir):
 def fold_shard(spark, shard, state_dir, batch_id: int) -> None:
     """Fold an ingested shard's contributions into the persisted
     state so the NEXT shard dedups against resident ∪ this shard —
-    the cross-batch path the harness pytest drives. Appends one
-    generation per tier (parquet append at test scale; the streaming
-    twins' dynamic-overwrite generation layout is the production
-    form) and one counter generation (the domain_stats monoid
-    shape)."""
-    from chiv_spark.operators.suffixes import window_index
-
-    flags = shard_flags(spark, shard, state_dir)
-    _flags_to_funnel(flags).write.mode("overwrite").parquet(
+    the cross-batch path the harness pytest drives. Every write is
+    one GENERATION keyed by batch_id with dynamic partition
+    overwrite (r16 verdict task 3 — the streaming twins' layout, no
+    bare parquet appends): a crashed-and-retried fold REPLACES its
+    own partitions, the flag probe excludes the fold's own
+    generation, and the counter generation directory is overwritten
+    whole — so replaying the same (shard, batch_id) leaves the state
+    (and the card) bit-identical, pytest-pinned."""
+    flags = shard_flags(spark, shard, state_dir, exclude_batch=batch_id)
+    _write_gen(
+        flags.withColumn("pb", _pb_of("doc_id")),
+        f"{state_dir}/flags_store",
+        batch_id,
+    )
+    # counters derive from the generation just written (read-back:
+    # one materialization, and negation-by-provenance stays exact)
+    gen_flags = (
+        spark.read.parquet(f"{state_dir}/flags_store")
+        .filter(F.col("src_batch") == int(batch_id))
+        .drop("pb", "src_batch")
+    )
+    _flags_to_funnel(gen_flags).write.mode("overwrite").parquet(
         f"{state_dir}/counters/gen=b{batch_id}"
     )
-    dedup.paragraph_index(shard).write.mode("append").parquet(
-        f"{state_dir}/para_index"
+    _fold_tiers(spark, shard, state_dir, batch_id)
+
+
+def ingest_forget(spark, state_dir, doc_ids, request_id: int = 0) -> None:
+    """GDPR-style takedown across the composed ingest state (r16
+    verdict task 2): negate the deleted docs' counter contributions
+    and tombstone their rows in every tier.
+
+    - **Counter negation, in the monoid** (the domain_stats
+      delete_docs_counts shape): the flags store holds each doc's
+      flags exactly as they were counted when its generation folded
+      (arrival semantics), so subtracting the deleted docs' funnel
+      fold leaves the counters equal to a fold that had never seen
+      them. Written as one ``gen=d{request_id}`` negative generation
+      — replay of the same request_id overwrites, never
+      double-subtracts. The negation reads the flags store RAW
+      (tombstones not yet written; after compaction has physically
+      dropped the rows, a replay negates zero — idempotent there
+      too).
+    - **Tombstone folds** on all seven tiers: the doc's paragraph
+      fingerprints stop winning min-site, its windows stop
+      nominating suffix twins, its bands stop emitting near-dup
+      pairs, its eval grams/bands leave the decon dims, its raw text
+      is never re-read, and its flag rows leave the provenance
+      store. Generation-scoped (dedup_index.write_tombstones): a
+      re-ingest of the same id after the delete lands in a later
+      generation and stays visible.
+
+    Physical drop happens at compact_ingest_state."""
+    ids = doc_ids.select("doc_id")
+    del_flags = (
+        spark.read.parquet(f"{state_dir}/flags_store")
+        .drop("pb", "src_batch")
+        .join(ids, "doc_id", "left_semi")
     )
-    window_index(shard).write.mode("append").partitionBy("pb").parquet(
-        f"{state_dir}/win_index"
+    _flags_to_funnel(del_flags).select(
+        "stage",
+        (-F.col("n_surviving")).cast("long").alias("n_surviving"),
+        (-F.col("n_removed")).cast("long").alias("n_removed"),
+    ).write.mode("overwrite").parquet(
+        f"{state_dir}/counters/gen=d{int(request_id)}"
     )
-    dedup.minhash_band_index(shard).write.mode("append").parquet(
-        f"{state_dir}/band_index"
+    for tier in _DEL_TIERS:
+        write_tombstones(spark, f"{state_dir}/{tier}", ids)
+
+
+def compact_ingest_state(spark, state_dir) -> dict:
+    """Fold every tier's generations into one and PHYSICALLY drop
+    tombstoned rows (streaming.dedup_index.compact_index per tier —
+    the deleted text is GONE from the post-compaction parquet bytes,
+    pytest-pinned), then fold the counter generations into one
+    ``gen=seed`` (summing is associative; negations disappear into
+    the fold). Run between folds/forgets, never concurrently with
+    one. Returns {tier: (files_before, files_after)}."""
+    import glob
+    import shutil
+
+    stats = {}
+    for tier in _DEL_TIERS:
+        tdir = f"{state_dir}/{tier}"
+        schema_path = os.path.join(tdir, "_schema.json")
+        schema_raw = None
+        if os.path.exists(schema_path):
+            with open(schema_path) as fh:
+                schema_raw = fh.read()
+        if glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True):
+            stats[tier] = compact_index(
+                spark,
+                tdir,
+                id_col="doc_id",
+                part_col="pb",
+                n_parts=ING_PB,
+            )
+        else:
+            # legitimately-empty tier (zero eval-fated docs): nothing
+            # to fold or drop
+            stats[tier] = (0, 0)
+        # the compaction dir-swap replaced the root — restore the
+        # schema sidecar so post-compaction reads survive a tier
+        # whose every row was dropped
+        if schema_raw is not None:
+            os.makedirs(tdir, exist_ok=True)
+            with open(os.path.join(tdir, "_schema.json"), "w") as fh:
+                fh.write(schema_raw)
+    cdir = f"{state_dir}/counters"
+    folded = (
+        spark.read.parquet(cdir)
+        .groupBy("stage")
+        .agg(
+            F.sum("n_surviving").cast("long").alias("n_surviving"),
+            F.sum("n_removed").cast("long").alias("n_removed"),
+        )
     )
-    smp = _smp_col()
-    dedup.shingles(shard.filter(smp < 2), words=4).select(
-        "shingle"
-    ).distinct().write.mode("append").parquet(f"{state_dir}/eval_grams")
-    dedup.minhash_band_index(shard.filter(smp < 2)).write.mode(
-        "append"
-    ).parquet(f"{state_dir}/eval_bands")
-    shard.select("doc_id", "text").write.mode("append").parquet(
-        f"{state_dir}/text_store"
-    )
+    staged = cdir + ".compacting"
+    folded.coalesce(1).write.mode("overwrite").parquet(f"{staged}/gen=seed")
+    old = cdir + ".precompact"
+    os.rename(cdir, old)
+    os.rename(staged, cdir)
+    shutil.rmtree(old)
+    return stats
 
 
 def updated_card(spark, shard, state_dir):
@@ -629,11 +862,150 @@ def pipeline_incremental_ingest_card(spark, sf_dir):
     return updated_card(spark, shard, state_dir)
 
 
+# --------------------------------------------------------------------------
+# ingest_delete_then_probe — the takedown lifecycle of the COMPOSED
+# ingest state (r16 verdict task 2): every other persisted tier has a
+# delete-then-probe row; the capstone state they compose into now has
+# one too.
+
+#: deterministic 1-in-2 stable-hash deletion slice of the RESIDENT
+#: corpus (the _XS_DEL rationale, queries/curation.py: wide enough
+#: that arriving docs lose their only index twin, so the delete
+#: observably flips probe verdicts at both sweep SFs)
+_ING_DEL = (
+    "(('0x' || substring(md5('ingdel:' || doc_id::VARCHAR), 1, 15))"
+    "::BIGINT % 2 = 0)"
+)
+
+
+def _ing_del_pred():
+    return hash64(F.concat(F.lit("ingdel:"), F.col("doc_id").cast("string"))) % 2 == 0
+
+
+#: one outstanding work dir per application: the returned relation is
+#: lazy over this invocation's probe_before/probe_after parquet, so
+#: the NEXT invocation reclaims the previous tree instead of the
+#: builder (the _MEDIA_DEL_STATE one-outstanding-result contract — a
+#: caller holding an earlier invocation's DataFrame must evaluate it
+#: before calling again)
+_INGEST_DEL_PREV: dict = {}
+
+
+def _ingest_delete_oracle() -> str:
+    from chiv_spark.queries.mlprep import (
+        _capstone_media_ctes,
+        _capstone_text_flag_ctes,
+    )
+
+    flag_row = (
+        "f.doc_id, f.f1, f.f2, f.f3, f.f4, f.f5, f.f6, "
+        "(f.f1 AND f.f2 AND f.f3 AND f.f4 AND f.f5 AND f.f6) AS keep"
+    )
+    # CTE ordering is load-bearing (the ingest-card oracle's rule):
+    # the nested filtered-corpus block must precede the outer
+    # full-corpus text block, which defines 'spans'/'fate' names the
+    # nested block's embedded stage oracles also use internally.
+    return f"""
+    WITH {_capstone_media_ctes()},
+    after_flags AS MATERIALIZED (
+      SELECT * FROM (
+        WITH documents AS (
+          SELECT * FROM main.documents
+          WHERE {_INC_FATE} = 0 OR NOT {_ING_DEL}),
+        {_capstone_text_flag_ctes(ns="a")}
+        SELECT * FROM aflags)),
+    {_capstone_text_flag_ctes()},
+    fate AS (SELECT doc_id, {_INC_FATE} AS f FROM documents)
+    SELECT 'before' AS phase, {flag_row}
+    FROM flags f JOIN fate USING (doc_id)
+    WHERE fate.f = 0 AND f.in1 AND f.in2
+    UNION ALL
+    SELECT 'after' AS phase, {flag_row}
+    FROM after_flags f JOIN fate USING (doc_id)
+    WHERE fate.f = 0 AND f.in1 AND f.in2
+    """
+
+
+@query(
+    "ingest_delete_then_probe",
+    None,  # oracle attached below (composes the capstone flag CTEs)
+    doc="the takedown lifecycle of the COMPOSED ingest state (r16 "
+    "verdict task 2 — the GDPR/opt-out operational reality every "
+    "100 TB corpus faces, previously a full re-seed): copy-on-write "
+    "the seeded state, probe the arriving 1-in-10 shard (before "
+    "phase), ingest_forget a 1-in-2 stable-hash slice of the "
+    "RESIDENT docs — counter negation in the monoid from the flags "
+    "store's arrival-time provenance plus generation-scoped "
+    "tombstones across all seven tiers — then compact_ingest_state "
+    "(tombstoned rows PHYSICALLY dropped, generations folded to "
+    "one, the deleted text gone from the parquet bytes) and "
+    "re-probe THROUGH the compacted state (after phase). A former "
+    "near-dup of a deleted doc now survives: its paragraph "
+    "fingerprints win min-site again, its suffix twins are gone, "
+    "its bands match nothing. Both probes are materialized to the "
+    "work tree before the state mutates, so the returned relation "
+    "is stable across the compaction renames (one outstanding "
+    "result per session — the media_delete_then_probe contract). "
+    "Oracle = re-seed-from-filtered-corpus equivalence: the "
+    "capstone flag CTEs verbatim over the full corpus (before) and "
+    "over the corpus minus the deleted slice (after), restricted to "
+    "the arrival slice — so tombstone reads, counter-store "
+    "consistency AND compaction itself are all value-gated, not "
+    "just row-counted",
+)
+def ingest_delete_then_probe(spark, sf_dir):
+    import shutil
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = docs.filter(_fate_col() == 0)
+    resident = docs.filter(_fate_col() != 0)
+    key = spark.sparkContext.applicationId
+    prev = _INGEST_DEL_PREV.pop(key, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    # copy-on-write: the shared seed-once state stays pristine for
+    # the other ingest rows; the lifecycle mutates its own copy (at
+    # 100 TB the forget runs against the real store — the copy is
+    # the test-harness economy that avoids paying the seed twice)
+    src = ingest_state(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="chiv-ingdel-")
+    shutil.copytree(src, work, dirs_exist_ok=True)
+    cols = ["doc_id", "f1", "f2", "f3", "f4", "f5", "f6"]
+    shard_flags(spark, shard, work).select(*cols).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/probe_before")
+    ingest_forget(spark, work, resident.filter(_ing_del_pred()))
+    compact_ingest_state(spark, work)
+    shard_flags(spark, shard, work).select(*cols).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/probe_after")
+    _INGEST_DEL_PREV[key] = work
+    out = None
+    for phase in ("before", "after"):
+        rel = spark.read.parquet(f"{work}/probe_{phase}").withColumn(
+            "phase", F.lit(phase)
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out.select(
+        "phase",
+        *cols,
+        (
+            F.col("f1")
+            & F.col("f2")
+            & F.col("f3")
+            & F.col("f4")
+            & F.col("f5")
+            & F.col("f6")
+        ).alias("keep"),
+    )
+
+
 from chiv_spark.queries.base import REGISTRY as _ING_REG  # noqa: E402
 
 for _nm, _orc in (
     ("pipeline_incremental_ingest", _ingest_flags_oracle()),
     ("pipeline_incremental_ingest_card", _ingest_card_oracle()),
+    ("ingest_delete_then_probe", _ingest_delete_oracle()),
 ):
     _ING_REG[_nm] = _ING_REG[_nm].__class__(
         name=_nm, fn=_ING_REG[_nm].fn, oracle=_orc, doc=_ING_REG[_nm].doc
