@@ -622,7 +622,11 @@ def compact_ingest_state(spark, state_dir) -> dict:
         if os.path.exists(schema_path):
             with open(schema_path) as fh:
                 schema_raw = fh.read()
-        if glob.glob(os.path.join(tdir, "**", "*.parquet"), recursive=True):
+        # data files only: _tombstones/ also holds parquet, and a
+        # tier whose sole parquet is a tombstone file must still be
+        # skipped (compact_index would fail schema inference on the
+        # underscore-ignored data scan)
+        if glob.glob(os.path.join(tdir, "pb=*", "**", "*.parquet"), recursive=True):
             stats[tier] = compact_index(
                 spark,
                 tdir,

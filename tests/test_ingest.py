@@ -103,6 +103,141 @@ class TestCrossBatchIngest:
         assert card["7_image_canonical"]["n_surviving_arrived"] == 0
 
 
+class TestIngestLifecycle:
+    """r16 verdict tasks 2+3: the takedown lifecycle of the composed
+    state, and fold replay idempotence — what the oracle sweep can't
+    see (physical drop, counter-negation identity, bit-stable
+    replays)."""
+
+    @pytest.fixture()
+    def lifecycle_state(self, spark):
+        """base d1..d4 (d1 = the takedown target); shard s20 is a
+        verbatim dup of d1 (every tier flags it), s21 clean."""
+        base = spark.createDataFrame(
+            [(1, _text("victim")), (2, _text("b2")), (3, _text("b3")), (4, _text("b4"))],
+            "doc_id long, text string",
+        )
+        shard = spark.createDataFrame(
+            [(20, _text("victim")), (21, _text("clean"))], "doc_id long, text string"
+        )
+        keepers = {
+            m: spark.createDataFrame(
+                [(i, i, 1) for i in range(60)],
+                "media_id long, cluster_id long, cluster_size long",
+            )
+            for m in ("img", "aud", "vid")
+        }
+        state = tempfile.mkdtemp(prefix="chiv-ingdel-test-")
+        from chiv_spark.queries.ingest import seed_ingest_state
+
+        seed_ingest_state(spark, base, keepers, state)
+        yield {"base": base, "shard": shard, "state": state}
+        shutil.rmtree(state, ignore_errors=True)
+
+    def test_forget_then_compact_lifecycle(self, spark, lifecycle_state):
+        from chiv_spark.queries.ingest import (
+            _flags_to_funnel,
+            _read_tier,
+            compact_ingest_state,
+            ingest_forget,
+        )
+
+        state, shard = lifecycle_state["state"], lifecycle_state["shard"]
+        before = {
+            r["doc_id"]: r.asDict()
+            for r in shard_flags(spark, shard, state).collect()
+        }
+        # s20 verbatim-dups resident d1: every text tier flags it
+        assert before[20]["f1"] is False  # d1's chunks win min-site
+        assert before[20]["f2"] is False  # 30-token twin span >= 10
+        assert before[20]["f3"] is False  # near-dup of d1
+        assert before[21]["f1"] is True and before[21]["f3"] is True
+
+        ids = spark.createDataFrame([(1,)], "doc_id long")
+        ingest_forget(spark, state, ids, request_id=0)
+
+        # probe THROUGH the tombstones (pre-compaction): the former
+        # near-dup of the deleted doc now survives every tier
+        mid = {
+            r["doc_id"]: r.asDict()
+            for r in shard_flags(spark, shard, state).collect()
+        }
+        assert mid[20]["f1"] is True
+        assert mid[20]["f2"] is True
+        assert mid[20]["f3"] is True
+
+        # counter negation is EXACT in the monoid: summed counters ==
+        # the funnel over the surviving docs' stored flags (funnel
+        # counts are additive per doc, so subtracting d1's rows
+        # equals never having counted them)
+        summed = {
+            r["stage"]: (r["n_surviving"], r["n_removed"])
+            for r in spark.read.parquet(f"{state}/counters")
+            .groupBy("stage")
+            .agg(
+                F.sum("n_surviving").alias("n_surviving"),
+                F.sum("n_removed").alias("n_removed"),
+            )
+            .collect()
+        }
+        survivors = _read_tier(spark, state, "flags_store").filter(
+            F.col("doc_id") != 1
+        )
+        expected = {
+            r["stage"]: (r["n_surviving"], r["n_removed"])
+            for r in _flags_to_funnel(survivors).collect()
+        }
+        assert summed == expected
+        assert summed["0_total"][0] == 3
+
+        # compaction: physical drop — the deleted text is GONE from
+        # the post-compaction parquet bytes, and the probe result is
+        # unchanged (tombstone reads == compacted reads)
+        compact_ingest_state(spark, state)
+        import glob
+
+        blob = b"".join(
+            open(p, "rb").read()
+            for p in glob.glob(f"{state}/text_store/**/*.parquet", recursive=True)
+        )
+        assert b"victimtok" not in blob
+        assert b"b2tok" in blob
+        after = {
+            r["doc_id"]: r.asDict()
+            for r in shard_flags(spark, shard, state).collect()
+        }
+        assert after == mid
+        # counters folded to one generation, sums unchanged
+        gens = spark.read.parquet(f"{state}/counters").select("gen").distinct().collect()
+        assert [r["gen"] for r in gens] == ["seed"]
+
+    def test_fold_replay_is_idempotent(self, spark, lifecycle_state):
+        from chiv_spark.queries.ingest import fold_shard, updated_card
+
+        state, shard = lifecycle_state["state"], lifecycle_state["shard"]
+        probe = spark.createDataFrame(
+            [(30, _text("victim")), (31, _text("probe"))], "doc_id long, text string"
+        )
+
+        def snapshot():
+            card = sorted(
+                tuple(r)
+                for r in updated_card(spark, probe, state).collect()
+            )
+            counts = {
+                tier: spark.read.parquet(f"{state}/{tier}").count()
+                for tier in ("para_index", "band_index", "text_store", "flags_store")
+            }
+            return card, counts
+
+        fold_shard(spark, shard, state, batch_id=1)
+        first = snapshot()
+        # crashed-and-retried fold: same shard, same batch_id
+        fold_shard(spark, shard, state, batch_id=1)
+        second = snapshot()
+        assert first == second
+
+
 class TestNoResidentTextReread:
     def test_source_corruption_does_not_change_ingest(self, spark, tmp_path):
         """Seed from a corpus COPY, corrupt every resident row's text
