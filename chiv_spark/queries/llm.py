@@ -1689,7 +1689,15 @@ def media_delete_then_probe_rel(
     contains no tombstone scan, and write_tombstones never touches
     data files (the exact_substr_delete_then_probe pattern,
     queries/curation.py). Physical drop at compact_index is pinned by
-    tests/test_streaming.py::TestMediaIndexDeletion."""
+    tests/test_streaming.py::TestMediaIndexDeletion.
+
+    CONTRACT — one outstanding result per (session, modality): the
+    returned relation is lazy over this invocation's persisted
+    signatures and temp index tree, and the NEXT same-modality call
+    unpersists and rmtree's them (the bench/sweep leak bound, r15
+    advice). A caller that holds an earlier call's DataFrame must
+    evaluate it before calling again; evaluating it afterwards fails
+    on missing parquet files."""
     from chiv_spark.streaming.dedup_index import (
         SEED_BATCH,
         _pb,

@@ -2202,3 +2202,83 @@ class TestPersistentDomainStore:
         r2 = {r.source: tuple(r) for r in domain_stats_stream(spark, _stream(), work).collect()}
         assert _listing() == before  # zero new generations, zero rewrites
         assert r1 == r2
+
+    def test_store_cache_append_only_reuses_checkpoint(self, spark, tmp_path):
+        """r16 advice: an append-only corpus change (new part files in
+        the documents.parquet DIRECTORY, every resident file
+        byte-identical) must KEEP the session store and fold only the
+        delta through its checkpoint — not rmtree and re-fold from
+        scratch; a resident-file rewrite must still drop the store."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from chiv_spark.queries.quality import (
+            _DOMGATE_STORE,
+            _domain_counts_store,
+        )
+        from chiv_spark.streaming.domain_stats import read_counts
+
+        schema = "doc_id long, text string, source string"
+        good = " ".join(f"w{i}" for i in range(20))
+        sf = tmp_path / "sf"
+        tbl = sf / "documents.parquet"
+        spark.createDataFrame(
+            [(1, good, "sA"), (2, good + " x", "sB")], schema
+        ).coalesce(1).write.parquet(str(tbl))
+
+        work1 = _domain_counts_store(spark, str(sf))
+        n1 = read_counts(spark, f"{work1}/counts").agg(F.sum("n")).collect()[0][0]
+        assert n1 == 2
+
+        def _gen_files():
+            out = {}
+            for root, _dirs, files in os.walk(f"{work1}/counts"):
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+            return out
+
+        gen1 = _gen_files()
+
+        # APPEND a shard: new part file, resident files untouched
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {"doc_id": [30], "text": [good + " y"], "source": ["sA"]}
+            ),
+            str(tbl / "part-appended.parquet"),
+        )
+        work2 = _domain_counts_store(spark, str(sf))
+        assert work2 == work1  # store reused, not re-seeded
+        n2 = read_counts(spark, f"{work2}/counts").agg(F.sum("n")).collect()[0][0]
+        assert n2 == 3  # the delta folded through the checkpoint
+        gen2 = _gen_files()
+        assert all(gen2.get(p) == meta for p, meta in gen1.items())
+
+        # REWRITE a resident file: the store must drop and re-fold
+        part0 = next(
+            p
+            for p in os.listdir(str(tbl))
+            if p.endswith(".parquet") and p != "part-appended.parquet"
+        )
+        pq.write_table(
+            pa.table({"doc_id": [1], "text": [good], "source": ["sC"]}),
+            str(tbl / part0),
+        )
+        crc = tbl / f".{part0}.crc"
+        if crc.exists():
+            crc.unlink()  # stale LocalFS checksum sidecar
+        spark.catalog.clearCache()
+        work3 = _domain_counts_store(spark, str(sf))
+        assert work3 != work1
+        srcs = {
+            r["source"]
+            for r in read_counts(spark, f"{work3}/counts").collect()
+        }
+        assert "sC" in srcs
+        # session-store hygiene for other tests
+        _DOMGATE_STORE.clear()
