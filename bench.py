@@ -209,6 +209,13 @@ HEADLINE = [
     "join_fuzzy_cluster_recall",
     "join_fuzzy_at_autotuned_cap",
     "quality_domain_gate_compacted",
+    # round 17: the composed-state takedown lifecycle (r16 verdict
+    # task 2; each timed run pays copy+forget+compact+2 probes — the
+    # lifecycle IS the cost being measured) and the persisted-codes
+    # ANN probe twin (task 4; WARM — codes seeded once by the untimed
+    # warmup, so the number is probe+re-rank cost, the row's claim)
+    "ingest_delete_then_probe",
+    "ann_ivfpq_topk_persisted",
 ]
 
 

@@ -3251,6 +3251,91 @@ def ann_delete_then_probe(spark, sf_dir):
     )
 
 
+#: (applicationId, sf_dir, input fingerprint) -> seeded vector-index
+#: work dir (frozen artifacts + one codes generation) — the
+#: ingest_state seed-once pattern on the ANN tier (r16 verdict task
+#: 4: the registered topk's organic b=0.99 was pinned on the per-run
+#: corpus RE-ENCODE by the geometry-retune control; the production
+#: path encodes once at ingest and probes per query, so the benched
+#: number should be probe + re-rank cost)
+_ANN_CODES_STATE: dict = {}
+
+
+def ann_codes_state(spark, sf_dir) -> str:
+    """Seed-once persisted vector index per (session, sf_dir, content
+    fingerprint): train the frozen artifacts and encode every corpus
+    vector ONCE (the cost a production index pays at ingest, via the
+    streaming fold); later probes read the persisted codes."""
+    import shutil
+
+    from chiv_spark.queries.base import table_fingerprint
+    from chiv_spark.streaming.ann_index import (
+        write_codes_generation,
+        write_ivfpq_artifacts,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, ("embeddings",)),
+    )
+    hit = _ANN_CODES_STATE.get(key)
+    if hit is not None:
+        return hit
+    for old_key in [k for k in _ANN_CODES_STATE if k[:2] == key[:2]]:
+        shutil.rmtree(_ANN_CODES_STATE.pop(old_key), ignore_errors=True)
+    emb = t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="chiv-anncodes-")
+    write_ivfpq_artifacts(emb, f"{work}/artifacts", dim=EMB_DIM)
+    cents = spark.read.parquet(f"{work}/artifacts/cents")
+    cb = spark.read.parquet(f"{work}/artifacts/codebook")
+    write_codes_generation(
+        similarity.ivfpq_encode_against(emb, cents, cb, dim=EMB_DIM),
+        f"{work}/codes",
+        0,
+    )
+    _ANN_CODES_STATE[key] = work
+    return work
+
+
+from chiv_spark.queries.base import REGISTRY as _ANN_REG  # noqa: E402
+
+
+@query(
+    "ann_ivfpq_topk_persisted",
+    _ANN_REG["ann_ivfpq_topk"].oracle,  # shared verbatim — same result
+    doc="IVFADC top-k against the PERSISTED codes index (r16 verdict "
+    "task 4): artifacts trained and every corpus vector encoded ONCE "
+    "per (session, corpus fingerprint) — the ingest_state seed-once "
+    "pattern — then each query run is ONLY the production probe "
+    "path: coarse-probe the frozen centroids, partition-pruned scan "
+    "of exactly the probed cells' code partitions "
+    "(read_codes_pruned), broadcast ADC lookup tables, exact "
+    "integer re-rank of the top-50. The registered ann_ivfpq_topk "
+    "keeps the self-contained build-and-search form; this twin "
+    "carries the number that matters at 100 TB — probe cost with "
+    "the O(corpus) re-encode amortized to ingest (ORGANIC_DECADE "
+    "r16 pinned the build row's b=0.99 on exactly that re-encode). "
+    "Search-vs-inline expression identity is pinned by "
+    "tests/test_streaming.py::TestSearchIndex; oracle shared "
+    "verbatim with ann_ivfpq_topk",
+)
+def ann_ivfpq_topk_persisted(spark, sf_dir):
+    from chiv_spark.streaming.ann_index import read_codes_pruned
+
+    emb = t(spark, sf_dir, "embeddings")
+    work = ann_codes_state(spark, sf_dir)
+    cents = spark.read.parquet(f"{work}/artifacts/cents")
+    cb = spark.read.parquet(f"{work}/artifacts/codebook")
+    _, probes = similarity.ivfpq_query_probes(emb, cents)
+    # bounded collect (≤ n_cells values — the touched-bucket
+    # precedent) drives the pruned codes scan
+    cells = sorted(r.cell for r in probes.select("cell").distinct().collect())
+    return similarity.ivfpq_search_index(
+        emb, cents, cb, read_codes_pruned(spark, f"{work}/codes", cells), dim=EMB_DIM
+    )
+
+
 #: drift-maintenance retrain bound: a cell is retrained when its
 #: delta-cohort mean quantization error exceeds DRIFT_NUM/DRIFT_DEN x
 #: the base cohort's (23/20 = 15% growth — between the measured

@@ -189,6 +189,17 @@ PLAN: dict[str, tuple[list[str], str]] = {
         [SF01, SF1, "/tmp/chiv-probe-10x-onefile"],
         "documents",
     ),
+    # round 17: the composed-state takedown lifecycle — each run pays
+    # copy + tombstone folds + counter negation + full compaction + 2
+    # probes over state proportional to the resident corpus, so
+    # expect near-linear (the compaction rewrite dominates); the
+    # SHARED seed is warm via the session cache
+    "ingest_delete_then_probe": ([SF01, SF1, PROBE_DIR], "documents"),
+    # the persisted-codes ANN probe twin, measured WARM (codes seeded
+    # once per session+fingerprint): the fitted exponent is probe +
+    # ADC + exact re-rank cost — the production per-query number,
+    # expected well below the build row's b=0.99 re-encode curve
+    "ann_ivfpq_topk_persisted": ([SF01, SF1, PROBE_DIR], "embeddings"),
 }
 
 #: single-FILE variant of the 10x replica for streaming rows: their
