@@ -85,6 +85,14 @@ HEAVY = {
     "ann_delete_then_probe": "embeddings",
     "ann_ivfpq_maintenance": "embeddings",
     "ann_ivfpq_topk": "embeddings",
+    # round 17 additions (not in the default top-10 run; name them):
+    # the cluster-output fuzzy rows fit against part (r16 task 8 —
+    # members x <=cap reps should hold b~1 at the next decade) and
+    # the persisted-codes probe twin against embeddings (task 4)
+    "join_fuzzy_cluster_assign": "part",
+    "join_fuzzy_cluster_recall": "part",
+    "ann_ivfpq_topk_persisted": "embeddings",
+    "ingest_delete_then_probe": "documents",
 }
 
 
@@ -135,6 +143,48 @@ def build_organic(out_dir: str = ORGANIC_DIR, n_docs: int = 50_000,
     )
     pq.write_table(emb, f"{out_dir}/embeddings.parquet")
 
+    # part (round 17, r16 verdict task 8 — the fuzzy cluster rows'
+    # input): continue the observed generative process at 10x sf0.1 —
+    # p_name uniform over the same 8-adjective x 8-noun grid (the
+    # clique-dense shape the cluster formulation exists for), other
+    # columns drawn from the observed sf0.1 value sets
+    n_part = n_docs * 4  # 20,000 at sf0.1's 5,000 docs -> 200,000
+    real = pq.read_table(f"{SF01}/part.parquet")
+    adjs = sorted({n.split(" ")[0] for n in real.column("p_name").to_pylist()})
+    nouns = sorted({n.split(" ")[1] for n in real.column("p_name").to_pylist()})
+    brands = sorted(set(real.column("p_brand").to_pylist()))
+    types = sorted(set(real.column("p_type").to_pylist()))
+    names = [
+        f"{adjs[int(a)]} {nouns[int(b)]}"
+        for a, b in zip(
+            rng.integers(0, len(adjs), size=n_part),
+            rng.integers(0, len(nouns), size=n_part),
+        )
+    ]
+    part = pa.table(
+        {
+            "p_partkey": pa.array(range(n_part), pa.int64()),
+            "p_name": pa.array(names, pa.string()),
+            "p_brand": pa.array(
+                [brands[int(i)] for i in rng.integers(0, len(brands), size=n_part)],
+                pa.string(),
+            ),
+            "p_type": pa.array(
+                [types[int(i)] for i in rng.integers(0, len(types), size=n_part)],
+                pa.string(),
+            ),
+            "p_size": pa.array(
+                [int(x) for x in rng.integers(1, 51, size=n_part)],
+                real.column("p_size").type,
+            ),
+            "p_retailprice": pa.array(
+                [900.0 + (i % 1000) / 10.0 for i in range(n_part)],
+                real.column("p_retailprice").type,
+            ),
+        }
+    )
+    pq.write_table(part, f"{out_dir}/part.parquet")
+
 
 def _clear_capstone_cache() -> None:
     from chiv_spark.queries.mlprep import _CAPSTONE_CACHE
@@ -151,8 +201,12 @@ def _clear_capstone_cache() -> None:
 #: documents identical isolates the embeddings-ladder effect)
 ORGANIC4_DIR = "/tmp/chiv-organic-sf1-emb4x"
 
-#: the two index-lifecycle ANN rows the verdict asked to extend
-ANN_FOURTH = ["ann_ivfpq_topk", "ann_delete_then_probe"]
+#: the index-lifecycle ANN rows on the four-point ladder; round 17
+#: adds the persisted-codes probe twin (r16 verdict task 4: its
+#: fitted b should sit well below the build row's 0.99 re-encode
+#: curve — the twin's warmup seeds the codes, so the timed wall is
+#: probe + ADC + exact re-rank only)
+ANN_FOURTH = ["ann_ivfpq_topk", "ann_delete_then_probe", "ann_ivfpq_topk_persisted"]
 
 
 def ann_fourth() -> None:
@@ -200,12 +254,100 @@ def ann_fourth() -> None:
     spark.stop()
 
 
+def repeated_arrivals(n_folds: int = 8) -> None:
+    """Sequential shard arrivals at organic sf1 (r16 verdict task 7):
+    the single-arrival fits measure ONE shard; the 100 TB claim is
+    that per-shard cost stays FLAT as folds accumulate. Partition the
+    organic corpus by a stable hash into a resident base (12/20) and
+    ``n_folds`` equal 5% shards; seed once; then fold the shards in
+    sequence, timing each fold_shard (which computes + persists the
+    shard's flags, its counter generation, and every index tier's
+    generation — the whole arrival). Midway, run compact_ingest_state
+    and report file counts, so the table shows both the generation
+    accumulation and that compaction bounds it."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from chiv_spark.functions.hashing import hash64
+    from chiv_spark.queries import REGISTRY
+    from chiv_spark.queries.ingest import (
+        compact_ingest_state,
+        fold_shard,
+        seed_ingest_state,
+    )
+    from chiv_spark.session import get_spark
+
+    spark = get_spark("organic-arrivals")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_organic()
+    docs = (
+        spark.read.parquet(f"{ORGANIC_DIR}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    slot = hash64(F.concat(F.lit("arr:"), F.col("doc_id").cast("string"))) % 20
+    resident = docs.filter(slot >= n_folds)
+    keepers = {
+        m: REGISTRY[f"dedup_{nm}_canonical"].fn(spark, ORGANIC_DIR)
+        for m, nm in (("img", "image"), ("aud", "audio"), ("vid", "video"))
+    }
+    state = tempfile.mkdtemp(prefix="chiv-arrivals-")
+
+    def n_files() -> int:
+        return len(
+            glob.glob(os.path.join(state, "**", "*.parquet"), recursive=True)
+        )
+
+    t0 = time.perf_counter()
+    seed_ingest_state(spark, resident, keepers, state)
+    seed_w = time.perf_counter() - t0
+    n_res = resident.count()
+    print(f"seed: {n_res:,} resident docs, wall={seed_w:.2f}s, files={n_files()}", flush=True)
+    walls = []
+    for k in range(n_folds):
+        shard = docs.filter(slot == k)
+        n_sh = shard.count()
+        t0 = time.perf_counter()
+        fold_shard(spark, shard, state, batch_id=k)
+        w = time.perf_counter() - t0
+        walls.append(w)
+        note = ""
+        if k == n_folds // 2 - 1:
+            fb = n_files()
+            t0 = time.perf_counter()
+            compact_ingest_state(spark, state)
+            cw = time.perf_counter() - t0
+            note = f"  [compacted: {fb} -> {n_files()} files, {cw:.2f}s]"
+        print(
+            f"fold {k}: |shard|={n_sh:,} wall={w:.2f}s files={n_files()}{note}",
+            flush=True,
+        )
+    print("\n| fold index | wall (s) |")
+    print("|---|---|")
+    for k, w in enumerate(walls):
+        print(f"| {k} | {w:.2f} |")
+    half = n_folds // 2
+    a = sum(walls[:half]) / half
+    b = sum(walls[half:]) / (n_folds - half)
+    print(
+        f"\nseed {seed_w:.1f}s once; mean arrival first-half {a:.2f}s vs "
+        f"second-half {b:.2f}s (ratio {b / a:.2f}) — flat means per-shard "
+        "cost does not grow with accumulated folds",
+        flush=True,
+    )
+    spark.stop()
+
+
 def main() -> None:
     from chiv_spark.queries import REGISTRY
     from chiv_spark.session import get_spark
 
     if sys.argv[1:] == ["--ann-fourth"]:
         ann_fourth()
+        return
+    if sys.argv[1:] and sys.argv[1] == "--arrivals":
+        repeated_arrivals(int(sys.argv[2]) if sys.argv[2:] else 8)
         return
     names = sys.argv[1:] or list(HEAVY)
     spark = get_spark("organic-decade")
