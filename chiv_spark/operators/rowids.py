@@ -19,12 +19,16 @@ bottleneck at 100 TB. This module implements the classic two-pass
    downstream consumers (the count pass and the join) could observe
    different partitionings after a recompute.
 4. **Global offsets**: per-partition counts (≤ num-buckets rows —
-   KBs at any scale), prefix-summed, **broadcast**-joined back on
-   pid. The big side never shuffles again.
+   KBs at any scale), collected and prefix-summed on the driver,
+   attached as a pure array-literal projection indexed by pid (a
+   broadcast join only above 4096 buckets, where an array literal
+   would bloat the plan). The big side never shuffles again — and
+   the offsets never re-compute: keeping them as a lazy subplan made
+   every downstream action re-run the counts aggregate.
 
-Net cost: one range exchange + one tiny aggregate + a broadcast
-hash join — exactly what RDD ``zipWithIndex`` does, but staying in
-DataFrame land so the result composes with Catalyst downstream.
+Net cost: one range exchange + one tiny collected aggregate —
+exactly what RDD ``zipWithIndex`` does, but staying in DataFrame
+land so the result composes with Catalyst downstream.
 
 Ties in ``order_cols`` across partition boundaries are ordered by
 the range partitioner (equal keys always land in one partition) but
@@ -36,7 +40,6 @@ uniquified) key list for deterministic ids, same contract as any
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 #: monotonically_increasing_id packs the partition id above bit 33
 _MONO_PART_SHIFT = 33
@@ -60,13 +63,20 @@ def assign_global_row_ids(
     id_col: str = "row_id",
     buckets: int | None = None,
     start: int = 1,
-) -> DataFrame:
+    with_count: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
     """Add ``id_col`` = consecutive longs (``start``, ``start+1``, …)
     in ``order_cols`` order, without a single-partition window.
 
     The returned DataFrame is backed by an eager localCheckpoint (the
     pinning is what makes the ids stable); row order is unspecified —
     sort on ``id_col`` downstream if a sorted layout is needed.
+
+    ``with_count=True`` additionally returns the relation's row count
+    — free here, because the per-partition counts are collected to
+    compute the offsets anyway, where a caller-side ``.count()`` is a
+    whole extra job over the pinned table (the r17 suffix-tier loop
+    paid exactly that once per densify round).
     """
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
@@ -79,21 +89,40 @@ def assign_global_row_ids(
     pid = F.shiftright(F.col("__mono"), _MONO_PART_SHIFT).alias("__pid")
     local = F.col("__mono").bitwiseAND(F.lit(_MONO_LOCAL_MASK))
 
-    counts = pinned.groupBy(pid).agg(F.count(F.lit(1)).alias("__n"))
-    # prefix sum over ≤ `buckets` rows — the SinglePartition window
-    # here touches the tiny counts side only, never the data
-    cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid",
-        F.coalesce(F.sum("__n").over(cum), F.lit(0)).cast("long").alias("__off"),
-    )
+    # Per-partition counts, collected NOW (≤ `buckets` rows — KBs at
+    # any scale). Prior shape kept these lazy under a broadcast join,
+    # which re-ran the counts aggregate inside EVERY downstream action
+    # on the returned relation; one eager driver-side prefix sum makes
+    # the offsets a pure projection instead.
+    rows = pinned.groupBy(pid).agg(F.count(F.lit(1)).alias("__n")).collect()
+    by_pid = {r["__pid"]: r["__n"] for r in rows}
+    offs: list[int] = []
+    acc = 0
+    for p in range(buckets):
+        offs.append(acc)
+        acc += by_pid.get(p, 0)
+    total = acc
 
-    return (
-        pinned.withColumn("__pid", pid)
-        .join(F.broadcast(offsets), "__pid")
-        .withColumn(
-            id_col,
-            (F.col("__off") + local + F.lit(int(start))).cast("long"),
+    if buckets <= 4096:
+        # offsets as an array literal indexed by pid — zero extra
+        # relation in the plan
+        off_expr = F.element_at(F.lit(offs), F.col("__pid").cast("int") + 1)
+    else:
+        # very wide layouts: keep the plan small with a broadcast join
+        # against the tiny collected offsets table
+        offsets = spark.createDataFrame(
+            [(p, o) for p, o in enumerate(offs)], "__pid long, __off long"
         )
-        .drop("__pid", "__mono", "__off")
-    )
+        off_expr = None  # joined below
+    out = pinned.withColumn("__pid", pid)
+    if off_expr is not None:
+        out = out.withColumn("__off", off_expr)
+    else:
+        out = out.join(F.broadcast(offsets), "__pid")
+    out = out.withColumn(
+        id_col,
+        (F.col("__off") + local + F.lit(int(start))).cast("long"),
+    ).drop("__pid", "__mono", "__off")
+    if with_count:
+        return out, total
+    return out

@@ -90,11 +90,38 @@ def token_positions(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def _dense_rank_by(rel: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+#: target rows per range bucket in the dense-rank exchanges — sized
+#: so a bucket of (doc_id, pos, r) longs lands in the guide's
+#: 100 MB-1 GB partition band; the bucket COUNT is then derived from
+#: the relation's actual row count (known exactly in the doubling
+#: loop) instead of a fixed spark.sql.shuffle.partitions fan-out,
+#: which sprayed 64 near-empty range partitions (each with sampling,
+#: sort and checkpoint overhead) at bench scale and would equally
+#: under-partition a 100 TB corpus run at a cluster-tuned conf.
+_ROWS_PER_BUCKET = 1_000_000
+
+
+def _rank_buckets(spark, n_rows: int) -> int:
+    """Scale-adaptive bucket count for the ranking range exchange:
+    ~:data:`_ROWS_PER_BUCKET` rows per bucket, capped at the session's
+    shuffle parallelism (the knob a cluster deployment tunes)."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(cap, -(-int(n_rows) // _ROWS_PER_BUCKET)))
+
+
+def _dense_rank_by(
+    rel: DataFrame, cols: list[str], id_col: str, buckets: int | None = None
+) -> tuple[DataFrame, int]:
     """Distinct rows of ``cols`` ranked 1..m in lexicographic order —
     the scalable dense-rank building block (range exchange + two-pass
-    offsets, no single-partition window). Returns (cols..., id_col)."""
-    return assign_global_row_ids(rel.select(*cols).distinct(), cols, id_col=id_col)
+    offsets, no single-partition window). Returns ((cols..., id_col),
+    m) — the group count is free (the offsets pass collects the
+    per-partition counts anyway), so callers never pay a separate
+    ``.count()`` job over the ranked table."""
+    return assign_global_row_ids(
+        rel.select(*cols).distinct(), cols, id_col=id_col, buckets=buckets,
+        with_count=True,
+    )
 
 
 #: per-process uniquifiers for scratch subdirectories — see
@@ -206,6 +233,7 @@ def suffix_rank_tables(
             "rank_empty",
         )
         return [(1, empty)], 0
+    buckets = _rank_buckets(positions.sparkSession, n_pos)
     if base_width > 1:
         if toks is None:
             raise ValueError("base_width > 1 requires the toks relation")
@@ -221,7 +249,7 @@ def suffix_rank_tables(
                 )
             ).alias("pos", "w"),
         )
-        win_ranks = _dense_rank_by(wrel, ["w"], "r")
+        win_ranks, prev_groups = _dense_rank_by(wrel, ["w"], "r", buckets=buckets)
         r1 = _pin(
             wrel.join(win_ranks, "w").select("doc_id", "pos", "r"),
             scratch_dir,
@@ -230,10 +258,11 @@ def suffix_rank_tables(
         tables: list[tuple[int, DataFrame]] = [(base_width, r1)]
         k = base_width
         cur = r1
-        prev_groups = win_ranks.count()
     else:
         # rank by first token: dense rank of the token string
-        tok_ranks = _dense_rank_by(positions, ["tok"], "r")
+        tok_ranks, prev_groups = _dense_rank_by(
+            positions, ["tok"], "r", buckets=buckets
+        )
         r1 = _pin(
             positions.join(tok_ranks, "tok").select("doc_id", "pos", "r"),
             scratch_dir,
@@ -242,7 +271,6 @@ def suffix_rank_tables(
         tables = [(1, r1)]
         k = 1
         cur = r1
-        prev_groups = tok_ranks.count()
     # conservative upper bound on the current rank values; drives the
     # pack-vs-densify choice below
     rank_bound = prev_groups
@@ -286,7 +314,9 @@ def suffix_rank_tables(
             # runs on densify rounds (counts are monotone, so equality
             # across a pack+densify span still implies no split)
             continue
-        pair_ranks = _dense_rank_by(paired, ["r", "r2"], "nr")
+        pair_ranks, groups = _dense_rank_by(
+            paired, ["r", "r2"], "nr", buckets=buckets
+        )
         nxt = _pin(
             paired.join(pair_ranks, ["r", "r2"]).select(
                 "doc_id", "pos", F.col("nr").alias("r")
@@ -298,7 +328,6 @@ def suffix_rank_tables(
         tables.append((k, nxt))
         cur = nxt
         last_dense = True
-        groups = pair_ranks.count()
         rank_bound = groups
         # early exit on a STABLE partition, not just all-distinct: if no
         # rank group split since the last densify round, groups agreeing
@@ -318,7 +347,7 @@ def suffix_rank_tables(
         # values — equality and order preserved, so the table remains a
         # valid rank_L relation for the descent
         L, last = tables[-1]
-        fr = _dense_rank_by(last, ["r"], "nr")
+        fr, _ = _dense_rank_by(last, ["r"], "nr", buckets=buckets)
         dense_last = _pin(
             last.join(fr, "r").select("doc_id", "pos", F.col("nr").alias("r")),
             scratch_dir,
@@ -530,24 +559,95 @@ def max_repeated_spans_pruned(docs: DataFrame, scratch_dir: str | None = None) -
     wc8 = win8.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     cand = win8.join(wc8.filter(F.col("c") >= 2), "w").select("doc_id").distinct()
 
+    # Pin the candidate subcorpus once: the detector below drives a
+    # dozen-plus eager actions (round pins, offset collects), and an
+    # unpinned candidate relation re-ran the full win8 → wc8 → join →
+    # distinct predicate inside EVERY one of them (guide §5: cache
+    # when a subtree is reused and recomputing beats memory pressure —
+    # here the subtree is ~10% of the corpus and reused ~15x).
+    pin_dir = scratch_subdir(scratch_dir) if scratch_dir else None
+    cand_docs = _pin(
+        docs.join(cand, "doc_id").select("doc_id", "text"),
+        pin_dir,
+        "cand_docs",
+    )
+
     # exact sub-WINDOW_N spans: every (position, L<WINDOW_N) window,
-    # counted corpus-wide; per-doc leftmost argmax via one struct-max
-    small = tk.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(tk)), i ->"
-                f" transform(sequence(1, least({WINDOW_N - 1}, size(tk) - i + 1)), L ->"
-                " struct(i - 1 AS pos, L AS L,"
-                " array_join(slice(tk, i, L), ' ') AS w))))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.pos", "s.L", "s.w")
+    # counted corpus-wide; per-doc leftmost argmax via one struct-max.
+    #
+    # The enumeration applies the tier's own pigeonhole one level
+    # down (guide §2.3 — shuffle fewer bytes): windows of length
+    # 1..PIVOT are built at EVERY position, but a window of length
+    # > PIVOT occurring >= 2 times corpus-wide has its PIVOT-prefix
+    # repeated at BOTH sites, so lengths PIVOT+1..WINDOW_N-1 only
+    # need enumerating at positions whose PIVOT-window is corpus-
+    # repeated: counting them there is exact (any site outside that
+    # set holds a count-1 window, which can never reach the >= 2
+    # verdict), and every position that could achieve the per-doc
+    # argmax at those lengths is in the set for the same reason.
+    # Volume drops from (WINDOW_N-1)·n to PIVOT·n + 3·f·n with f the
+    # repeated-PIVOT-gram position fraction (~0.33 on the synthetic
+    # corpus; 3-14% of real web corpora per Lee et al.). The L1..4
+    # relation is pinned — it feeds the count aggregate, the PIVOT
+    # predicate and the argmax join, and unpinned each consumer
+    # re-ran the full explode.
+    pivot = 4
+    small4 = _pin(
+        tk.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(tk)), i ->"
+                    f" transform(sequence(1, least({pivot}, size(tk) - i + 1)), L ->"
+                    " struct(i - 1 AS pos, L AS L,"
+                    " array_join(slice(tk, i, L), ' ') AS w))))"
+                )
+            ).alias("s"),
+        ).select("doc_id", "s.pos", "s.L", "s.w"),
+        pin_dir,
+        "small4",
+    )
+    rep4 = (
+        small4.filter(F.col("L") == pivot)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("w")
+    )
+    # repeated-PIVOT positions, grouped per doc so the token arrays
+    # join once per DOC and are never replicated per position
+    p4doc = (
+        small4.filter(F.col("L") == pivot)
+        .join(rep4, "w")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("ps"))
+    )
+    small57 = (
+        tk.join(p4doc, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(filter(ps, p -> size(tk) - p > {pivot}), p ->"
+                    f" transform(sequence({pivot} + 1, least({WINDOW_N - 1}, size(tk) - p)), L ->"
+                    " struct(p AS pos, L AS L,"
+                    " array_join(slice(tk, p + 1, L), ' ') AS w))))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.L", "s.w")
+    )
+    small = small4.unionByName(small57)
     rep_small = small.groupBy("L", "w").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     )
+    # argmax side restricted to NON-candidate docs: the final coalesce
+    # below always takes the detector's b_span for a candidate doc
+    # (its repeated WINDOW_N-gram guarantees b_span >= WINDOW_N), so
+    # candidate occurrences only matter on the COUNT side above
     small_best = (
-        small.join(rep_small.select("L", "w"), ["L", "w"])
+        small.join(F.broadcast(cand_docs.select("doc_id")), "doc_id", "left_anti")
+        .join(rep_small.select("L", "w"), ["L", "w"])
         .groupBy("doc_id")
         .agg(F.max(F.struct("L", (-F.col("pos")).alias("npos"))).alias("b"))
         .select(
@@ -557,9 +657,7 @@ def max_repeated_spans_pruned(docs: DataFrame, scratch_dir: str | None = None) -
         )
     )
 
-    big = max_repeated_spans(
-        docs.join(cand, "doc_id").select("doc_id", "text"), scratch_dir=scratch_dir
-    ).select(
+    big = max_repeated_spans(cand_docs, scratch_dir=scratch_dir).select(
         "doc_id",
         F.col("max_rep_span").alias("b_span"),
         F.col("span_pos").alias("b_pos"),
@@ -650,16 +748,29 @@ def incremental_span_trim(
     there equal full-corpus values exactly; sub-8 spans are zeroed
     for non-candidates on both engine and oracle. Emits per arriving
     doc: n_tokens, span_ge8, trimmed_text, keep."""
-    wtot = (
+    # Pin the three shared relations the span-check fans out over.
+    # Each has >= 2 consumers across the detector's many eager
+    # actions; unpinned, the corpus-side window_index aggregate under
+    # ``wtot`` re-ran in every one of them (the r17 measurement: the
+    # incremental rows spent more time re-deriving these subtrees
+    # than in the detector itself).
+    pin_dir = scratch_subdir(scratch_dir) if scratch_dir else None
+    wtot = _pin(
         dwin.groupBy("w")
         .agg(F.sum("cnt").alias("dc"))
         .join(index.groupBy("w").agg(F.sum("cnt").alias("bc")), "w", "left")
         .filter(F.col("dc") + F.coalesce(F.col("bc"), F.lit(0)) >= 2)
-        .select("w")
+        .select("w"),
+        pin_dir,
+        "wtot",
     )
-    cand = dwin.join(wtot, "w").select("doc_id").distinct()
+    cand = _pin(dwin.join(wtot, "w").select("doc_id").distinct(), pin_dir, "cand")
     twins = index.join(wtot, "w").select("doc_id").distinct()
-    sub = delta.join(cand, "doc_id").unionByName(resident.join(twins, "doc_id"))
+    sub = _pin(
+        delta.join(cand, "doc_id").unionByName(resident.join(twins, "doc_id")),
+        pin_dir,
+        "sub",
+    )
     spans = max_repeated_spans(sub, scratch_dir=scratch_dir)
     hit = F.col("max_rep_span") >= threshold
     out_cand = (

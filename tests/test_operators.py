@@ -235,6 +235,24 @@ class TestGlobalRowIds:
         with pytest.raises(ValueError):
             assign_global_row_ids(spark.range(3), [])
 
+    def test_with_count_and_bucket_invariance(self, spark):
+        # r17 optimization pins: (1) with_count returns the exact row
+        # count for free (from the offsets collect), (2) ids are
+        # value-identical across bucket counts for unique keys —
+        # including buckets=1, the scale-adaptive floor the suffix
+        # tier now derives from relation size
+        from chiv_spark.operators.rowids import assign_global_row_ids
+
+        df = spark.range(0, 257).selectExpr("cast(id as long) AS k")
+        out, n = assign_global_row_ids(df, ["k"], buckets=7, with_count=True)
+        assert n == 257
+        pdf = out.toPandas().sort_values("k").reset_index(drop=True)
+        assert list(pdf["row_id"]) == list(range(1, 258))
+        for buckets in (1, 3):
+            alt = assign_global_row_ids(df, ["k"], buckets=buckets)
+            apdf = alt.toPandas().sort_values("k").reset_index(drop=True)
+            assert list(apdf["row_id"]) == list(pdf["row_id"])
+
 
 class TestRightSizePartitions:
     def test_small_cached_df_collapses(self, spark):

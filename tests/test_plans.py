@@ -221,9 +221,13 @@ class TestRound4PlanShapes:
         # eager checkpoint hides its upstream plan:
         # (1) the pre-pin stage is exactly one rangepartitioning
         #     exchange + a partition-local (non-global) sort;
-        # (2) downstream, offsets come back by broadcast join — the
-        #     data side never shuffles again and never hits the
-        #     SinglePartition window a naive global ROW_NUMBER plans.
+        # (2) downstream, offsets are a pure array-literal projection
+        #     indexed by pid (r17: the per-partition counts are
+        #     collected once, driver-side, instead of living as a lazy
+        #     broadcast-join subplan that re-ran in every consuming
+        #     action) — the data side never shuffles OR joins again
+        #     and never hits the SinglePartition window a naive global
+        #     ROW_NUMBER plans.
         from chiv_spark.operators.rowids import ranged_stage
         from chiv_spark.plans import physical_plan
         from chiv_spark.sources.catalog import read_table
@@ -236,10 +240,12 @@ class TestRound4PlanShapes:
         df = REGISTRY["transform_global_row_ids"].fn(spark, SF)
         plan = physical_plan(df).lower()
         assert "rangepartitioning" not in plan  # pinned; no re-sort
+        assert "element_at" in plan  # offsets are a literal lookup
         ops = op_counts(df)
-        assert ops.get("BroadcastHashJoin", 0) == 1
+        assert ops.get("BroadcastHashJoin", 0) == 0  # no offsets join
         assert ops.get("SortMergeJoin", 0) == 0
         assert ops.get("CartesianProduct", 0) == 0
+        assert ops.get("Exchange", 0) == 0  # zero post-pin shuffles
 
 
 class TestRound4SecondBatchPlanShapes:
@@ -568,7 +574,9 @@ class TestWindowAudit:
         "stats_chi2_lang_source": "ECDF (lang x source cells)",
         "mlprep_auc_exact": "ECDF (distinct score values)",
         "events_revenue_period_over_period": "CALENDAR (day grain)",
-        "transform_global_row_ids": "PARTROWS (one row per partition)",
+        # transform_global_row_ids left the list in r17: the offsets
+        # prefix-sum window over per-partition counts became a
+        # driver-side collect + array-literal projection
         "events_user_rfm": "CONTRACT (scalable twin is the scale path)",
         "ann_ivfpq_recall_at_5": "GATE (one row per limit-seeded query)",
         "ann_ivfpq_incremental_recall": "GATE (one row per limit-seeded query)",
