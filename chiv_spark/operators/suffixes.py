@@ -186,6 +186,7 @@ def suffix_rank_tables(
     scratch_dir: str | None = None,
     toks: DataFrame | None = None,
     base_width: int = 1,
+    stats: tuple | None = None,
 ) -> tuple[list[tuple[int, DataFrame]], int]:
     """Run prefix doubling to convergence.
 
@@ -215,12 +216,18 @@ def suffix_rank_tables(
     """
     if scratch_dir is not None:
         scratch_dir = scratch_subdir(scratch_dir)
-    n_pos, maxlen = (
-        positions.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dl"))
-        .agg(F.sum("dl").alias("n"), F.max("dl").alias("m"))
-        .collect()[0]
-    )
+    if stats is not None:
+        # caller already collected (n_pos, maxlen) — e.g. the
+        # small-path gate check in max_repeated_spans — so don't pay
+        # the aggregate job twice
+        n_pos, maxlen = stats
+    else:
+        n_pos, maxlen = (
+            positions.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("dl"))
+            .agg(F.sum("dl").alias("n"), F.max("dl").alias("m"))
+            .collect()[0]
+        )
     if n_pos is None:
         # empty corpus: the global agg yields NULL n/maxlen, which
         # would otherwise surface as an opaque int-vs-None TypeError
@@ -443,6 +450,110 @@ def _adjacent_group_lcp(
     return pairs.select("r", F.least("lcp", "rem_a", "rem_b").alias("lcp"))
 
 
+#: default for the single-task fast-path gate (see
+#: :func:`_small_path_gate`): a subcorpus whose Σ len_d² is at or
+#: below this materializes every suffix (Σ len·(len+1)/2 ≤ gate/2
+#: token slots — tens of MB of strings) and ranks them in ONE
+#: sorted-window task instead of ~20 prefix-doubling jobs. Sized so
+#: the single task stays well under a typical executor partition
+#: budget; a 100 TB candidate subcorpus is orders of magnitude past
+#: it and takes the doubling path unchanged.
+_SMALL_SUFFIX_SUMSQ = 16_000_000
+
+
+def _small_path_gate(spark) -> int:
+    """Gate for :func:`_small_max_repeated_spans`, parameterised via
+    ``spark.chiv.suffix.smallPathSumSq`` (0 disables the fast path —
+    the scratch-spill pytest forces the doubling machinery that way;
+    a cluster deployment tunes it to its task memory budget)."""
+    return int(
+        spark.conf.get("spark.chiv.suffix.smallPathSumSq", str(_SMALL_SUFFIX_SUMSQ))
+    )
+
+
+def _doc_span_argmax(lrp: DataFrame) -> DataFrame:
+    """Per-doc (n_tokens, max_rep_span, leftmost span_pos) from a
+    (doc_id, pos, len, lrp) relation — the shared argmax tail of both
+    detector paths, factored so they cannot drift."""
+    return (
+        lrp.groupBy("doc_id")
+        .agg(
+            F.max("len").cast("long").alias("n_tokens"),
+            F.max(F.struct(F.col("lrp"), (-F.col("pos")).alias("npos"))).alias("best"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("best.lrp").cast("long").alias("max_rep_span"),
+            F.when(F.col("best.lrp") > 0, -F.col("best.npos"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("span_pos"),
+        )
+    )
+
+
+def _small_max_repeated_spans(toks: DataFrame, n_pos: int) -> DataFrame:
+    """The size-gated single-task detector: materialize every suffix
+    as its token-array tail, globally sort, and take each suffix's
+    max common prefix with its two sort neighbors.
+
+    Exactness (the standard suffix-array identity — the SAME property
+    the doubling path's LCP descent relies on, step 4 of the module
+    docstring): in suffix-sorted order, the longest common prefix of
+    a suffix with ANY other suffix is achieved at an adjacent one, so
+    max(lcp(prev), lcp(next)) IS the max repeated span at that
+    position; an identical twin suffix sorts adjacent and its lcp is
+    the full remaining length, covering the duplicate-suffix case the
+    doubling path handles via group sizes. Array<string> comparison
+    is token-sequence order with shorter-prefix-first — bit-identical
+    to the doubling path's END_RANK sentinel semantics.
+
+    The window is deliberately unpartitioned: the caller's gate
+    (:func:`_small_path_gate`) bounds the input, and the explicit
+    ``limit(n_pos)`` below the window states that bound in the plan
+    (the registry-wide window audit's post-limit rule). Above the
+    gate the doubling path runs and this plan shape never appears.
+    One job replaces the ~20 the doubling loop schedules — at small
+    input the loop's cost is pure per-job overhead (measured 64 jobs
+    / ~5 s for a 78-doc subcorpus at sf0.1)."""
+    sfx = toks.select(
+        "doc_id",
+        F.size("tk").alias("len"),
+        F.posexplode(
+            F.expr("transform(sequence(1, size(tk)), i -> slice(tk, i, size(tk) - i + 1))")
+        ).alias("pos", "s"),
+    ).limit(int(n_pos))
+    w = Window.orderBy("s")
+
+    def _lcp(other: str):
+        # first mismatch index - 1; no mismatch ⇒ equal-length equal
+        # arrays (zip_with pads the shorter side with nulls, which
+        # compare false against any token) ⇒ lcp = common length
+        ap = F.expr(f"array_position(zip_with(s, {other}, (x, y) -> x <=> y), false)")
+        return F.when(F.col(other).isNull(), F.lit(0)).otherwise(
+            F.when(ap > 0, ap - 1).otherwise(F.least(F.size("s"), F.size(other)))
+        )
+
+    lrp = (
+        sfx.select(
+            "doc_id",
+            "pos",
+            "len",
+            "s",
+            F.lag("s").over(w).alias("prv"),
+            F.lead("s").over(w).alias("nxt"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            "len",
+            F.greatest(_lcp("prv"), _lcp("nxt")).alias("lrp"),
+        )
+    )
+    return _doc_span_argmax(lrp)
+
+
 def max_repeated_spans(docs: DataFrame, scratch_dir: str | None = None) -> DataFrame:
     """(doc_id, n_tokens, max_rep_span, span_pos): per document, the
     length of its longest token span occurring at ≥2 distinct (doc,
@@ -451,15 +562,38 @@ def max_repeated_spans(docs: DataFrame, scratch_dir: str | None = None) -> DataF
     trims), plus the 0-based position of the LEFTMOST such span (the
     argmax a trimming pass removes; 0-length spans report pos 0).
 
-    The doubling is seeded at L = WINDOW_N (one dense-rank over
-    token-array windows instead of ceil(log2 WINDOW_N) extra rounds)
-    and the LCP descent's final < WINDOW_N tokens resolve via the
-    bounded-slice refinement — see :func:`suffix_rank_tables` /
-    :func:`_adjacent_group_lcp`; exactness is argued there."""
-    positions = token_positions(docs)
+    Small inputs (Σ len² at or below :func:`_small_path_gate` — the
+    usual shape once the candidate predicate has pruned the corpus,
+    and every arriving-shard subcorpus) take the single-task
+    suffix-sort path (:func:`_small_max_repeated_spans`, exactness
+    argued there). Above the gate, prefix doubling runs: seeded at
+    L = WINDOW_N (one dense-rank over token-array windows instead of
+    ceil(log2 WINDOW_N) extra rounds), with the LCP descent's final
+    < WINDOW_N tokens resolved via the bounded-slice refinement —
+    see :func:`suffix_rank_tables` / :func:`_adjacent_group_lcp`."""
     toks = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    n_pos, maxlen, sumsq = (
+        toks.select(F.size("tk").cast("long").alias("dl"))
+        .agg(
+            F.sum("dl").alias("n"),
+            F.max("dl").alias("m"),
+            F.sum(F.col("dl") * F.col("dl")).alias("sq"),
+        )
+        .collect()[0]
+    )
+    if (
+        n_pos is not None
+        and sumsq is not None
+        and sumsq <= _small_path_gate(docs.sparkSession)
+    ):
+        return _small_max_repeated_spans(toks, int(n_pos))
+    positions = token_positions(docs)
     tables, _ = suffix_rank_tables(
-        positions, scratch_dir=scratch_dir, toks=toks, base_width=WINDOW_N
+        positions,
+        scratch_dir=scratch_dir,
+        toks=toks,
+        base_width=WINDOW_N,
+        stats=(n_pos, maxlen),
     )
     _, final_tab = tables[-1]
     lens = positions.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
@@ -486,22 +620,7 @@ def max_repeated_spans(docs: DataFrame, scratch_dir: str | None = None) -> DataF
         )
     )
     # argmax with leftmost tiebreak: max over (lrp, -pos) structs
-    return (
-        lrp.groupBy("doc_id")
-        .agg(
-            F.max("len").cast("long").alias("n_tokens"),
-            F.max(F.struct(F.col("lrp"), (-F.col("pos")).alias("npos"))).alias("best"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.col("best.lrp").cast("long").alias("max_rep_span"),
-            F.when(F.col("best.lrp") > 0, -F.col("best.npos"))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("span_pos"),
-        )
-    )
+    return _doc_span_argmax(lrp)
 
 
 def max_repeated_spans_pruned(docs: DataFrame, scratch_dir: str | None = None) -> DataFrame:
@@ -748,33 +867,47 @@ def incremental_span_trim(
     there equal full-corpus values exactly; sub-8 spans are zeroed
     for non-candidates on both engine and oracle. Emits per arriving
     doc: n_tokens, span_ge8, trimmed_text, keep."""
-    # Pin the three shared relations the span-check fans out over.
-    # Each has >= 2 consumers across the detector's many eager
-    # actions; unpinned, the corpus-side window_index aggregate under
-    # ``wtot`` re-ran in every one of them (the r17 measurement: the
-    # incremental rows spent more time re-deriving these subtrees
-    # than in the detector itself).
     pin_dir = scratch_subdir(scratch_dir) if scratch_dir else None
-    wtot = _pin(
-        dwin.groupBy("w")
-        .agg(F.sum("cnt").alias("dc"))
-        .join(index.groupBy("w").agg(F.sum("cnt").alias("bc")), "w", "left")
+    dw_agg = dwin.groupBy("w").agg(F.sum("cnt").alias("dc"))
+    # §3.2 pre-filter: the bc totals (and the twin lookup below) are
+    # only ever consumed for windows PRESENT IN THE SHARD, so restrict
+    # the corpus-side index to the shard's window set BEFORE any
+    # aggregate — previously the full resident index shuffled its
+    # whole window-string universe through groupBy(w) twice per call
+    # (once for bc, once for twins). Exact: a window absent from dwin
+    # can neither satisfy the left join nor reach wtot, so dropping
+    # its index rows changes nothing.
+    ind_f = index.join(dw_agg.select("w"), "w", "left_semi")
+    wtot = (
+        dw_agg.join(ind_f.groupBy("w").agg(F.sum("cnt").alias("bc")), "w", "left")
         .filter(F.col("dc") + F.coalesce(F.col("bc"), F.lit(0)) >= 2)
-        .select("w"),
-        pin_dir,
-        "wtot",
+        .select("w")
     )
-    cand = _pin(dwin.join(wtot, "w").select("doc_id").distinct(), pin_dir, "cand")
-    twins = index.join(wtot, "w").select("doc_id").distinct()
+    cand = dwin.join(wtot, "w").select("doc_id").distinct()
+    twins = ind_f.join(wtot, "w").select("doc_id").distinct()
+    # ONE pin for the whole predicate chain (r17: four eager pins —
+    # ind_f/wtot/cand/sub — cost ~0.5 s of job overhead EACH at shard
+    # scale; folding the chain into the sub pin lets Catalyst compute
+    # it in a single action, with ReuseExchange deduplicating the
+    # shared wtot/ind_f/dwin subtrees). The is_delta flag makes the
+    # pinned table serve all three downstream consumers (detector
+    # input, candidate output rows, non-candidate anti-join), so the
+    # cand relation never needs its own pin: delta ∩ resident = ∅ by
+    # the callers' fate-split/exclude-batch contracts, and even were
+    # it not, the union rows match the previous shape exactly.
     sub = _pin(
-        delta.join(cand, "doc_id").unionByName(resident.join(twins, "doc_id")),
+        delta.join(cand, "doc_id").withColumn("is_delta", F.lit(True)).unionByName(
+            resident.join(twins, "doc_id").withColumn("is_delta", F.lit(False))
+        ),
         pin_dir,
         "sub",
     )
-    spans = max_repeated_spans(sub, scratch_dir=scratch_dir)
+    spans = max_repeated_spans(
+        sub.select("doc_id", "text"), scratch_dir=scratch_dir
+    )
     hit = F.col("max_rep_span") >= threshold
     out_cand = (
-        delta.join(cand, "doc_id")
+        sub.filter(F.col("is_delta")).select("doc_id", "text")
         .join(spans.select("doc_id", "n_tokens", "max_rep_span", "span_pos"), "doc_id")
         .withColumn("tk", F.split("text", " "))
         .select(
@@ -796,7 +929,9 @@ def incremental_span_trim(
             (~hit).alias("keep"),
         )
     )
-    out_non = delta.join(cand, "doc_id", "left_anti").select(
+    out_non = delta.join(
+        sub.filter(F.col("is_delta")).select("doc_id"), "doc_id", "left_anti"
+    ).select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.lit(0).cast("long").alias("span_ge8"),

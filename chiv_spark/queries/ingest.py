@@ -586,7 +586,10 @@ def ingest_forget(spark, state_dir, doc_ids, request_id: int = 0) -> None:
       generation and stays visible.
 
     Physical drop happens at compact_ingest_state."""
-    ids = doc_ids.select("doc_id")
+    # pin the deletion set once: it feeds the counter negation plus
+    # seven per-tier tombstone folds — unpinned, each consumer re-ran
+    # the caller's filter scan (ids are a bounded id-only relation)
+    ids = doc_ids.select("doc_id").localCheckpoint(eager=True)
     del_flags = (
         spark.read.parquet(f"{state_dir}/flags_store")
         .drop("pb", "src_batch")
@@ -599,8 +602,24 @@ def ingest_forget(spark, state_dir, doc_ids, request_id: int = 0) -> None:
     ).write.mode("overwrite").parquet(
         f"{state_dir}/counters/gen=d{int(request_id)}"
     )
-    for tier in _DEL_TIERS:
+    # the seven tombstone folds touch disjoint tier directories and
+    # each is a tiny job (a max-src_batch read + a 1-file write) that
+    # leaves most of the cluster idle — overlap them (guide §2.6:
+    # submit independent jobs from a small pool so one job's tail
+    # back-fills the next's tasks). Any thread's exception propagates
+    # (fail closed — the deletion primitive must never half-apply
+    # silently; a retry of the same request_id is idempotent).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    @inheritable_thread_target
+    def _one(tier: str) -> None:
         write_tombstones(spark, f"{state_dir}/{tier}", ids)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for _ in pool.map(_one, _DEL_TIERS):
+            pass
 
 
 def compact_ingest_state(spark, state_dir) -> dict:
@@ -614,8 +633,17 @@ def compact_ingest_state(spark, state_dir) -> dict:
     import glob
     import shutil
 
-    stats = {}
-    for tier in _DEL_TIERS:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    # tiers compact in parallel (guide §2.6): each tier's
+    # read→anti-join→rewrite→dir-swap touches ONLY its own directory
+    # and is a small job that would otherwise leave the cluster idle
+    # serially ×7. Exceptions propagate from pool.map — a failed tier
+    # aborts the compaction exactly as the sequential loop did.
+    @inheritable_thread_target
+    def _one(tier: str) -> tuple[str, tuple]:
         tdir = f"{state_dir}/{tier}"
         schema_path = os.path.join(tdir, "_schema.json")
         schema_raw = None
@@ -627,7 +655,7 @@ def compact_ingest_state(spark, state_dir) -> dict:
         # skipped (compact_index would fail schema inference on the
         # underscore-ignored data scan)
         if glob.glob(os.path.join(tdir, "pb=*", "**", "*.parquet"), recursive=True):
-            stats[tier] = compact_index(
+            out = compact_index(
                 spark,
                 tdir,
                 id_col="doc_id",
@@ -637,7 +665,7 @@ def compact_ingest_state(spark, state_dir) -> dict:
         else:
             # legitimately-empty tier (zero eval-fated docs): nothing
             # to fold or drop
-            stats[tier] = (0, 0)
+            out = (0, 0)
         # the compaction dir-swap replaced the root — restore the
         # schema sidecar so post-compaction reads survive a tier
         # whose every row was dropped
@@ -645,6 +673,10 @@ def compact_ingest_state(spark, state_dir) -> dict:
             os.makedirs(tdir, exist_ok=True)
             with open(os.path.join(tdir, "_schema.json"), "w") as fh:
                 fh.write(schema_raw)
+        return tier, out
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        stats = dict(pool.map(_one, _DEL_TIERS))
     cdir = f"{state_dir}/counters"
     folded = (
         spark.read.parquet(cdir)

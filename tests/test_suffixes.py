@@ -115,6 +115,54 @@ class TestMaxRepeatedSpans:
         assert run(spark, rows) == brute_spans(rows)
 
 
+class TestSmallPathParity:
+    """r17 optimization: the size-gated single-task suffix-sort path
+    must agree bit-for-bit with the prefix-doubling machinery —
+    span length, n_tokens AND leftmost position — on shapes covering
+    cross-doc twins, within-doc stutter, exact dups, prefix-of-suffix
+    ties and empty-token docs."""
+
+    ROWS = [
+        (1, "a b c d e f g h"),
+        (2, "x y z a b c d q"),
+        (3, "p q r p q r p q r"),
+        (4, "unique words only here"),
+        (5, "x y z a b c d q"),
+        (6, "a a a a"),
+        (7, ""),
+        (8, ""),
+        (9, "x y a b c d z"),
+        (10, " ".join(f"t{i}" for i in range(40)) + " endone"),
+        (11, " ".join(f"t{i}" for i in range(40)) + " endtwo"),
+    ]
+
+    def test_small_and_doubling_paths_identical(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        small = {
+            (r.doc_id, r.n_tokens, r.max_rep_span, r.span_pos)
+            for r in max_repeated_spans(df).collect()
+        }
+        spark.conf.set("spark.chiv.suffix.smallPathSumSq", "0")
+        try:
+            doubling = {
+                (r.doc_id, r.n_tokens, r.max_rep_span, r.span_pos)
+                for r in max_repeated_spans(df).collect()
+            }
+        finally:
+            spark.conf.unset("spark.chiv.suffix.smallPathSumSq")
+        assert small == doubling
+
+    def test_default_gate_takes_single_job_path(self, spark):
+        # the fast path's plan signature: an unpartitioned window over
+        # an explicit GlobalLimit (the audit's post-limit rule), no
+        # checkpointed rank tables
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        plan = (
+            max_repeated_spans(df)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "GlobalLimit" in plan and "zip_with" in plan
+
+
 class TestEmptyCorpus:
     def test_empty_relation_yields_empty_result(self, spark):
         """A filtered-to-nothing corpus must compose, not crash with
@@ -152,10 +200,17 @@ class TestScratchSpill:
             (r.doc_id, r.n_tokens, r.max_rep_span, r.span_pos)
             for r in max_repeated_spans(df).collect()
         }
-        spilled = {
-            (r.doc_id, r.n_tokens, r.max_rep_span, r.span_pos)
-            for r in max_repeated_spans(df, scratch_dir=scratch).collect()
-        }
+        # force the doubling machinery: this test pins the SPILL path,
+        # which the r17 size-gated single-task fast path would
+        # otherwise bypass at this input size
+        spark.conf.set("spark.chiv.suffix.smallPathSumSq", "0")
+        try:
+            spilled = {
+                (r.doc_id, r.n_tokens, r.max_rep_span, r.span_pos)
+                for r in max_repeated_spans(df, scratch_dir=scratch).collect()
+            }
+        finally:
+            spark.conf.unset("spark.chiv.suffix.smallPathSumSq")
         assert spilled == plain
         # the call spilled under its own unique subdir of the shared
         # root (r11 ADVICE: two calls sharing a root must never
@@ -173,7 +228,11 @@ class TestScratchSpill:
         assert "rank_L8" in dirs and len(dirs) >= 2
         # a second call on the SAME root lands in a fresh subdir and
         # leaves the first call's tables untouched
-        max_repeated_spans(df, scratch_dir=scratch).count()
+        spark.conf.set("spark.chiv.suffix.smallPathSumSq", "0")
+        try:
+            max_repeated_spans(df, scratch_dir=scratch).count()
+        finally:
+            spark.conf.unset("spark.chiv.suffix.smallPathSumSq")
         subs2 = sorted(d for d in os.listdir(scratch) if d.startswith("sfx-"))
         assert len(subs2) == 2 and subs[0] in subs2
         tables, _ = suffix_rank_tables(
