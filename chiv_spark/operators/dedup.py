@@ -439,6 +439,58 @@ def min_label_components(
     edges = edges.persist()
     n_edges = edges.count()
     edges_cached = edges
+    # Size-gated single-pass path (r17): near-dup pair graphs are
+    # usually tiny relative to the corpus (cliques of dups), and the
+    # propagation loop below costs ~4 scheduled jobs PER ROUND — pure
+    # overhead at small edge counts. Under the gate (conf
+    # spark.chiv.components.smallPathEdges; the count is already in
+    # hand, so the check is free), collect the edge list — bounded by
+    # the gate — and run exact union-find with min-label-per-component
+    # on the driver: identical (node, cluster_id) output to the
+    # converged propagation, in one job instead of ~a dozen. Integral
+    # node ids only (every caller's id columns); anything else falls
+    # through to the loop. Above the gate — the 100 TB shape — the
+    # distributed loop runs unchanged.
+    small_gate = int(
+        pairs.sparkSession.conf.get("spark.chiv.components.smallPathEdges", "200000")
+    )
+    node_type = edges.schema["a"].dataType.typeName()
+    if n_edges <= small_gate and node_type in ("long", "integer", "short", "byte"):
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row["a"], row["b"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                parent[rb] = ra
+        label: dict = {}
+        for n in parent:
+            r = _find(n)
+            if r not in label or n < label[r]:
+                label[r] = n
+        out_rows = [(n, int(label[_find(n)])) for n in sorted(parent)]
+        edges_cached.unpersist()
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("node", edges.schema["a"].dataType, False),
+                StructField("cluster_id", LongType(), False),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out_rows, schema)
     edges = right_size(edges_cached, n_edges)
     labels = (
         edges.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("label"))

@@ -75,16 +75,44 @@ def quality_verdict(docs):
     """The Gopher-style per-document verdict over any (doc_id, text)
     relation — the shared core of text_quality_filter and the
     per-batch leg of the streaming domain-stats fold (a doc's verdict
-    is a pure function of its text, so it is batch-computable)."""
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
-    )
-    per = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    sig = per.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("n_words"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.max("tf").cast("long").alias("top_tf"),
-        F.sum(F.length("w") * F.col("tf")).cast("long").alias("word_chars"),
+    is a pure function of its text, so it is batch-computable).
+
+    Every signal depends only on the document's OWN token multiset,
+    so the whole verdict is a narrow per-row projection (guide §2.4 —
+    remove shuffles outright): the previous explode → groupBy(doc_id,
+    w) → groupBy(doc_id) shape shuffled the corpus's entire token
+    stream TWICE (token strings as shuffle keys — the heaviest bytes
+    in the plan) to compute what array expressions deliver in place.
+    top_tf = the longest equal-run in the per-doc sorted token array
+    (exact multiset max-frequency); all four signals are integers, so
+    the derived rounded doubles are bit-identical to the aggregation
+    form's."""
+    sig = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk")
+        )
+        .select("doc_id", "tk", F.array_sort("tk").alias("st"))
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n_words"),
+            F.expr("size(array_distinct(tk))").cast("long").alias("n_distinct"),
+            F.expr(
+                # longest run of equal tokens in the sorted array; a
+                # single-token doc has tf 1 (sequence(2, 1) would
+                # generate a DESCENDING sequence, hence the guard)
+                "IF(size(st) < 2, 1, aggregate("
+                " sequence(2, size(st)),"
+                " named_struct('cur', 1, 'best', 1),"
+                " (acc, i) -> IF(element_at(st, i) = element_at(st, i - 1),"
+                "   named_struct('cur', acc.cur + 1,"
+                "                'best', greatest(acc.best, acc.cur + 1)),"
+                "   named_struct('cur', 1, 'best', acc.best)),"
+                " acc -> acc.best))"
+            ).cast("long").alias("top_tf"),
+            F.expr("aggregate(tk, 0L, (a, x) -> a + length(x))")
+            .cast("long")
+            .alias("word_chars"),
+        )
     )
     nw = F.col("n_words").cast("double")
     mean_len = F.col("word_chars") / nw
