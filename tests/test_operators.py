@@ -125,6 +125,153 @@ class TestSimilarity:
         assert (0, 1) in pairs
 
 
+class TestIvfpqFusedCoarse:
+    """r17 optimization guard: the PQ tier's coarse assign + residual +
+    subspace split became per-row array expressions against a broadcast
+    centroid bundle (_coarse_assign_res/_sub_slices/_query_cell_residuals).
+    These tests pin the fused forms to a literal re-implementation of
+    the pre-r17 relational shape (posexplode -> broadcast join -> hash
+    agg -> rank window -> joins -> collect_list agg) on the real
+    embeddings table, so any drift in the argmin's (d2c, cell) total
+    order, residual arithmetic, or subspace layout fails loudly."""
+
+    DIM, M, N_CELLS, N_PROBES = 64, 32, 8, 6
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        from chiv_spark.queries.base import t
+        from conftest import SF0001
+
+        return t(spark, SF0001, "embeddings")
+
+    def _reference_rsub(self, emb):
+        """The pre-r17 shape, verbatim."""
+        from pyspark.sql.window import Window
+
+        sw = self.DIM // self.M
+        micro = F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
+        )
+        ex = emb.select("vec_id", F.posexplode(micro).alias("pos", "xm"))
+        cents = ex.filter(F.col("vec_id") < self.N_CELLS).select(
+            F.col("vec_id").alias("cell"), "pos", F.col("xm").alias("cm")
+        )
+        cd = (
+            ex.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum((F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))).alias("d2c"))
+        )
+        w_cell = Window.partitionBy("vec_id").orderBy("d2c", "cell")
+        assign = (
+            cd.withColumn("rn", F.row_number().over(w_cell))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell")
+        )
+        rsub = (
+            ex.join(assign, "vec_id")
+            .join(F.broadcast(cents), ["cell", "pos"])
+            .select(
+                "vec_id",
+                "cell",
+                (F.col("pos") / sw).cast("int").alias("sub"),
+                (F.col("pos") % sw).cast("int").alias("dsub"),
+                (F.col("xm") - F.col("cm")).alias("rm"),
+            )
+            .groupBy("vec_id", "cell", "sub")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dsub", "rm"))),
+                    lambda s: s["rm"],
+                ).alias("vsub")
+            )
+        )
+        return cd, rsub
+
+    def test_fused_assign_residual_matches_relational_form(self, emb):
+        sw = self.DIM // self.M
+        micro = F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
+        )
+        vm = emb.select("vec_id", micro.alias("vm"))
+        pairs = F.array_sort(
+            F.collect_list(F.struct(F.col("vec_id").alias("cell"), F.col("vm").alias("cv")))
+        )
+        bundle = (
+            vm.filter(F.col("vec_id") < self.N_CELLS)
+            .groupBy()
+            .agg(
+                F.transform(pairs, lambda s: s["cell"]).alias("cells"),
+                F.transform(pairs, lambda s: s["cv"]).alias("carr"),
+            )
+        )
+        fused = similarity._coarse_assign_res(vm, bundle).select(
+            "vec_id",
+            "cell",
+            F.posexplode(similarity._sub_slices(self.M, sw)).alias("sub", "vsub"),
+        )
+        got = {(r.vec_id, r.sub): (r.cell, tuple(r.vsub)) for r in fused.collect()}
+        _, ref_rsub = self._reference_rsub(emb)
+        want = {(r.vec_id, r.sub): (r.cell, tuple(r.vsub)) for r in ref_rsub.collect()}
+        assert got == want
+
+    def test_fused_query_probes_match_rank_window(self, emb):
+        from pyspark.sql.window import Window
+
+        sw = self.DIM // self.M
+        micro = F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1_000_000.0).cast("long")
+        )
+        vm = emb.select("vec_id", micro.alias("vm"))
+        pairs = F.array_sort(
+            F.collect_list(F.struct(F.col("vec_id").alias("cell"), F.col("vm").alias("cv")))
+        )
+        bundle = (
+            vm.filter(F.col("vec_id") < self.N_CELLS)
+            .groupBy()
+            .agg(
+                F.transform(pairs, lambda s: s["cell"]).alias("cells"),
+                F.transform(pairs, lambda s: s["cv"]).alias("carr"),
+            )
+        )
+        fused = similarity._query_cell_residuals(
+            vm.filter(F.col("vec_id") < 10), bundle, self.N_PROBES, self.M, sw
+        )
+        got = {(r.qid, r.cell, r.sub): tuple(r.vsub) for r in fused.collect()}
+        # reference: rank-window probes + per-probed-cell residual join
+        cd, _ = self._reference_rsub(emb)
+        w_cell = Window.partitionBy("vec_id").orderBy("d2c", "cell")
+        probes = (
+            cd.filter(F.col("vec_id") < 10)
+            .withColumn("rn", F.row_number().over(w_cell))
+            .filter(F.col("rn") <= self.N_PROBES)
+            .select(F.col("vec_id").alias("qid"), "cell")
+        )
+        ex = emb.select("vec_id", F.posexplode(micro).alias("pos", "xm"))
+        cents = ex.filter(F.col("vec_id") < self.N_CELLS).select(
+            F.col("vec_id").alias("cell"), "pos", F.col("xm").alias("cm")
+        )
+        qrx = (
+            ex.filter(F.col("vec_id") < 10)
+            .withColumnRenamed("vec_id", "qid")
+            .join(probes, "qid")
+            .join(F.broadcast(cents), ["cell", "pos"])
+            .select(
+                "qid",
+                "cell",
+                (F.col("pos") / sw).cast("int").alias("sub"),
+                (F.col("pos") % sw).cast("int").alias("dsub"),
+                (F.col("xm") - F.col("cm")).alias("rm"),
+            )
+        )
+        ref = qrx.groupBy("qid", "cell", "sub").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dsub", "rm"))), lambda s: s["rm"]
+            ).alias("vsub")
+        )
+        want = {(r.qid, r.cell, r.sub): tuple(r.vsub) for r in ref.collect()}
+        assert got == want
+
+
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, docs):
         media = multimodal.media_from_documents(docs)
