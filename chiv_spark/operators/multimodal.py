@@ -61,6 +61,30 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _spread_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Hash-spread a SMALL codec input across the cores (r17, guide
+    §2.5 input skew / §1.2): every id row fans out into a full
+    encode+decode in the Python worker, but a bounded id list arrives
+    in O(1) parquet scan tasks — measured: all 60 video clips decoded
+    in ONE worker while 31 cores idled. When the optimizer's size
+    estimate is under ``spark.chiv.media.spreadBytes`` (default
+    256 MiB — the shuffle is id-sized, trivially cheap), ONE id-hash
+    exchange spreads rows across defaultParallelism workers. At
+    corpus scale the estimate exceeds the gate and the scan's own
+    many-task layout stands — the shape the module docstring always
+    promised ('repartitions by a size-aware key first')."""
+    spark = ids.sparkSession
+    try:
+        # py4j maps the scala BigInt straight to a Python int
+        est = int(ids._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — estimate only steers the spread
+        est = 1 << 62
+    gate = int(spark.conf.get("spark.chiv.media.spreadBytes", str(1 << 28)))
+    if est < gate:
+        ids = ids.repartition(spark.sparkContext.defaultParallelism, id_col)
+    return ids
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an image payload to (width, height, channels, raw pixels).
 
@@ -295,7 +319,7 @@ def synth_audio(ids: DataFrame, rate: int = AUDIO_RATE) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": pdf["media_id"].map(synth)}
             )
 
-    return ids.select("media_id").mapInPandas(run, AUDIO_SCHEMA)
+    return _spread_ids(ids.select("media_id")).mapInPandas(run, AUDIO_SCHEMA)
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -405,7 +429,7 @@ def jpeg_roundtrip_features(ids: DataFrame, blocks: int = 4) -> DataFrame:
                 }
             )
 
-    return ids.select("media_id").mapInPandas(run, JPEG_FEATURE_SCHEMA)
+    return _spread_ids(ids.select("media_id")).mapInPandas(run, JPEG_FEATURE_SCHEMA)
 
 
 GIF_FRAME_SCHEMA = T.StructType(
@@ -470,7 +494,7 @@ def gif_frame_features(ids: DataFrame, n_frames: int = 4, w: int = 16, h: int = 
                 }
             )
 
-    return ids.select("media_id").mapInPandas(run, GIF_FRAME_SCHEMA)
+    return _spread_ids(ids.select("media_id")).mapInPandas(run, GIF_FRAME_SCHEMA)
 
 
 VIDEO_SAMPLE_SCHEMA = T.StructType(
@@ -569,7 +593,7 @@ def video_frame_sample(
                 }
             )
 
-    return ids.select("media_id").mapInPandas(run, VIDEO_SAMPLE_SCHEMA)
+    return _spread_ids(ids.select("media_id")).mapInPandas(run, VIDEO_SAMPLE_SCHEMA)
 
 
 def png_resize_features(
@@ -627,7 +651,7 @@ def png_resize_features(
                 }
             )
 
-    return ids.select("media_id").mapInPandas(run, JPEG_FEATURE_SCHEMA)
+    return _spread_ids(ids.select("media_id")).mapInPandas(run, JPEG_FEATURE_SCHEMA)
 
 
 DHASH_SCHEMA = T.StructType(
@@ -730,7 +754,7 @@ def image_dhash(
                 }
             )
 
-    return ids.select("media_id").mapInPandas(run, DHASH_SCHEMA)
+    return _spread_ids(ids.select("media_id")).mapInPandas(run, DHASH_SCHEMA)
 
 
 AUDIO_FRAME_SCHEMA = T.StructType(
@@ -867,7 +891,7 @@ def png_crop_rgb_features(
                 }
             )
 
-    return ids.select("media_id").mapInPandas(run, CROP_CHANNEL_SCHEMA)
+    return _spread_ids(ids.select("media_id")).mapInPandas(run, CROP_CHANNEL_SCHEMA)
 
 
 # ------------------------------------------------ audio fingerprinting
@@ -931,7 +955,7 @@ def synth_audio_fp(ids: DataFrame, rate: int = AUDIO_RATE) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": pdf["media_id"].map(synth)}
             )
 
-    return ids.select("media_id").mapInPandas(run, AUDIO_SCHEMA)
+    return _spread_ids(ids.select("media_id")).mapInPandas(run, AUDIO_SCHEMA)
 
 
 def audio_fingerprint(media: DataFrame) -> DataFrame:
