@@ -361,16 +361,24 @@ class TestExactSubstrFixpoint:
         import os
 
         sf = self._sf(spark, tmp_path)
-        plain = {
-            tuple(r)
-            for r in REGISTRY["dedup_exact_substr_fixpoint"].fn(spark, sf).collect()
-        }
-        scratch = str(tmp_path / "scratch")
-        monkeypatch.setenv("CHIV_SUFFIX_SCRATCH", scratch)
-        spilled = {
-            tuple(r)
-            for r in REGISTRY["dedup_exact_substr_fixpoint"].fn(spark, sf).collect()
-        }
+        # the rank_ assertion below pins the DOUBLING path's scratch
+        # spill; this tiny corpus would take the size-gated
+        # single-task path (which never builds rank tables), so force
+        # the distributed detector — the test_suffixes.py convention
+        spark.conf.set("spark.chiv.suffix.smallPathSumSq", "0")
+        try:
+            plain = {
+                tuple(r)
+                for r in REGISTRY["dedup_exact_substr_fixpoint"].fn(spark, sf).collect()
+            }
+            scratch = str(tmp_path / "scratch")
+            monkeypatch.setenv("CHIV_SUFFIX_SCRATCH", scratch)
+            spilled = {
+                tuple(r)
+                for r in REGISTRY["dedup_exact_substr_fixpoint"].fn(spark, sf).collect()
+            }
+        finally:
+            spark.conf.unset("spark.chiv.suffix.smallPathSumSq")
         assert spilled == plain
         subs = [d for d in os.listdir(scratch) if d.startswith("sfx-")]
         # one subdir holds the candidate pins; the detector passes
