@@ -61,7 +61,9 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _spread_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+def _spread_ids(
+    ids: DataFrame, id_col: str = "media_id", heavy: bool = True
+) -> DataFrame:
     """Hash-spread a SMALL codec input across the cores (r17, guide
     §2.5 input skew / §1.2): every id row fans out into a full
     encode+decode in the Python worker, but a bounded id list arrives
@@ -72,7 +74,17 @@ def _spread_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     exchange spreads rows across defaultParallelism workers. At
     corpus scale the estimate exceeds the gate and the scan's own
     many-task layout stands — the shape the module docstring always
-    promised ('repartitions by a size-aware key first')."""
+    promised ('repartitions by a size-aware key first').
+
+    ``heavy=False`` marks a CHEAP codec entry point (WAV synth,
+    dHash, JPEG/PNG feature passes: ~1 ms/row) where the exchange +
+    32-way task/Arrow fan-out costs more than the parallelism saves —
+    same-session on/off toggles at sf0.1 measured audio rows
+    +1.0-1.8 s and image rows +0.5 s WITH the spread, while the
+    pure-Python LZW paths (GIF frames, video samples, ~50-100 ms/row)
+    saved 2-3 s per row. Only the LZW decoders keep the spread."""
+    if not heavy:
+        return ids
     spark = ids.sparkSession
     try:
         # py4j maps the scala BigInt straight to a Python int
@@ -319,7 +331,7 @@ def synth_audio(ids: DataFrame, rate: int = AUDIO_RATE) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": pdf["media_id"].map(synth)}
             )
 
-    return _spread_ids(ids.select("media_id")).mapInPandas(run, AUDIO_SCHEMA)
+    return _spread_ids(ids.select("media_id"), heavy=False).mapInPandas(run, AUDIO_SCHEMA)
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -429,7 +441,7 @@ def jpeg_roundtrip_features(ids: DataFrame, blocks: int = 4) -> DataFrame:
                 }
             )
 
-    return _spread_ids(ids.select("media_id")).mapInPandas(run, JPEG_FEATURE_SCHEMA)
+    return _spread_ids(ids.select("media_id"), heavy=False).mapInPandas(run, JPEG_FEATURE_SCHEMA)
 
 
 GIF_FRAME_SCHEMA = T.StructType(
@@ -651,7 +663,7 @@ def png_resize_features(
                 }
             )
 
-    return _spread_ids(ids.select("media_id")).mapInPandas(run, JPEG_FEATURE_SCHEMA)
+    return _spread_ids(ids.select("media_id"), heavy=False).mapInPandas(run, JPEG_FEATURE_SCHEMA)
 
 
 DHASH_SCHEMA = T.StructType(
@@ -754,7 +766,7 @@ def image_dhash(
                 }
             )
 
-    return _spread_ids(ids.select("media_id")).mapInPandas(run, DHASH_SCHEMA)
+    return _spread_ids(ids.select("media_id"), heavy=False).mapInPandas(run, DHASH_SCHEMA)
 
 
 AUDIO_FRAME_SCHEMA = T.StructType(
@@ -891,7 +903,7 @@ def png_crop_rgb_features(
                 }
             )
 
-    return _spread_ids(ids.select("media_id")).mapInPandas(run, CROP_CHANNEL_SCHEMA)
+    return _spread_ids(ids.select("media_id"), heavy=False).mapInPandas(run, CROP_CHANNEL_SCHEMA)
 
 
 # ------------------------------------------------ audio fingerprinting
@@ -955,7 +967,7 @@ def synth_audio_fp(ids: DataFrame, rate: int = AUDIO_RATE) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": pdf["media_id"].map(synth)}
             )
 
-    return _spread_ids(ids.select("media_id")).mapInPandas(run, AUDIO_SCHEMA)
+    return _spread_ids(ids.select("media_id"), heavy=False).mapInPandas(run, AUDIO_SCHEMA)
 
 
 def audio_fingerprint(media: DataFrame) -> DataFrame:

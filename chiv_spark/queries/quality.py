@@ -78,104 +78,88 @@ def quality_verdict(docs):
     is a pure function of its text, so it is batch-computable).
 
     Every signal depends only on the document's OWN token multiset,
-    so the whole verdict is a narrow per-row projection (guide §2.4 —
-    remove shuffles outright): the previous explode → groupBy(doc_id,
-    w) → groupBy(doc_id) shape shuffled the corpus's entire token
-    stream TWICE (token strings as shuffle keys — the heaviest bytes
-    in the plan) to compute what array expressions deliver in place.
-    top_tf = the longest equal-run in the per-doc sorted token array
-    (exact multiset max-frequency); all four signals are integers, so
-    the derived rounded doubles are bit-identical to the aggregation
-    form's.
+    so at corpus scale the whole verdict can be a narrow per-row
+    projection (guide §2.4 — remove shuffles outright): the explode →
+    groupBy(doc_id, w) → groupBy(doc_id) shape shuffles the corpus's
+    entire token stream TWICE (token strings as shuffle keys — the
+    heaviest bytes in the plan) to compute what array expressions
+    deliver in place. All four signals are integers, so the derived
+    rounded doubles are bit-identical between the two forms.
 
-    Parallelism caveat (measured, r17): with zero exchanges the
-    per-row array work runs in the SCAN's task layout, and a small
-    corpus arrives in O(1) parquet tasks — the first cut of this
-    rewrite serialized the whole verdict onto one core (funnel
-    3.6 s → 21.7 s). So when the optimizer's size estimate says the
-    input is small (conf spark.chiv.verdict.spreadBytes, default
-    1 GiB — anything under it shuffles ≤ that many bytes, trivially
-    cheap), ONE doc_id-hash exchange spreads rows across the cores
-    before the array work. At corpus scale the estimate exceeds the
-    gate, the exchange disappears, and the verdict is a pure narrow
-    projection over however many scan tasks the corpus already has —
-    the 100 TB shape. Measured sf0.1: 0.31 s vs 0.72 s for the
-    explode + double-agg form.
-
-    Pushdown barrier (measured, r17): the spread alone is not enough
-    for callers that FILTER on `keep` — PushPredicateThroughNonJoin
-    substitutes the full HOF expression into the predicate and sinks
-    it below the round-robin exchange into the single scan task
-    (quality_domain_gate 1 s → 18 s). So while the gate is active,
-    `keep` carries an always-true nondeterministic conjunct
-    (spark_partition_id() >= -1): a project with a nondeterministic
-    field blocks filter pushdown (the guide §4.4 trick, applied to a
-    built-in expression), so the predicate evaluates ABOVE the spread
-    exchange, in parallel, with the HOFs computed exactly once. The
-    conjunct never changes a value (partition ids are >= 0) and is
-    only attached on the small-input path — at corpus scale `keep`
-    stays deterministic and fully pushdown-transparent."""
+    Scale-adaptive form selection (measured, r17). The projection
+    form's bench-scale story turned out worse than its first
+    measurements: with zero exchanges the per-row array work runs in
+    the scan's O(1) parquet tasks (funnel 3.6 s → 21.7 s serialized
+    onto one core), a spread exchange + nondeterministic pushdown
+    guard recovered most of it, but the COMPOSED consumers still
+    regressed (full-bench + fresh-session isolation: domain gate
+    1.45 → 2.5 s, funnel 3.1 → 4.7 s — the two spread exchanges are
+    stage barriers in every branch, and the interpreted HOF lambdas
+    cost more per row than the hash aggs they replaced). The explode
+    + double-agg form is simply the faster shape when the corpus is
+    small enough that two token-keyed exchanges are cheap. So: below
+    ``spark.chiv.verdict.spreadBytes`` (default 1 GiB) the verdict is
+    the original explode → groupBy(doc_id, w) → groupBy(doc_id)
+    aggregation; above it, the per-row array-expression projection —
+    zero corpus-side exchanges, no token strings ever shuffled, fully
+    pushdown-transparent — which is the shape that matters at 100 TB,
+    where the token stream is the heaviest bytes in the plan and the
+    scan's own task layout already provides the parallelism. The two
+    forms compute identical values (integer signals, bit-identical
+    rounded doubles) — parity pinned by
+    tests/test_quality_timeseries.py and both SFs' oracle sweeps."""
     sized = docs.select("doc_id", F.trim(F.col("text")).alias("tx"))
     try:
         # py4j maps the scala BigInt straight to a Python int
         est = int(sized._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # noqa: BLE001 — estimate only steers the spread
+    except Exception:  # noqa: BLE001 — estimate only steers the form
         est = 1 << 62
     gate = int(
         docs.sparkSession.conf.get("spark.chiv.verdict.spreadBytes", str(1 << 30))
     )
     if est < gate:
-        # hash on doc_id rather than round-robin: doc_id is unique so
-        # the spread is just as uniform, and a keyless repartition
-        # would pay sortBeforeRepartition's local sort of the input
-        # (SPARK-23207) — measured 0.54 s -> 0.32 s at sf0.1.
-        sized = sized.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        # small path: the aggregation form — two hash aggs with
+        # map-side partial aggregation, JVM codegen, and a final
+        # doc_id exchange every composed consumer's branches share
+        # via ReuseExchange.
+        tok = sized.select("doc_id", F.explode(F.split(F.col("tx"), r"\s+")).alias("w"))
+        per = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+        sig = per.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("tf").cast("long").alias("top_tf"),
+            F.sum(F.length("w") * F.col("tf")).cast("long").alias("word_chars"),
         )
-        guard = F.spark_partition_id() >= F.lit(-1)
     else:
-        guard = F.lit(True)
-    sig = (
-        sized.select("doc_id", F.split(F.col("tx"), r"\s+").alias("tk"))
-        .select("doc_id", "tk", F.array_sort("tk").alias("st"))
-        .select(
-            "doc_id",
-            F.size("tk").cast("long").alias("n_words"),
-            F.expr("size(array_distinct(tk))").cast("long").alias("n_distinct"),
-            F.expr(
-                # longest run of equal tokens in the sorted array; a
-                # single-token doc has tf 1 (sequence(2, 1) would
-                # generate a DESCENDING sequence, hence the guard)
-                "IF(size(st) < 2, 1, aggregate("
-                " sequence(2, size(st)),"
-                " named_struct('cur', 1, 'best', 1),"
-                " (acc, i) -> IF(element_at(st, i) = element_at(st, i - 1),"
-                "   named_struct('cur', acc.cur + 1,"
-                "                'best', greatest(acc.best, acc.cur + 1)),"
-                "   named_struct('cur', 1, 'best', acc.best)),"
-                " acc -> acc.best))"
-            ).cast("long").alias("top_tf"),
-            F.expr("aggregate(tk, 0L, (a, x) -> a + length(x))")
-            .cast("long")
-            .alias("word_chars"),
-        )
-    )
-    if est < gate:
-        # close the small path with ONE doc_id hash exchange ABOVE the
-        # heavy integer-signal projection and BELOW the guarded final
-        # select: composed rows (domain gate/funnel) evaluate the
-        # verdict in several branches of one plan, and identical
-        # exchange subtrees are deduplicated by ReuseExchange / AQE
-        # stage reuse — the signals are computed once per action, as
-        # the old aggregation form's final exchange guaranteed. The
-        # guard below keeps caller filters from sinking past the final
-        # select, so every branch's subtree down to this exchange is
-        # byte-identical (a filter pushed through it would fork the
-        # subtrees and kill reuse). The exchange carries doc_id + four
-        # longs. At corpus scale the gate is off and the verdict stays
-        # a pure exchange-free projection.
-        sig = sig.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        # corpus path: every signal is a function of the document's
+        # OWN token multiset, so the verdict is a narrow per-row
+        # projection — the corpus token stream never crosses an
+        # exchange. top_tf = longest equal-run in the sorted token
+        # array (exact multiset max frequency).
+        sig = (
+            sized.select("doc_id", F.split(F.col("tx"), r"\s+").alias("tk"))
+            .select("doc_id", "tk", F.array_sort("tk").alias("st"))
+            .select(
+                "doc_id",
+                F.size("tk").cast("long").alias("n_words"),
+                F.expr("size(array_distinct(tk))").cast("long").alias("n_distinct"),
+                F.expr(
+                    # longest run of equal tokens in the sorted array; a
+                    # single-token doc has tf 1 (sequence(2, 1) would
+                    # generate a DESCENDING sequence, hence the guard)
+                    "IF(size(st) < 2, 1, aggregate("
+                    " sequence(2, size(st)),"
+                    " named_struct('cur', 1, 'best', 1),"
+                    " (acc, i) -> IF(element_at(st, i) = element_at(st, i - 1),"
+                    "   named_struct('cur', acc.cur + 1,"
+                    "                'best', greatest(acc.best, acc.cur + 1)),"
+                    "   named_struct('cur', 1, 'best', acc.best)),"
+                    " acc -> acc.best))"
+                ).cast("long").alias("top_tf"),
+                F.expr("aggregate(tk, 0L, (a, x) -> a + length(x))")
+                .cast("long")
+                .alias("word_chars"),
+            )
         )
     nw = F.col("n_words").cast("double")
     mean_len = F.col("word_chars") / nw
@@ -186,7 +170,6 @@ def quality_verdict(docs):
         & mean_len.between(2.0, 12.0)
         & (top_frac <= 0.2)
         & (dist_ratio >= 0.3)
-        & guard
     )
     return sig.select(
         "doc_id",
