@@ -3,7 +3,8 @@ index — the suffix tier's fold twin (every other incremental dedup
 tier — MinHash, embedding, paragraph, bloom — already has one).
 
 Shape: the corpus's 8-gram window index (operators/suffixes.py
-``window_index``: per-doc occurrence counts, pb-bucketed on hash(w))
+``window_index``: per-doc occurrence counts keyed by the window's
+xxhash64, pb-bucketed on pmod(wh, WINDOW_PB))
 is seeded once from the resident base; each arriving microbatch is
 span-checked and trimmed against the pb-PRUNED index through the
 SHARED ``incremental_span_trim`` core (one implementation with the
@@ -62,7 +63,7 @@ DOC_PB = 16
 #: explicit read schemas: both stores can be legitimately EMPTY after
 #: a forget-everything compaction (a file-less dir schema inference
 #: rejects), and the GDPR lifecycle must survive that state
-WINIDX_SCHEMA = "doc_id bigint, w string, cnt bigint, pb int, src_batch int"
+WINIDX_SCHEMA = "doc_id bigint, wh bigint, cnt bigint, pb int, src_batch int"
 DOCS_SCHEMA = "doc_id bigint, text string, pb int, src_batch int"
 
 

@@ -310,10 +310,10 @@ class TestWindowIndexIncremental:
         # joining it vs the full index on the delta's windows is a
         # no-op difference
         full = spark.read.parquet(idx_dir)
-        dws = dwin.select("w").distinct()
+        dws = dwin.select("wh").distinct()
         assert sorted(
-            tuple(r) for r in pruned.join(dws, "w").collect()
-        ) == sorted(tuple(r) for r in full.join(dws, "w").collect())
+            tuple(r) for r in pruned.join(dws, "wh").collect()
+        ) == sorted(tuple(r) for r in full.join(dws, "wh").collect())
 
     def test_incremental_equals_full_recompute_on_shard(self, spark, tmp_path):
         from chiv_spark.queries.base import REGISTRY
