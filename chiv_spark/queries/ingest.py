@@ -290,7 +290,11 @@ def _write_gen(rel, out_dir: str, batch_id: int) -> None:
 
     rel = rel.withColumn("src_batch", F.lit(int(batch_id)))
     (
-        rel.write.mode("overwrite")
+        # one file per (pb, src_batch) dir instead of one sliver per
+        # upstream task per dir (guide §6 — the suffix tier measured
+        # ~1,000 tiny files per generation without this)
+        rel.repartition(F.col("pb"))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pb", "src_batch")
         .parquet(out_dir)

@@ -62,6 +62,11 @@ def write_codes_generation(codes: DataFrame, codes_dir: str, batch_id: int) -> N
             "vec_id", "sub", "code", "qerr", F.col("cell").cast("long").alias("cell")
         )
         .withColumn("src_batch", F.lit(int(batch_id)))
+        # one file per (cell, src_batch) dir instead of one sliver per
+        # upstream task per dir (guide §6 — see the suffix tier's
+        # measured tiny-file cost); the pruned probe scan then opens
+        # exactly one file per probed cell
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell", "src_batch")
@@ -172,6 +177,7 @@ def reencode_cells(
             "vec_id", "sub", "code", "qerr", F.col("cell").cast("long").alias("cell")
         )
         .withColumn("src_batch", F.lit(int(batch_id)))
+        .repartition(F.col("cell"))  # one file per rewritten cell dir
         .write.mode("overwrite")
         .partitionBy("cell", "src_batch")
         .parquet(staged)

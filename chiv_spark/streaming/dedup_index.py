@@ -224,6 +224,11 @@ def write_index_generation(
     (
         index_rel.withColumn("pb", _pb(key_col))
         .withColumn("src_batch", F.lit(int(batch_id)))
+        # one file per (pb, src_batch) dir instead of one sliver per
+        # upstream task per dir (guide §6 — the suffix tier measured
+        # ~1,000 tiny files per generation without this; reads pay the
+        # file count again on every pruned scan)
+        .repartition(F.col("pb"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pb", "src_batch")

@@ -176,9 +176,19 @@ def compact_suffix_store(
 
 
 def _write_gen(rel: DataFrame, out_dir: str, batch_id: int, parts: list[str]) -> None:
+    rel = rel.withColumn("src_batch", F.lit(int(batch_id)))
+    if parts:
+        # cluster rows by the directory-partition key before the write
+        # (guide §6 output sizing): without this every upstream task
+        # writes a sliver into every pb dir — measured at sf0.1, one
+        # window-index generation wrote 64 tasks x 16 dirs ≈ 1,000
+        # tiny files in 3.4 s vs 16 files in 0.65 s repartitioned, and
+        # every later pruned read pays the file-count again. One file
+        # per (pb, src_batch) dir; at 100 TB the bucket count is
+        # thousands, so the write still fans wide.
+        rel = rel.repartition(*[F.col(p) for p in parts])
     (
-        rel.withColumn("src_batch", F.lit(int(batch_id)))
-        .write.mode("overwrite")
+        rel.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*parts, "src_batch")
         .parquet(out_dir)
