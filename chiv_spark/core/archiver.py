@@ -412,20 +412,26 @@ class Archiver:
                 # — range partitions of a totally ordered unique key
                 # concatenate back in order — while the encode fans
                 # out. The fan-out is deliberately SMALL
-                # (``spark.chiv.archive.spreadParts``, default 4):
-                # toLocalIterator schedules one job per partition, and
-                # the measured curve at 100k rows is 3.8 s @ 1 part,
-                # 2.4 s @ 4, 4.5 s @ 16, 6.0 s @ 32 — scheduling
-                # overhead swamps the encode win past ~8. Small inputs
+                # (``spark.chiv.archive.spreadParts``, default 2 since
+                # r18): toLocalIterator schedules one job per
+                # partition, and the r18 same-session sweep at BOTH
+                # core counts (100k lineitem rows, best-of-5) measured
+                # yaml off/2/4/8 = 5.2/3.6/4.6/7.5 s at 32 cores and
+                # 3.7/2.6/2.8/3.0 at 8 — two partitions give the
+                # driver sink one prefetched chunk to overlap with,
+                # and anything wider just queues jobs. Small inputs
                 # (the byte-parity goldens) stay on the untouched
                 # one-partition path; real corpus-scale inputs arrive
                 # multi-partitioned and never enter this branch.
+                from chiv_spark.core.sizing import relation_size_est
+
                 src = df
-                try:
-                    est = int(
-                        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-                    )
-                except Exception:  # noqa: BLE001 — estimate only steers the spread
+                # memoized input-file-size signal (r18): replaces the
+                # per-call optimizedPlan().stats() optimizer run
+                est = relation_size_est(df)
+                if est >= 1 << 62:
+                    # unknown size: keep the untouched one-partition
+                    # path (the pre-spread behavior for odd inputs)
                     est = 0
                 gate = int(
                     df.sparkSession.conf.get(
@@ -434,13 +440,20 @@ class Archiver:
                 )
                 if est > gate and df.rdd.getNumPartitions() == 1:
                     n = int(
-                        df.sparkSession.conf.get("spark.chiv.archive.spreadParts", "4")
+                        df.sparkSession.conf.get("spark.chiv.archive.spreadParts", "2")
                     )
+                    # collision-free helper name: withColumn over an
+                    # existing user column would silently REPLACE it
+                    # and drop() would then erase the user's data from
+                    # the archived output (r17 advice)
+                    rid = "__rid"
+                    while rid in df.columns:
+                        rid = "_" + rid
                     src = (
-                        df.withColumn("__rid", F.monotonically_increasing_id())
-                        .repartitionByRange(n, "__rid")
-                        .sortWithinPartitions("__rid")
-                        .drop("__rid")
+                        df.withColumn(rid, F.monotonically_increasing_id())
+                        .repartitionByRange(n, rid)
+                        .sortWithinPartitions(rid)
+                        .drop(rid)
                     )
                 chunks = iter(
                     src.rdd.mapPartitions(encoder).toLocalIterator(prefetchPartitions=True)

@@ -466,8 +466,16 @@ def min_label_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
-            a, b = row["a"], row["b"]
+        # Arrow both ways (r18, r17 verdict #4: the py4j row path
+        # pickled up to 2x200k cells per call and re-pickled the
+        # result rows back — the fuzzy-cluster consumers paid it every
+        # run): toPandas rides the Arrow collect, and createDataFrame
+        # from a pandas frame rides the Arrow upload.
+        import pandas as pd
+
+        pdf = edges.toPandas()
+        for a, b in zip(pdf["a"], pdf["b"]):
+            a, b = int(a), int(b)
             if a not in parent:
                 parent[a] = a
             if b not in parent:
@@ -480,7 +488,15 @@ def min_label_components(
             r = _find(n)
             if r not in label or n < label[r]:
                 label[r] = n
-        out_rows = [(n, int(label[_find(n)])) for n in sorted(parent)]
+        nodes = sorted(parent)
+        out_pdf = pd.DataFrame(
+            {
+                "node": pd.Series(nodes, dtype="int64"),
+                "cluster_id": pd.Series(
+                    [int(label[_find(n)]) for n in nodes], dtype="int64"
+                ),
+            }
+        )
         edges_cached.unpersist()
         from pyspark.sql.types import LongType, StructField, StructType
 
@@ -490,7 +506,7 @@ def min_label_components(
                 StructField("cluster_id", LongType(), False),
             ]
         )
-        return pairs.sparkSession.createDataFrame(out_rows, schema)
+        return pairs.sparkSession.createDataFrame(out_pdf, schema)
     edges = right_size(edges_cached, n_edges)
     labels = (
         edges.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("label"))
@@ -764,12 +780,23 @@ def _candidates_from_shd(shd: DataFrame, threshold: float) -> DataFrame:
     ranked = shd.select(
         "doc_id",
         "shingle",
+        "df",
         F.row_number().over(w_rk).alias("rk"),
         F.count(F.lit(1)).over(w_n).alias("n"),
     )
+    # df >= 2 pre-filter (r18, guide §2.3 / the exact-df analog of
+    # §3.2's Bloom pre-filter, zero false positives): a shingle whose
+    # document frequency is 1 exists in exactly one doc, so it can
+    # never join two distinct doc_ids — its prefix rows are dead
+    # weight in the self-join exchange. On low-duplication corpora
+    # most shingles are df=1, so this drops the shuffle's bytes by
+    # that fraction while provably leaving the candidate pair set
+    # unchanged (rk and n are computed BEFORE the filter, so prefix
+    # membership itself is untouched).
     prefix = ranked.filter(
-        F.col("rk") <= F.col("n") - F.floor(F.lit(float(threshold)) * F.col("n")) + 1
-    )
+        (F.col("rk") <= F.col("n") - F.floor(F.lit(float(threshold)) * F.col("n")) + 1)
+        & (F.col("df") >= 2)
+    ).drop("df")
     # shuffle_merge hint: both sides of the prefix self-join scale with
     # the corpus, but Catalyst's size estimate for the window+filter
     # subtree is unreliable — on duplication-heavy corpora the static
@@ -907,13 +934,20 @@ def ngram_containment_pairs(
     ranked = shd.select(
         "doc_id",
         "shingle",
+        "df",
         F.row_number().over(w_rk).alias("rk"),
         F.count(F.lit(1)).over(w_n).alias("n"),
     )
+    # df >= 2 pre-filter on BOTH join inputs (r18, guide §2.3 — see
+    # _candidates_from_shd): a df=1 shingle's posting list holds one
+    # doc, which can never satisfy the strict (n, doc_id) total order
+    # against itself — rows provably join nothing, so drop them
+    # before the exchange. rk/n are computed before the filter.
     prefix = ranked.filter(
-        F.col("rk") <= F.col("n") - F.floor(F.lit(float(threshold)) * F.col("n")) + 1
+        (F.col("rk") <= F.col("n") - F.floor(F.lit(float(threshold)) * F.col("n")) + 1)
+        & (F.col("df") >= 2)
     ).select("doc_id", "shingle", "n")
-    full = ranked.select("doc_id", "shingle", "n")
+    full = ranked.filter(F.col("df") >= 2).select("doc_id", "shingle", "n")
     cand = (
         prefix.alias("a")
         .hint("shuffle_merge")

@@ -85,12 +85,13 @@ def _spread_ids(
     saved 2-3 s per row. Only the LZW decoders keep the spread."""
     if not heavy:
         return ids
+    from chiv_spark.core.sizing import relation_size_est
+
     spark = ids.sparkSession
-    try:
-        # py4j maps the scala BigInt straight to a Python int
-        est = int(ids._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # noqa: BLE001 — estimate only steers the spread
-        est = 1 << 62
+    # memoized input-file-size signal (r18): the per-call
+    # optimizedPlan().stats() probe paid a driver-side optimizer run
+    # at every codec entry point of every rep
+    est = relation_size_est(ids)
     gate = int(spark.conf.get("spark.chiv.media.spreadBytes", str(1 << 28)))
     if est < gate:
         ids = ids.repartition(spark.sparkContext.defaultParallelism, id_col)

@@ -2607,15 +2607,25 @@ def pipeline_quality_funnel(spark, sf_dir):
         ("2_boilerplate_rewrite", "n2", "t2"),
         ("3_paragraph_dedup", "n3", "t3"),
     ]
-    stages = None
-    for stage, n, tk in rows:
-        one = agg.select(
-            F.lit(stage).alias("stage"),
-            F.col(n).cast("long").alias("n_docs"),
-            F.col(tk).cast("long").alias("n_tokens"),
-        )
-        stages = one if stages is None else stages.unionByName(one)
-    return stages
+    # one aggregate + a 4-element explode instead of a 4-branch union
+    # (r18, guide §2.4): each union branch was a full copy of the agg
+    # subtree — the whole flags join tree four times in the static
+    # plan, deduped only as far as runtime ReuseExchange reached. The
+    # exploded form computes the aggregate once by construction.
+    # Identical 4-row result (the driver compares row multisets).
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(stage).alias("stage"),
+                F.col(n).cast("long").alias("n_docs"),
+                F.col(tk).cast("long").alias("n_tokens"),
+            )
+            for stage, n, tk in rows
+        ]
+    )
+    return agg.select(F.explode(stage_rows).alias("s")).select(
+        "s.stage", "s.n_docs", "s.n_tokens"
+    )
 
 
 _FUNNEL_REG["pipeline_quality_funnel"] = _FUNNEL_REG[

@@ -108,12 +108,14 @@ def quality_verdict(docs):
     forms compute identical values (integer signals, bit-identical
     rounded doubles) — parity pinned by
     tests/test_quality_timeseries.py and both SFs' oracle sweeps."""
+    from chiv_spark.core.sizing import relation_size_est
+
     sized = docs.select("doc_id", F.trim(F.col("text")).alias("tx"))
-    try:
-        # py4j maps the scala BigInt straight to a Python int
-        est = int(sized._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:  # noqa: BLE001 — estimate only steers the form
-        est = 1 << 62
+    # memoized input-file-size signal (r18): the previous per-call
+    # optimizedPlan().stats() probe ran the Catalyst optimizer on the
+    # driver for every verdict branch of every composed consumer —
+    # the r17 driver bench's quality-family regression
+    est = relation_size_est(sized)
     gate = int(
         docs.sparkSession.conf.get("spark.chiv.verdict.spreadBytes", str(1 << 30))
     )

@@ -66,6 +66,36 @@ DOC_PB = 16
 WINIDX_SCHEMA = "doc_id bigint, wh bigint, cnt bigint, pb int, src_batch int"
 DOCS_SCHEMA = "doc_id bigint, text string, pb int, src_batch int"
 
+#: window-index dirs already verified non-legacy this process (the
+#: check costs a schema inference — one footer read — per store)
+_WINIDX_LAYOUT_OK: set = set()
+
+
+def _check_winidx_layout(spark: SparkSession, index_dir: str) -> None:
+    """Fail LOUDLY on a pre-r17 window-index layout (r17 advice): the
+    r17 format keyed windows by ``wh bigint`` (xxhash64) instead of
+    the joined window string ``w``. Reading an old store with the new
+    explicit schema would silently fill ``wh`` with nulls — index
+    joins then match nothing and incremental dedup silently misses
+    every resident duplicate. Detect the legacy column and raise with
+    re-seed instructions instead."""
+    if index_dir in _WINIDX_LAYOUT_OK:
+        return
+    try:
+        names = set(spark.read.parquet(index_dir).schema.names)
+    except Exception:  # noqa: BLE001 — empty/missing store: nothing to check
+        _WINIDX_LAYOUT_OK.add(index_dir)
+        return
+    if "w" in names and "wh" not in names:
+        raise ValueError(
+            f"window index at {index_dir} uses the pre-r17 string-keyed "
+            "layout (column 'w'); the engine now keys windows by xxhash64 "
+            "('wh'). Re-seed the store (seed_suffix_store / the streaming "
+            "fold) from the corpus — reading it as-is would silently "
+            "nominate zero twins."
+        )
+    _WINIDX_LAYOUT_OK.add(index_dir)
+
 
 def _doc_pb():
     return F.pmod(F.col("doc_id"), F.lit(DOC_PB)).cast("int")
@@ -145,6 +175,7 @@ def probe_suffix_store(
         )
         dwin.unpersist()
         return out
+    _check_winidx_layout(spark, f"{work}/winidx")
     idx = read_index_pruned(
         spark, f"{work}/winidx", touched, id_col="doc_id", schema=WINIDX_SCHEMA
     )
@@ -213,6 +244,10 @@ def incremental_exact_substr_stream(
     out_dir = f"{work}/out"
     ckpt_dir = f"{work}/ckpt"
 
+    # a pre-existing work_dir may hold a pre-r17 string-keyed index;
+    # the seed's dynamic overwrite would leave its old generations in
+    # place — fail loudly before folding anything into it
+    _check_winidx_layout(spark, index_dir)
     _write_gen(window_index(base_docs), index_dir, SEED_BATCH, ["pb"])
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:

@@ -674,6 +674,35 @@ class TestIncrementalExactSubstrStream:
         assert got[20][1:3] == (0, True)
 
 
+class TestLegacyWindowIndexGuard:
+    """r17 advice (medium): a pre-r17 window index keyed by the window
+    STRING ('w') must fail LOUDLY when probed with the r17+ xxhash64
+    layout ('wh') — Spark fills the missing column with nulls, so the
+    probe would otherwise silently nominate zero twins."""
+
+    def test_legacy_layout_raises_with_reseed_instructions(self, spark, tmp_path):
+        import pytest
+
+        from chiv_spark.streaming.suffix_index import (
+            _WINIDX_LAYOUT_OK,
+            probe_suffix_store,
+        )
+
+        work = str(tmp_path / "legacy_store")
+        legacy = spark.createDataFrame(
+            [(1, "tok0 tok1 tok2 tok3 tok4 tok5 tok6 tok7", 3, 2, -1)],
+            "doc_id long, w string, cnt long, pb int, src_batch int",
+        )
+        legacy.write.partitionBy("pb", "src_batch").parquet(f"{work}/winidx")
+        delta = spark.createDataFrame(
+            [(100, " ".join(f"t{i}" for i in range(12)))],
+            "doc_id long, text string",
+        )
+        _WINIDX_LAYOUT_OK.discard(f"{work}/winidx")
+        with pytest.raises(ValueError, match="pre-r17|Re-seed"):
+            probe_suffix_store(spark, delta, work, threshold=8)
+
+
 class TestSuffixStoreDeletion:
     """r13 verdict task 3: the suffix tier's doc store persists RAW
     TEXT — the most privacy-sensitive artifact in the repo — and must
