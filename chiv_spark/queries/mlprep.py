@@ -884,39 +884,42 @@ def _capstone_flags(spark, sf_dir):
             pass
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    para = (
-        REGISTRY["dedup_paragraph_exact"].fn(spark, sf_dir)
-        .select("doc_id", (F.col("cleaned_text") != "").alias("f1"))
-    )
-    spans = (
-        REGISTRY["dedup_exact_substr"].fn(spark, sf_dir)
-        .select("doc_id", F.col("keep").alias("f2"))
-    )
-    ndrop = (
-        REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("__nd", F.lit(1))
-    )
-    ov = (
-        REGISTRY["decontaminate_eval_overlap"].fn(spark, sf_dir)
-        .select("doc_id")
-        .distinct()
-        .withColumn("__ov", F.lit(1))
-    )
-    ne = (
-        REGISTRY["decontaminate_neardup_eval"].fn(spark, sf_dir)
-        .select("doc_id")
-        .distinct()
-        .withColumn("__ne", F.lit(1))
-    )
-    # each canonical relation has TWO consumers (keeper dim + count
-    # row) above distinct subtrees — persist pays here (ReuseExchange
-    # can't dedup across them), and the relations are <= 60 rows
-    cans = {
-        m: REGISTRY[f"dedup_{name}_canonical"].fn(spark, sf_dir).persist()
-        for m, name in [("img", "image"), ("aud", "audio"), ("vid", "video")]
-    }
+    # the eight stage relations are independent until the final flag
+    # joins, and several of them run EAGER driver jobs at CONSTRUCTION
+    # time (the suffix detector's candidate pinning ~4.3 s, each media
+    # canonical's component collect ~1.4-2.0 s — measured r18, fresh
+    # session). Built sequentially that was ~10 s of serial driver
+    # work per capstone evaluation; a small pool overlaps it (guide
+    # §2.6 — job descriptions are thread-local, exceptions propagate
+    # through result()).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_para = pool.submit(REGISTRY["dedup_paragraph_exact"].fn, spark, sf_dir)
+        f_spans = pool.submit(REGISTRY["dedup_exact_substr"].fn, spark, sf_dir)
+        f_ndrop = pool.submit(REGISTRY["dedup_minhash_lsh"].fn, spark, sf_dir)
+        f_ov = pool.submit(REGISTRY["decontaminate_eval_overlap"].fn, spark, sf_dir)
+        f_ne = pool.submit(REGISTRY["decontaminate_neardup_eval"].fn, spark, sf_dir)
+        f_cans = {
+            m: pool.submit(REGISTRY[f"dedup_{name}_canonical"].fn, spark, sf_dir)
+            for m, name in [("img", "image"), ("aud", "audio"), ("vid", "video")]
+        }
+        para = f_para.result().select(
+            "doc_id", (F.col("cleaned_text") != "").alias("f1")
+        )
+        spans = f_spans.result().select("doc_id", F.col("keep").alias("f2"))
+        ndrop = (
+            f_ndrop.result()
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("__nd", F.lit(1))
+        )
+        ov = f_ov.result().select("doc_id").distinct().withColumn("__ov", F.lit(1))
+        ne = f_ne.result().select("doc_id").distinct().withColumn("__ne", F.lit(1))
+        # each canonical relation has TWO consumers (keeper dim + count
+        # row) above distinct subtrees — persist pays here (ReuseExchange
+        # can't dedup across them), and the relations are <= 60 rows
+        cans = {m: f.result().persist() for m, f in f_cans.items()}
     att = docs.select(
         "doc_id", *[_att_col(m).alias(f"{m}_mid") for m in _ATT_MODS]
     )

@@ -127,9 +127,16 @@ def suffix_forget(spark: SparkSession, work_dir: str, doc_ids) -> None:
     re-ingest of the same id after the delete lands in a later
     generation and stays visible; compact_suffix_store physically
     drops the suppressed rows from both stores."""
+    from concurrent.futures import ThreadPoolExecutor
+
     work = work_dir.rstrip("/")
-    write_tombstones(spark, f"{work}/winidx", doc_ids)
-    write_tombstones(spark, f"{work}/docs", doc_ids)
+    # two independent tiny writes to disjoint dirs — overlap them
+    # (guide §2.6); exceptions propagate through result()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(write_tombstones, spark, f"{work}/winidx", doc_ids)
+        fb = pool.submit(write_tombstones, spark, f"{work}/docs", doc_ids)
+        fa.result()
+        fb.result()
 
 
 def seed_suffix_store(spark: SparkSession, docs: DataFrame, work_dir: str) -> None:
@@ -138,14 +145,32 @@ def seed_suffix_store(spark: SparkSession, docs: DataFrame, work_dir: str) -> No
     text under pb(doc_id) buckets — what a production pipeline has on
     disk before any arrival, and the store the deletion lifecycle
     operates on."""
+    from concurrent.futures import ThreadPoolExecutor
+
     work = work_dir.rstrip("/")
-    _write_gen(window_index(docs), f"{work}/winidx", SEED_BATCH, ["pb"])
-    _write_gen(
-        docs.select("doc_id", "text").withColumn("pb", _doc_pb()),
-        f"{work}/docs",
-        SEED_BATCH,
-        ["pb"],
-    )
+    # seeding into a PRE-EXISTING legacy store would dynamic-overwrite
+    # only the seed generation and leave string-keyed generations in
+    # place — check before writing (no-op for the usual fresh dir)
+    _check_winidx_layout(docs.sparkSession, f"{work}/winidx")
+    # the two seed writes land in disjoint dirs — overlap them (guide
+    # §2.6; the doc-store write back-fills the window aggregation's
+    # tail); exceptions propagate through result()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            _write_gen, window_index(docs), f"{work}/winidx", SEED_BATCH, ["pb"]
+        )
+        fb = pool.submit(
+            _write_gen,
+            docs.select("doc_id", "text").withColumn("pb", _doc_pb()),
+            f"{work}/docs",
+            SEED_BATCH,
+            ["pb"],
+        )
+        fa.result()
+        fb.result()
+    # this process just wrote the current layout: probes can skip the
+    # legacy-layout schema inference (a directory-discovery job)
+    _WINIDX_LAYOUT_OK.add(f"{work}/winidx")
 
 
 def probe_suffix_store(
