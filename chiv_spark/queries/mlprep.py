@@ -2743,8 +2743,15 @@ def pipeline_quality_funnel_chained(spark, sf_dir):
     chunks = dedup.paragraph_chunks(gated)
     gdf = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     s2 = chunks.join(gdf, "h").filter(F.col("nd") < _BP_DF)
-    s2f = s2.groupBy("h").agg(F.min("site").alias("s0"))
-    s3 = s2.join(s2f, "h").filter(F.col("site") == F.col("s0"))
+    # first-occurrence membership as a min-site window flag instead of
+    # a groupBy+join back onto s2 (r18, guide §2.4): the window rides
+    # the same h-hash partitioning, and the two stage aggregates below
+    # then read ONE s2 subtree instead of two full copies (the static
+    # chained plan carried every chunk/gate subtree twice)
+    from pyspark.sql import Window as _W
+
+    s2 = s2.withColumn("s0", F.min("site").over(_W.partitionBy("h")))
+    s3 = s2.filter(F.col("site") == F.col("s0"))
 
     def _ctoks():
         return (
@@ -2753,14 +2760,18 @@ def pipeline_quality_funnel_chained(spark, sf_dir):
             .cast("long")
         )
 
-    def _stage_agg(rel, n, tk):
-        return rel.agg(
-            F.countDistinct("doc_id").cast("long").alias(n),
-            F.coalesce(F.sum(_ctoks()), F.lit(0)).cast("long").alias(tk),
-        )
-
-    agg2 = _stage_agg(s2, "nd2", "tk2")
-    agg3 = _stage_agg(s3, "nd3", "tk3")
+    # both chained stage aggregates in ONE pass over the single s2
+    # subtree (s3 is the s0-flag filter of s2, so its counts are the
+    # conditional aggregates; countDistinct/sum ignore the nulls the
+    # when() emits for non-first-occurrence rows) — the plan carries
+    # one chunk/gate subtree where it carried two
+    first = F.col("site") == F.col("s0")
+    agg23 = s2.agg(
+        F.countDistinct("doc_id").cast("long").alias("nd2"),
+        F.coalesce(F.sum(_ctoks()), F.lit(0)).cast("long").alias("tk2"),
+        F.countDistinct(F.when(first, F.col("doc_id"))).cast("long").alias("nd3"),
+        F.coalesce(F.sum(F.when(first, _ctoks())), F.lit(0)).cast("long").alias("tk3"),
+    )
     u = REGISTRY["pipeline_quality_funnel"].fn(spark, sf_dir)
     st = F.col("stage")
     n_docs = (
@@ -2776,8 +2787,7 @@ def pipeline_quality_funnel_chained(spark, sf_dir):
         .cast("long")
     )
     return (
-        u.crossJoin(F.broadcast(agg2))
-        .crossJoin(F.broadcast(agg3))
+        u.crossJoin(F.broadcast(agg23))
         .select(
             "stage",
             n_docs.alias("n_docs"),

@@ -320,9 +320,21 @@ def incremental_exact_substr_stream(
             # text in, so a replay's excluded-own-generation read and
             # the dynamic overwrite keep the run idempotent; the doc
             # store shares the window index's bucketed layout (pb on
-            # doc_id) so compact_suffix_store serves both
-            _write_gen(dwin, index_dir, batch_id, ["pb"])
-            _write_gen(delta.withColumn("pb", _doc_pb()), docs_dir, batch_id, ["pb"])
+            # doc_id) so compact_suffix_store serves both. The two
+            # folds land in disjoint dirs — overlapped (guide §2.6)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fa = pool.submit(_write_gen, dwin, index_dir, batch_id, ["pb"])
+                fb = pool.submit(
+                    _write_gen,
+                    delta.withColumn("pb", _doc_pb()),
+                    docs_dir,
+                    batch_id,
+                    ["pb"],
+                )
+                fa.result()
+                fb.result()
         dwin.unpersist()
 
     q = (
