@@ -110,7 +110,13 @@ def quality_verdict(docs):
     tests/test_quality_timeseries.py and both SFs' oracle sweeps."""
     from chiv_spark.core.sizing import relation_size_est
 
-    sized = docs.select("doc_id", F.trim(F.col("text")).alias("tx"))
+    # null-text docs: the agg form drops them structurally (explode of
+    # a null array emits no row) while the projection form would emit
+    # a null-signal row — filter before the fork so the two forms
+    # compute the identical relation on any input (r17 advice)
+    sized = docs.select("doc_id", F.trim(F.col("text")).alias("tx")).filter(
+        F.col("tx").isNotNull()
+    )
     # memoized input-file-size signal (r18): the previous per-call
     # optimizedPlan().stats() probe ran the Catalyst optimizer on the
     # driver for every verdict branch of every composed consumer —
